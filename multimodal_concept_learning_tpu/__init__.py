@@ -1,0 +1,23 @@
+"""TPU-native multimodal concept-learning framework.
+
+A from-scratch JAX/XLA/pjit/Pallas rebuild of the capabilities of the
+``multimodal_concept_learning`` research stack (reference: /root/reference):
+
+- synthetic color-circle + ImageNet-subset dataset generation
+  (reference: src/datasets/color/create_color_dataset.py,
+  src/datasets/imagenet/create_imagenet_dataset.py)
+- ViT image-classifier training (reference: src/vision/vision_training.py)
+- ViT + causal-LM multimodal training that learns new "<ood ...>" concept
+  tokens from yes/no image questions (reference:
+  src/multimodal/multimodal_training.py, src/multimodal/mllm.py)
+- token-embedding analysis probes (reference:
+  src/multimodal/token_embedding_analysis*.py)
+- CLIP-style contrastive training (benchmark flagship)
+
+Design: Flax (linen) models, optax optimizers with masked/multi-step
+transforms, jit-compiled functional train steps sharded over a
+``jax.sharding.Mesh``, Pallas kernels for the fused hot paths, and a
+host-side input pipeline with double-buffered device prefetch.
+"""
+
+__version__ = "0.1.0"

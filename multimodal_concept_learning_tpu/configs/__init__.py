@@ -1,0 +1,21 @@
+"""Config layer: YAML-backed dataclasses with ``from_params`` semantics.
+
+Every config mirrors the reference's dataclass field set and per-field
+defaults so the ``experiments/`` YAMLs run unchanged (reference:
+src/*/\\*_config.py).  Torch-specific defaults (``device="cuda"``,
+``torch_dtype``) are accepted for compatibility but interpreted for TPU.
+"""
+
+from multimodal_concept_learning_tpu.configs.color_dataset_config import ColorDatasetConfig
+from multimodal_concept_learning_tpu.configs.imagenet_dataset_config import ImageNetDatasetConfig
+from multimodal_concept_learning_tpu.configs.vision_training_config import VisionTrainingConfig
+from multimodal_concept_learning_tpu.configs.multimodal_training_config import MultimodalTrainingConfig
+from multimodal_concept_learning_tpu.configs.contrastive_training_config import ContrastiveTrainingConfig
+
+__all__ = [
+    "ColorDatasetConfig",
+    "ImageNetDatasetConfig",
+    "VisionTrainingConfig",
+    "MultimodalTrainingConfig",
+    "ContrastiveTrainingConfig",
+]

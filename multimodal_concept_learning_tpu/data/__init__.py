@@ -1,0 +1,35 @@
+"""Data layer: dataset generation, CSV-backed datasets, transforms, collation,
+and a double-buffered host→device input pipeline.
+
+Replaces the reference's torch DataLoader + torchvision stack
+(src/datasets/**, src/utils.py) with a torch-free, numpy/PIL host pipeline
+feeding jax.device_put with shardings.
+"""
+
+from multimodal_concept_learning_tpu.data.datasets import (
+    ColorDataset,
+    ImageNetDataset,
+    load_split_datasets,
+)
+from multimodal_concept_learning_tpu.data.transforms import create_transforms
+from multimodal_concept_learning_tpu.data.collator import MultimodalCollator
+from multimodal_concept_learning_tpu.data.color_generator import (
+    compute_split_counts,
+    generate_color_dataset,
+)
+from multimodal_concept_learning_tpu.data.pipeline import (
+    BatchLoader,
+    prefetch_to_device,
+)
+
+__all__ = [
+    "ColorDataset",
+    "ImageNetDataset",
+    "load_split_datasets",
+    "create_transforms",
+    "MultimodalCollator",
+    "compute_split_counts",
+    "generate_color_dataset",
+    "BatchLoader",
+    "prefetch_to_device",
+]

@@ -1,0 +1,116 @@
+"""CSV-backed map-style datasets (torch-free).
+
+Parity targets:
+- ColorDataset (src/datasets/color/color_dataset.py:9-42): 2-column CSV
+  ``image_path,class_name``; returns (img, class_name) when return_synset
+  else (img, label_idx); exposes unique_labels / label_to_idx / num_classes.
+- ImageNetDataset (src/datasets/imagenet/imagenet_dataset.py:11-59):
+  3-column CSV ``image_path,target_synset,class_name``; return_synset=True →
+  class_name (multimodal), False → target_synset index (vision).
+
+Images load as PIL RGB and run through the transform; transforms end with
+ToTensor → float32 CHW numpy (see transforms.py).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+class _CsvImageDataset:
+    def __init__(
+        self,
+        mapping_csv_path: str,
+        data_dir: str,
+        transform: Optional[Callable] = None,
+        return_synset: bool = False,
+        verbose: bool = True,
+    ):
+        self.data_dir = data_dir
+        self.transform = transform
+        self.return_synset = return_synset
+
+        self.dataset: List[Tuple[str, str]] = []
+        with open(mapping_csv_path, newline="") as f:
+            for row in csv.DictReader(f):
+                self.dataset.append(self._parse_row(row))
+
+        self.unique_labels = sorted({item[1] for item in self.dataset})
+        self.label_to_idx = {label: idx for idx, label in enumerate(self.unique_labels)}
+        self.num_classes = len(self.unique_labels)
+
+        if verbose:
+            print(f"Loaded {len(self.dataset)} images with {self.num_classes} classes")
+
+    def _parse_row(self, row) -> Tuple[str, str]:
+        raise NotImplementedError
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def load_image(self, idx: int) -> Image.Image:
+        image_path, _ = self.dataset[idx]
+        return Image.open(image_path).convert("RGB")
+
+    def __getitem__(self, idx):
+        image_path, label_data = self.dataset[idx]
+        image = Image.open(image_path).convert("RGB")
+        if self.transform:
+            image = self.transform(image)
+
+        if self.return_synset:
+            return image, label_data
+        return image, self.label_to_idx[label_data]
+
+
+class ColorDataset(_CsvImageDataset):
+    """Color-circle dataset over ``image_path,class_name`` CSVs."""
+
+    def _parse_row(self, row):
+        return os.path.join(self.data_dir, row["image_path"]), row["class_name"]
+
+
+class ImageNetDataset(_CsvImageDataset):
+    """ImageNet-subset dataset over ``image_path,target_synset,class_name`` CSVs."""
+
+    def _parse_row(self, row):
+        image_path = os.path.join(self.data_dir, row["image_path"])
+        if self.return_synset:
+            return image_path, row["class_name"]
+        return image_path, row["target_synset"]
+
+
+def load_split_datasets(
+    dataset_cls,
+    mapping_dir: str,
+    data_dir: str,
+    train_transform,
+    val_transform,
+    return_synset: bool = False,
+):
+    """Load train/val/test datasets from a mapping dir (parity:
+    src/vision/vision_training.py:27-48, src/multimodal/multimodal_training.py:28-50)."""
+    mapping_paths = {
+        "train": os.path.join(mapping_dir, "train_mapping.csv"),
+        "val": os.path.join(mapping_dir, "val_mapping.csv"),
+        "test": os.path.join(mapping_dir, "test_mapping.csv"),
+    }
+    for split_name, mapping_path in mapping_paths.items():
+        if not os.path.exists(mapping_path):
+            raise FileNotFoundError(f"Missing {split_name} mapping CSV at {mapping_path}")
+
+    train_dataset = dataset_cls(
+        mapping_paths["train"], data_dir, transform=train_transform, return_synset=return_synset
+    )
+    val_dataset = dataset_cls(
+        mapping_paths["val"], data_dir, transform=val_transform, return_synset=return_synset
+    )
+    test_dataset = dataset_cls(
+        mapping_paths["test"], data_dir, transform=val_transform, return_synset=return_synset
+    )
+    return train_dataset, val_dataset, test_dataset

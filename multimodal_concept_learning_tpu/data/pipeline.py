@@ -1,0 +1,161 @@
+"""Host input pipeline: threaded loading, fixed-shape batching, device prefetch.
+
+Replaces the reference's torch DataLoader worker processes
+(src/vision/vision_training.py:295-320, src/multimodal/multimodal_training.py:393-424)
+with a thread-pool loader (PIL decode releases the GIL) plus a background
+batch-assembly thread, and replaces implicit ``.cuda()`` transfer with
+explicit double-buffered ``jax.device_put`` against a target sharding —
+the JAX analog of pin_memory+prefetch_factor.
+
+All train batches have identical shapes (fixed batch size, fixed text pad
+length) so the jitted step compiles exactly once.  Final partial batches are
+padded up and carry a ``valid`` mask so evaluation statistics stay exact.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+
+def default_classification_collate(batch):
+    """(img, label_idx) pairs → {images, labels} numpy batch."""
+    images = np.stack([b[0] for b in batch]).astype(np.float32)
+    labels = np.asarray([b[1] for b in batch], dtype=np.int32)
+    return {"images": images, "labels": labels}
+
+
+class BatchLoader:
+    """Deterministic, fixed-shape batch iterator over a map-style dataset.
+
+    Args:
+      dataset: map-style dataset yielding (image, label) tuples.
+      batch_size: fixed batch size of every yielded batch.
+      shuffle: reshuffle indices every epoch (seeded, epoch-keyed).
+      collate_fn: batch assembly; defaults to classification collate.
+      drop_last: drop the final partial batch (train) — otherwise it is padded
+        by repeating samples and flagged via the ``valid`` mask (eval).
+      num_workers: loader threads for image decode + transform.
+      seed: base seed for the per-epoch shuffles.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        collate_fn: Optional[Callable] = None,
+        drop_last: bool = False,
+        num_workers: int = 4,
+        seed: int = 0,
+        prefetch_batches: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.collate_fn = collate_fn or default_classification_collate
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch_batches = prefetch_batches
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        indices = np.arange(n)
+        if self.shuffle:
+            rng = np.random.Generator(np.random.PCG64([self.seed, self._epoch]))
+            rng.shuffle(indices)
+        batches = []
+        for start in range(0, n, self.batch_size):
+            chunk = indices[start : start + self.batch_size]
+            if len(chunk) < self.batch_size:
+                if self.drop_last:
+                    break
+                # Pad by wrapping; padded entries are masked via `valid`.
+                pad = np.resize(indices, self.batch_size - len(chunk))
+                valid = np.concatenate(
+                    [np.ones(len(chunk), bool), np.zeros(len(pad), bool)]
+                )
+                chunk = np.concatenate([chunk, pad])
+            else:
+                valid = np.ones(self.batch_size, bool)
+            batches.append((chunk, valid))
+        return batches
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._index_batches()
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        sentinel = object()
+        error_holder = []
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for chunk, valid in batches:
+                        samples = list(pool.map(self.dataset.__getitem__, chunk))
+                        batch = self.collate_fn(samples)
+                        batch["valid"] = valid
+                        out_q.put(batch)
+            except Exception as e:  # noqa: BLE001
+                error_holder.append(e)
+            finally:
+                out_q.put(sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = out_q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if error_holder:
+            raise error_holder[0]
+
+
+def prefetch_to_device(iterator, sharding=None, size: int = 2):
+    """Double-buffer host batches onto device(s).
+
+    Issues ``jax.device_put`` for up to ``size`` batches ahead of the consumer
+    so H2D DMA overlaps with the device step — the TPU analog of the torch
+    pin_memory + prefetch_factor pair the reference configures.
+    ``sharding``: a jax.sharding.Sharding (or pytree prefix) describing the
+    global layout; None puts on the default device.
+    """
+    import jax
+
+    buf = collections.deque()
+
+    def put(batch):
+        if sharding is None:
+            return jax.device_put(batch)
+        return jax.device_put(batch, sharding)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

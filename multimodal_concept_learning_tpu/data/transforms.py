@@ -1,0 +1,501 @@
+"""Image transform registry (torch-free: PIL + numpy).
+
+Parity target: the reference's name→factory registry building a composed
+pipeline from YAML-specified entries (src/utils.py:134-188) with the same 11
+transform names — Resize, RandomResizedCrop, RandomHorizontalFlip,
+ColorJitter, RandomRotation, RandomAffine, RandomPerspective, RandomErasing,
+RandAugment, ToTensor, Normalize — the same per-transform default parameters,
+and the same dataset-aware mean/std resolution (src/utils.py:32-45).
+
+Pipeline contract: PIL.Image in → PIL ops until ToTensor → float32 CHW numpy
+in [0,1] → tensor-space ops (Normalize, RandomErasing).  Randomness comes
+from an explicit ``numpy.random.Generator`` owned by the Compose (the
+reference used the global ``random`` state seeded by set_seed).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Union
+
+import numpy as np
+from PIL import Image, ImageEnhance, ImageOps
+
+_TransformSpec = Union[str, Dict[str, Any]]
+
+_BILINEAR = Image.BILINEAR
+
+
+def _ensure_tuple(value):
+    if isinstance(value, list):
+        return tuple(value)
+    return value
+
+
+def _resolve_mean_std(config, params: Dict[str, Any]):
+    """Dataset-aware mean/std defaults (parity: src/utils.py:32-45)."""
+    mean = params.get("mean", getattr(config, "normalize_mean", None))
+    std = params.get("std", getattr(config, "normalize_std", None))
+
+    if mean is None or std is None:
+        dataset_name = getattr(config, "dataset_name", None)
+        if dataset_name in {"imagenet", "imagenet100", "imagenet_multimodal"}:
+            mean = [0.485, 0.456, 0.406]
+            std = [0.229, 0.224, 0.225]
+        else:
+            mean = [0.5, 0.5, 0.5]
+            std = [0.5, 0.5, 0.5]
+
+    return mean, std
+
+
+# ---------------------------------------------------------------------------
+# Individual transforms.  Each is a callable (img, rng) -> img.
+# ---------------------------------------------------------------------------
+
+
+class Resize:
+    """Int size → resize shorter side keeping aspect; tuple → exact (torchvision semantics)."""
+
+    def __init__(self, size):
+        self.size = size
+
+    def __call__(self, img, rng):
+        if isinstance(self.size, int):
+            w, h = img.size
+            short, long = (w, h) if w <= h else (h, w)
+            new_short = self.size
+            new_long = int(round(self.size * long / short))
+            new_w, new_h = (new_short, new_long) if w <= h else (new_long, new_short)
+            return img.resize((new_w, new_h), _BILINEAR)
+        h, w = self.size if len(self.size) == 2 else (self.size[0], self.size[0])
+        return img.resize((w, h), _BILINEAR)
+
+
+class RandomResizedCrop:
+    """torchvision's sampling: 10 attempts over (area-scale, log-ratio), center-crop fallback."""
+
+    def __init__(self, size, scale=(0.08, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0)):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+        self.scale = tuple(scale)
+        self.ratio = tuple(ratio)
+
+    def __call__(self, img, rng):
+        w, h = img.size
+        area = w * h
+        log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
+        for _ in range(10):
+            target_area = area * rng.uniform(*self.scale)
+            aspect = math.exp(rng.uniform(*log_ratio))
+            cw = int(round(math.sqrt(target_area * aspect)))
+            ch = int(round(math.sqrt(target_area / aspect)))
+            if 0 < cw <= w and 0 < ch <= h:
+                left = int(rng.integers(0, w - cw + 1))
+                top = int(rng.integers(0, h - ch + 1))
+                box = (left, top, left + cw, top + ch)
+                return img.resize(self.size[::-1], _BILINEAR, box=box)
+        # Fallback: center crop of clamped aspect
+        in_ratio = w / h
+        if in_ratio < self.ratio[0]:
+            cw, ch = w, int(round(w / self.ratio[0]))
+        elif in_ratio > self.ratio[1]:
+            cw, ch = int(round(h * self.ratio[1])), h
+        else:
+            cw, ch = w, h
+        left, top = (w - cw) // 2, (h - ch) // 2
+        return img.resize(self.size[::-1], _BILINEAR, box=(left, top, left + cw, top + ch))
+
+
+class RandomHorizontalFlip:
+    def __init__(self, p=0.5):
+        self.p = p
+
+    def __call__(self, img, rng):
+        if rng.random() < self.p:
+            return img.transpose(Image.FLIP_LEFT_RIGHT)
+        return img
+
+
+class ColorJitter:
+    """torchvision semantics: factors sampled in [max(0,1-x), 1+x] (hue in
+    [-hue, hue]), applied in random order."""
+
+    def __init__(self, brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.hue = hue
+
+    @staticmethod
+    def _adjust_hue(img, factor):
+        if factor == 0:
+            return img
+        hsv = np.array(img.convert("HSV"), dtype=np.int16)
+        hsv[..., 0] = (hsv[..., 0] + int(round(factor * 255))) % 256
+        return Image.fromarray(hsv.astype(np.uint8), mode="HSV").convert("RGB")
+
+    def __call__(self, img, rng):
+        ops = []
+        if self.brightness:
+            f = rng.uniform(max(0.0, 1 - self.brightness), 1 + self.brightness)
+            ops.append(lambda im, f=f: ImageEnhance.Brightness(im).enhance(f))
+        if self.contrast:
+            f = rng.uniform(max(0.0, 1 - self.contrast), 1 + self.contrast)
+            ops.append(lambda im, f=f: ImageEnhance.Contrast(im).enhance(f))
+        if self.saturation:
+            f = rng.uniform(max(0.0, 1 - self.saturation), 1 + self.saturation)
+            ops.append(lambda im, f=f: ImageEnhance.Color(im).enhance(f))
+        if self.hue:
+            f = rng.uniform(-self.hue, self.hue)
+            ops.append(lambda im, f=f: self._adjust_hue(im, f))
+        order = rng.permutation(len(ops))
+        for i in order:
+            img = ops[i](img)
+        return img
+
+
+class RandomRotation:
+    def __init__(self, degrees=15):
+        self.degrees = (-degrees, degrees) if not isinstance(degrees, (tuple, list)) else tuple(degrees)
+
+    def __call__(self, img, rng):
+        angle = rng.uniform(*self.degrees)
+        return img.rotate(angle, resample=_BILINEAR)
+
+
+class RandomAffine:
+    def __init__(self, degrees=0, translate=(0.1, 0.1), scale=(0.9, 1.1), shear=0):
+        self.degrees = (-degrees, degrees) if not isinstance(degrees, (tuple, list)) else tuple(degrees)
+        self.translate = tuple(translate) if translate else None
+        self.scale = tuple(scale) if scale else None
+        self.shear = (-shear, shear) if not isinstance(shear, (tuple, list)) else tuple(shear)
+
+    def __call__(self, img, rng):
+        w, h = img.size
+        angle = math.radians(rng.uniform(*self.degrees))
+        if self.translate is not None:
+            tx = rng.uniform(-self.translate[0], self.translate[0]) * w
+            ty = rng.uniform(-self.translate[1], self.translate[1]) * h
+        else:
+            tx = ty = 0.0
+        s = rng.uniform(*self.scale) if self.scale is not None else 1.0
+        shear_x = math.radians(rng.uniform(*self.shear)) if self.shear != (0, 0) else 0.0
+
+        # Inverse affine matrix for PIL's (output->input) convention, about center.
+        # Forward map: F = s * R(angle) @ ShearX(shear_x), then translate.
+        cx, cy = w / 2, h / 2
+        cos_a, sin_a = math.cos(angle), math.sin(angle)
+        tan_s = math.tan(shear_x)
+        a = s * cos_a
+        b = s * (cos_a * tan_s - sin_a)
+        d = s * sin_a
+        e = s * (sin_a * tan_s + cos_a)
+        # invert 2x2
+        det = a * e - b * d
+        ia, ib, id_, ie = e / det, -b / det, -d / det, a / det
+        # map output (x,y) -> input coords
+        ox, oy = cx + tx, cy + ty
+        c = cx - ia * ox - ib * oy
+        f = cy - id_ * ox - ie * oy
+        return img.transform((w, h), Image.AFFINE, (ia, ib, c, id_, ie, f), resample=_BILINEAR)
+
+
+class RandomPerspective:
+    def __init__(self, distortion_scale=0.2, p=0.5):
+        self.distortion_scale = distortion_scale
+        self.p = p
+
+    def __call__(self, img, rng):
+        if rng.random() >= self.p:
+            return img
+        w, h = img.size
+        d = self.distortion_scale
+        half_w, half_h = int(d * w / 2), int(d * h / 2)
+
+        def j(maxv):
+            return int(rng.integers(0, maxv + 1)) if maxv > 0 else 0
+
+        tl = (j(half_w), j(half_h))
+        tr = (w - 1 - j(half_w), j(half_h))
+        br = (w - 1 - j(half_w), h - 1 - j(half_h))
+        bl = (j(half_w), h - 1 - j(half_h))
+        src = [(0, 0), (w - 1, 0), (w - 1, h - 1), (0, h - 1)]
+        dst = [tl, tr, br, bl]
+        coeffs = _perspective_coeffs(dst, src)
+        return img.transform((w, h), Image.PERSPECTIVE, coeffs, resample=_BILINEAR)
+
+
+def _perspective_coeffs(src_pts, dst_pts):
+    """Solve the 8 perspective coefficients mapping output→input (PIL convention)."""
+    a = []
+    b = []
+    for (sx, sy), (dx, dy) in zip(src_pts, dst_pts):
+        a.append([sx, sy, 1, 0, 0, 0, -dx * sx, -dx * sy])
+        a.append([0, 0, 0, sx, sy, 1, -dy * sx, -dy * sy])
+        b.extend([dx, dy])
+    return np.linalg.solve(np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)).tolist()
+
+
+class RandomErasing:
+    """Tensor-space erase (after ToTensor), torchvision defaults."""
+
+    def __init__(self, p=0.25, scale=(0.02, 0.33), ratio=(0.3, 3.3), value=0.0):
+        self.p = p
+        self.scale = tuple(scale)
+        self.ratio = tuple(ratio)
+        self.value = value
+
+    def __call__(self, x, rng):
+        if not isinstance(x, np.ndarray):
+            raise TypeError("RandomErasing must come after ToTensor")
+        if rng.random() >= self.p:
+            return x
+        _, h, w = x.shape
+        area = h * w
+        log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
+        for _ in range(10):
+            target = area * rng.uniform(*self.scale)
+            aspect = math.exp(rng.uniform(*log_ratio))
+            eh = int(round(math.sqrt(target * aspect)))
+            ew = int(round(math.sqrt(target / aspect)))
+            if eh < h and ew < w:
+                top = int(rng.integers(0, h - eh + 1))
+                left = int(rng.integers(0, w - ew + 1))
+                x = x.copy()
+                x[:, top : top + eh, left : left + ew] = self.value
+                return x
+        return x
+
+
+class RandAugment:
+    """PIL implementation of RandAugment (num_ops random ops at shared magnitude).
+
+    Op set follows the torchvision RandAugment catalog (identity, autocontrast,
+    equalize, rotate, solarize, color, posterize, contrast, brightness,
+    sharpness, shear x/y, translate x/y).
+    """
+
+    def __init__(self, num_ops=2, magnitude=10, num_magnitude_bins=31):
+        self.num_ops = num_ops
+        self.magnitude = magnitude
+        self.bins = num_magnitude_bins
+
+    def _mag(self, lo, hi):
+        return lo + (hi - lo) * self.magnitude / (self.bins - 1)
+
+    def __call__(self, img, rng):
+        ops = [
+            "Identity", "AutoContrast", "Equalize", "Rotate", "Solarize",
+            "Color", "Posterize", "Contrast", "Brightness", "Sharpness",
+            "ShearX", "ShearY", "TranslateX", "TranslateY",
+        ]
+        for _ in range(self.num_ops):
+            op = ops[int(rng.integers(0, len(ops)))]
+            sign = -1.0 if rng.random() < 0.5 else 1.0
+            img = self._apply(img, op, sign, rng)
+        return img
+
+    def _apply(self, img, op, sign, rng):
+        w, h = img.size
+        if op == "Identity":
+            return img
+        if op == "AutoContrast":
+            return ImageOps.autocontrast(img)
+        if op == "Equalize":
+            return ImageOps.equalize(img)
+        if op == "Rotate":
+            return img.rotate(sign * self._mag(0.0, 30.0), resample=_BILINEAR)
+        if op == "Solarize":
+            return ImageOps.solarize(img, int(self._mag(255.0, 0.0)))
+        if op == "Color":
+            return ImageEnhance.Color(img).enhance(1.0 + sign * self._mag(0.0, 0.9))
+        if op == "Posterize":
+            return ImageOps.posterize(img, max(1, int(8 - self._mag(0.0, 4.0))))
+        if op == "Contrast":
+            return ImageEnhance.Contrast(img).enhance(1.0 + sign * self._mag(0.0, 0.9))
+        if op == "Brightness":
+            return ImageEnhance.Brightness(img).enhance(1.0 + sign * self._mag(0.0, 0.9))
+        if op == "Sharpness":
+            return ImageEnhance.Sharpness(img).enhance(1.0 + sign * self._mag(0.0, 0.9))
+        if op == "ShearX":
+            s = sign * self._mag(0.0, 0.3)
+            return img.transform((w, h), Image.AFFINE, (1, s, 0, 0, 1, 0), resample=_BILINEAR)
+        if op == "ShearY":
+            s = sign * self._mag(0.0, 0.3)
+            return img.transform((w, h), Image.AFFINE, (1, 0, 0, s, 1, 0), resample=_BILINEAR)
+        if op == "TranslateX":
+            t = sign * self._mag(0.0, 150.0 / 331.0) * w
+            return img.transform((w, h), Image.AFFINE, (1, 0, t, 0, 1, 0), resample=_BILINEAR)
+        if op == "TranslateY":
+            t = sign * self._mag(0.0, 150.0 / 331.0) * h
+            return img.transform((w, h), Image.AFFINE, (1, 0, 0, 0, 1, t), resample=_BILINEAR)
+        return img
+
+
+class ToTensor:
+    """PIL → float32 CHW numpy in [0,1] (matches torchvision contract)."""
+
+    def __call__(self, img, rng):
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return np.ascontiguousarray(arr.transpose(2, 0, 1))
+
+
+class Normalize:
+    def __init__(self, mean, std):
+        self.mean = np.asarray(mean, dtype=np.float32).reshape(-1, 1, 1)
+        self.std = np.asarray(std, dtype=np.float32).reshape(-1, 1, 1)
+
+    def __call__(self, x, rng):
+        if not isinstance(x, np.ndarray):
+            raise TypeError("Normalize must come after ToTensor")
+        return (x - self.mean) / self.std
+
+
+class Compose:
+    """Sequential transform pipeline owning its RNG.
+
+    Called either as ``t(img)`` (uses the owned rng) or ``t(img, rng)`` for
+    externally controlled per-sample randomness.
+    """
+
+    def __init__(self, transforms_list, seed: int = 0):
+        self.transforms = transforms_list
+        self.rng = np.random.Generator(np.random.PCG64(seed))
+
+    def __call__(self, img, rng=None):
+        rng = rng if rng is not None else self.rng
+        for t in self.transforms:
+            img = t(img, rng)
+        return img
+
+
+# ---------------------------------------------------------------------------
+# Factory registry (parity: src/utils.py:134-188)
+# ---------------------------------------------------------------------------
+
+
+def _build_resize(config, params):
+    size = _ensure_tuple(params.get("size"))
+    if size is None:
+        size = getattr(config, "image_size", 224)
+    return Resize(size)
+
+
+def _build_random_resized_crop(config, params):
+    size = params.get("size")
+    if size is None:
+        size = getattr(config, "image_size", 224)
+    kwargs = {"size": size}
+    if params.get("scale") is not None:
+        kwargs["scale"] = tuple(params["scale"])
+    if params.get("ratio") is not None:
+        kwargs["ratio"] = tuple(params["ratio"])
+    return RandomResizedCrop(**kwargs)
+
+
+def _build_random_horizontal_flip(_config, params):
+    return RandomHorizontalFlip(p=params.get("p", 0.5))
+
+
+def _build_color_jitter(_config, params):
+    defaults = {"brightness": 0.4, "contrast": 0.4, "saturation": 0.4, "hue": 0.1}
+    defaults.update(params)
+    return ColorJitter(
+        brightness=defaults.get("brightness"),
+        contrast=defaults.get("contrast"),
+        saturation=defaults.get("saturation"),
+        hue=defaults.get("hue"),
+    )
+
+
+def _build_random_rotation(_config, params):
+    return RandomRotation(degrees=params.get("degrees", 15))
+
+
+def _build_random_affine(_config, params):
+    return RandomAffine(
+        degrees=params.get("degrees", 0),
+        translate=params.get("translate", (0.1, 0.1)),
+        scale=params.get("scale", (0.9, 1.1)),
+        shear=params.get("shear", 0),
+    )
+
+
+def _build_random_perspective(_config, params):
+    return RandomPerspective(
+        distortion_scale=params.get("distortion_scale", 0.2), p=params.get("p", 0.5)
+    )
+
+
+def _build_random_erasing(_config, params):
+    return RandomErasing(
+        p=params.get("p", 0.25),
+        scale=params.get("scale", (0.02, 0.33)),
+        ratio=params.get("ratio", (0.3, 3.3)),
+    )
+
+
+def _build_rand_augment(_config, params):
+    return RandAugment(num_ops=params.get("num_ops", 2), magnitude=params.get("magnitude", 10))
+
+
+def _build_to_tensor(_config, _params):
+    return ToTensor()
+
+
+def _build_normalize(config, params):
+    mean, std = _resolve_mean_std(config, params)
+    return Normalize(mean=mean, std=std)
+
+
+_TRANSFORM_FACTORIES = {
+    "Resize": _build_resize,
+    "RandomResizedCrop": _build_random_resized_crop,
+    "RandomHorizontalFlip": _build_random_horizontal_flip,
+    "ColorJitter": _build_color_jitter,
+    "RandomRotation": _build_random_rotation,
+    "RandomAffine": _build_random_affine,
+    "RandomPerspective": _build_random_perspective,
+    "RandomErasing": _build_random_erasing,
+    "RandAugment": _build_rand_augment,
+    "ToTensor": _build_to_tensor,
+    "Normalize": _build_normalize,
+}
+
+
+def create_transforms(config, is_train: bool = True, seed: int = 0) -> Compose:
+    """Build a composed transform from config specs (parity: src/utils.py:149-188)."""
+    transform_entries = getattr(
+        config, "train_transforms" if is_train else "val_transforms", None
+    )
+    if not transform_entries:
+        raise ValueError("Transform list is empty or undefined in config.")
+
+    transform_params = getattr(config, "transform_params", {}) or {}
+
+    transforms_to_apply = []
+    for entry in transform_entries:
+        if isinstance(entry, dict):
+            name = entry.get("name")
+            if not name:
+                raise ValueError("Transform dict entries must include a 'name' key.")
+            entry_params = {k: v for k, v in entry.items() if k != "name"}
+        elif isinstance(entry, str):
+            name = entry
+            entry_params = {}
+        else:
+            raise TypeError(
+                "Transform entries must be either strings or dictionaries with a 'name' key."
+            )
+
+        factory = _TRANSFORM_FACTORIES.get(name)
+        if factory is None:
+            raise ValueError(f"Unknown transform: {name}")
+
+        params = dict(transform_params.get(name, {}))
+        params.update(entry_params)
+        transforms_to_apply.append(factory(config, params))
+
+    return Compose(transforms_to_apply, seed=seed)

@@ -1,0 +1,14 @@
+"""Self-contained tokenizer layer.
+
+The reference loads the pretrained Gemma tokenizer from the HF hub
+(src/multimodal/mllm.py:48-50); this environment has no network access, so
+the framework ships its own deterministic tokenizer with the same API surface
+the reference code exercises (``__call__`` with padding/truncation,
+``add_tokens``, ``decode``, ``convert_tokens_to_ids``, ``save_pretrained`` /
+``from_pretrained``).  When an HF tokenizer IS locally cached it can be used
+interchangeably — everything downstream only relies on the shared surface.
+"""
+
+from multimodal_concept_learning_tpu.tokenizer.tokenizer import ConceptTokenizer, load_tokenizer
+
+__all__ = ["ConceptTokenizer", "load_tokenizer"]

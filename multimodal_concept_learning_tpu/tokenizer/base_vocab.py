@@ -1,0 +1,83 @@
+"""Built-in base word vocabulary for the ConceptTokenizer.
+
+Covers the prompt templates used by the reference experiments
+("Is a {class_name} in the image?", "Is the color of the circle
+{class_name}?", reference experiments/multimodal/*/*.yaml), the answer words,
+the color-concept names used by the labels mappings
+(experiments/multimodal/color/*_labels_mapping.json: red/green/blue/yellow/
+magenta/cyan), and a set of common English words so that typical ImageNet
+class names tokenize into few tokens.  Words not in this list fall back to
+byte tokens; the analysis layer mean-pools multi-token concept names exactly
+like the reference does for multi-token ImageNet names
+(src/multimodal/token_embedding_analysis_imagenet.py:261-286).
+"""
+
+# Order matters: vocab ids are assigned in list order, so this list is
+# append-only across framework versions to keep checkpoints compatible.
+BASE_WORDS = [
+    # Prompt / answer words (both cases where they appear in templates)
+    "Is", "is", "a", "A", "an", "An", "the", "The", "in", "of", "on", "at",
+    "image", "picture", "photo", "circle", "color", "colour", "shape",
+    "Yes", "No", "yes", "no", "there", "There", "this", "This", "that",
+    "What", "what", "it", "It", "does", "Does", "do", "Do", "contain",
+    "show", "shows", "showing", "with", "and", "or", "not",
+    # Color concept names (reference labels mappings)
+    "red", "green", "blue", "yellow", "magenta", "cyan", "orange", "purple",
+    "pink", "brown", "black", "white", "gray", "grey", "violet", "indigo",
+    "teal", "maroon", "olive", "navy", "lime", "aqua", "silver", "gold",
+    "beige", "turquoise", "lavender", "salmon", "crimson", "scarlet",
+    # Common nouns that appear as ImageNet-1K first-names (class_name = first
+    # comma-segment of the WordNet name, reference create_imagenet_dataset.py)
+    "dog", "cat", "bird", "fish", "shark", "snake", "lizard", "frog", "toad",
+    "turtle", "spider", "insect", "beetle", "butterfly", "bee", "ant",
+    "monkey", "ape", "bear", "fox", "wolf", "rabbit", "mouse", "rat",
+    "squirrel", "horse", "zebra", "cow", "sheep", "goat", "pig", "deer",
+    "elephant", "lion", "tiger", "leopard", "cheetah", "panda", "koala",
+    "kangaroo", "whale", "dolphin", "seal", "otter", "penguin", "eagle",
+    "hawk", "owl", "duck", "goose", "swan", "chicken", "rooster", "hen",
+    "peacock", "parrot", "crane", "stork", "flamingo", "pelican",
+    "goldfish", "salamander", "newt", "crab", "lobster", "snail", "slug",
+    "jellyfish", "starfish", "coral", "crocodile", "alligator", "dragon",
+    "terrier", "retriever", "spaniel", "poodle", "bulldog", "beagle",
+    "husky", "collie", "chihuahua", "dalmatian", "boxer", "pug",
+    "car", "truck", "bus", "train", "plane", "airplane", "boat", "ship",
+    "bicycle", "motorcycle", "scooter", "wagon", "cart", "sled", "canoe",
+    "table", "chair", "desk", "bed", "sofa", "couch", "bench", "shelf",
+    "cabinet", "wardrobe", "drawer", "mirror", "lamp", "clock", "vase",
+    "bottle", "cup", "mug", "glass", "plate", "bowl", "pot", "pan",
+    "spoon", "fork", "knife", "kettle", "teapot", "jug", "jar", "basket",
+    "box", "bag", "backpack", "suitcase", "umbrella", "hat", "cap",
+    "helmet", "shirt", "jersey", "sweater", "jacket", "coat", "dress",
+    "skirt", "sock", "shoe", "boot", "sandal", "glove", "scarf", "tie",
+    "ball", "balloon", "kite", "drum", "guitar", "violin", "piano",
+    "trumpet", "flute", "horn", "banjo", "cello", "harp", "organ",
+    "computer", "keyboard", "screen", "monitor", "laptop", "phone",
+    "telephone", "camera", "television", "radio", "printer", "speaker",
+    "microphone", "projector", "remote", "mouse", "modem", "router",
+    "house", "building", "tower", "bridge", "castle", "church", "barn",
+    "lighthouse", "windmill", "fountain", "fence", "gate", "door",
+    "window", "wall", "roof", "chimney", "stairs", "ladder",
+    "tree", "flower", "mushroom", "leaf", "grass", "bush", "cactus",
+    "rose", "daisy", "tulip", "sunflower", "orchid", "fern", "moss",
+    "apple", "banana", "lemon", "pineapple", "strawberry", "cherry",
+    "grape", "melon", "peach", "pear", "plum", "fig", "mango",
+    "pepper", "corn", "broccoli", "cabbage", "carrot", "cucumber",
+    "pumpkin", "potato", "tomato", "onion", "bread", "cake", "pizza",
+    "burger", "sandwich", "hotdog", "pretzel", "bagel", "donut",
+    "mountain", "valley", "cliff", "volcano", "beach", "island", "lake",
+    "river", "ocean", "sea", "desert", "forest", "field", "garden",
+    "snow", "ice", "rain", "cloud", "sky", "sun", "moon", "star",
+    "rock", "stone", "sand", "mud", "dirt", "water", "fire", "smoke",
+    "man", "woman", "boy", "girl", "child", "person", "people", "baby",
+    "hand", "foot", "head", "face", "eye", "ear", "nose", "mouth",
+    "hammer", "screwdriver", "wrench", "drill", "saw", "axe", "shovel",
+    "rake", "broom", "brush", "bucket", "hose", "nail", "screw",
+    "book", "pen", "pencil", "paper", "envelope", "stamp", "letter",
+    "sign", "flag", "banner", "poster", "map", "globe", "wheel",
+    "engine", "motor", "propeller", "anchor", "chain", "rope", "net",
+    "candle", "torch", "lantern", "match", "lighter", "stove", "oven",
+    "refrigerator", "freezer", "washer", "dryer", "toaster", "blender",
+    "small", "large", "big", "little", "tall", "short", "long", "wide",
+    "round", "square", "flat", "new", "old", "young", "good", "bad",
+    "hot", "cold", "warm", "cool", "bright", "dark", "light", "heavy",
+]

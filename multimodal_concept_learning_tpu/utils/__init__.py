@@ -1,0 +1,10 @@
+"""Utility layer: seeding, transform registry, metric logging.
+
+Mirrors the public surface of the reference's ``src/utils.py`` (set_seed,
+create_transforms) with JAX-idiomatic internals.
+"""
+
+from multimodal_concept_learning_tpu.utils.seeding import set_seed
+from multimodal_concept_learning_tpu.utils.logging import MetricsLogger
+
+__all__ = ["set_seed", "MetricsLogger"]

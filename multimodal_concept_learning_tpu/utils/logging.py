@@ -1,0 +1,66 @@
+"""Metric logging that preserves the reference's stdout log format.
+
+The reference prints per-epoch metric blocks on the main process
+(src/vision/vision_training.py:184-189, src/multimodal/multimodal_training.py:209-215)
+and optionally mirrors them to wandb.  wandb is not installed in this image,
+so the wandb path is gated behind an import check while keeping the exact
+config-flag surface (use_wandb / disable_wandb, wandb_project, wandb_run_name).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+try:  # pragma: no cover - wandb not installed in CI image
+    import wandb as _wandb
+except Exception:  # noqa: BLE001
+    _wandb = None
+
+
+class MetricsLogger:
+    """Prints reference-format epoch metrics and forwards to wandb when available."""
+
+    def __init__(
+        self,
+        enabled: bool,
+        use_wandb: bool,
+        wandb_project: Optional[str] = None,
+        wandb_run_name: Optional[str] = None,
+        wandb_config: Optional[dict] = None,
+    ):
+        self.enabled = enabled
+        self.use_wandb = bool(use_wandb) and _wandb is not None and enabled
+        if use_wandb and _wandb is None and enabled:
+            print("wandb requested but not installed; metrics will only be printed")
+        if self.use_wandb:
+            _wandb.init(project=wandb_project, name=wandb_run_name, config=wandb_config)
+
+    def log(self, metrics: dict):
+        if self.use_wandb:
+            _wandb.log(metrics)
+
+    def print_vision_epoch(self, metrics: dict, total_epochs: int):
+        # Format parity with src/vision/vision_training.py:185-189
+        if not self.enabled:
+            return
+        print(f"Epoch {metrics['epoch']}/{total_epochs} completed in {metrics['epoch_time']:.2f}s")
+        print(f"Train Loss: {metrics['train_loss']:.4f}, Train Acc: {metrics['train_acc']:.2f}%")
+        print(f"Val Loss: {metrics['val_loss']:.4f}, Val Acc: {metrics['val_acc']:.2f}%")
+        print(f"Learning Rate: {metrics['learning_rate']:.6f}")
+        print("-" * 50)
+
+    def print_multimodal_epoch(self, metrics: dict, total_epochs: int):
+        # Format parity with src/multimodal/multimodal_training.py:210-215
+        if not self.enabled:
+            return
+        print(f"Epoch {metrics['epoch']}/{total_epochs} completed in {metrics['epoch_time']:.2f}s")
+        print(f"Train Loss: {metrics['train_loss']:.4f}")
+        print(f"Val Loss: {metrics['val_loss']:.4f}")
+        print(f"Best Val Loss: {metrics['best_val_loss']:.4f}")
+        print(f"Learning Rate: {metrics['learning_rate']:.6f}")
+        print("-" * 50)
+
+    def finish(self):
+        if self.use_wandb:
+            _wandb.finish()

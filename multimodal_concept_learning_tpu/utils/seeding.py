@@ -1,0 +1,41 @@
+"""Deterministic seeding.
+
+Reference behavior (src/utils.py:17-23): seeds python ``random``, numpy and
+torch global RNG state and forces deterministic cuDNN.  JAX is
+deterministic-by-construction via explicit PRNG keys, so in addition to
+seeding the host-side generators (used by the data pipeline's augmentations
+and the collator's yes/no sampling) we return a root ``jax.random.key`` from
+which all device-side randomness is derived.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+
+def set_seed(seed: int):
+    """Seed host RNGs and return a root JAX PRNG key.
+
+    Unlike the reference's global-state-only ``set_seed`` we also hand back an
+    explicit key: device-side randomness (dropout, shuffles under jit) must be
+    threaded functionally.
+    """
+    random.seed(seed)
+    np.random.seed(seed)
+    import jax
+
+    return jax.random.key(seed)
+
+
+def host_rng(seed: int, *streams) -> np.random.Generator:
+    """A named, collision-free numpy Generator for a host-side random stream.
+
+    The reference relies on one global ``random`` state shared by dataset
+    generation, shuffling and the collator (src/utils.py:17-23); here each
+    consumer derives an independent generator from (seed, stream names) so
+    pipeline stages stay reproducible regardless of evaluation order.
+    """
+    ss = np.random.SeedSequence([seed] + [abs(hash(s)) % (2**31) for s in streams])
+    return np.random.Generator(np.random.PCG64(ss))

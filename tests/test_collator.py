@@ -1,0 +1,108 @@
+"""Collator tests: OOD branch, yes/no masking, vision-token prepend, fixed shapes."""
+
+import numpy as np
+import pytest
+
+from multimodal_concept_learning_tpu.data.collator import IGNORE_INDEX, MultimodalCollator
+from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer
+
+NUM_VISION = 5
+
+
+@pytest.fixture()
+def tok():
+    t = ConceptTokenizer()
+    t.add_tokens(["<ood 1>", "<ood 2>"])
+    return t
+
+
+@pytest.fixture()
+def labels_mapping():
+    return {
+        "r255g0b0": "red",
+        "r0g255b0": "green",
+        "r255g32b0": "<ood 1>",
+        "r255g64b0": "<ood 2>",
+    }
+
+
+def _mk_collator(tok, labels_mapping, **kw):
+    return MultimodalCollator(
+        tokenizer=tok,
+        num_vision_tokens=NUM_VISION,
+        prompt_template="Is the color of the circle {class_name}?",
+        all_class_names=list(labels_mapping.keys()),
+        labels_mapping=labels_mapping,
+        seed=0,
+        **kw,
+    )
+
+
+def _img():
+    return np.zeros((3, 8, 8), dtype=np.float32)
+
+
+def test_ood_branch_supervises_ood_token(tok, labels_mapping):
+    c = _mk_collator(tok, labels_mapping)
+    out = c([(_img(), "r255g32b0")])
+    ood_id = tok.convert_tokens_to_ids("<ood 1>")
+    supervised = out["labels"][0][out["labels"][0] != IGNORE_INDEX]
+    assert list(supervised) == [ood_id]
+    # supervised position's input token is the ood token itself
+    pos = np.where(out["labels"][0] != IGNORE_INDEX)[0][0]
+    assert out["input_ids"][0, pos] == ood_id
+
+
+def test_yes_no_branch_answer_span(tok, labels_mapping):
+    c = _mk_collator(tok, labels_mapping)
+    out = c([(_img(), "r255g0b0")] * 16)
+    yes_ids = list(tok(" Yes", add_special_tokens=False).input_ids)
+    no_ids = list(tok(" No", add_special_tokens=False).input_ids)
+    saw_yes = saw_no = False
+    for i in range(16):
+        supervised = list(out["labels"][i][out["labels"][i] != IGNORE_INDEX])
+        assert supervised in (yes_ids, no_ids)
+        saw_yes |= supervised == yes_ids
+        saw_no |= supervised == no_ids
+    assert saw_yes and saw_no  # fair coin hits both in 16 draws w.h.p.
+
+
+def test_vision_token_prepend(tok, labels_mapping):
+    c = _mk_collator(tok, labels_mapping)
+    out = c([(_img(), "r255g0b0")])
+    # pad ids in the vision slot, attention = 1 (reference imagenet_dataset.py:147-152)
+    assert (out["input_ids"][0, :NUM_VISION] == tok.pad_token_id).all()
+    assert (out["attention_mask"][0, :NUM_VISION] == 1).all()
+    assert (out["labels"][0, :NUM_VISION] == IGNORE_INDEX).all()
+
+
+def test_fixed_pad_shape(tok, labels_mapping):
+    c = _mk_collator(tok, labels_mapping)
+    out1 = c([(_img(), "r255g0b0")])
+    out2 = c([(_img(), "r255g32b0"), (_img(), "r0g255b0")])
+    assert out1["input_ids"].shape[1] == out2["input_ids"].shape[1]
+    assert out1["input_ids"].shape[1] % 8 == NUM_VISION % 8  # text region padded to x8
+
+
+def test_batch_max_padding_when_classes_unknown(tok):
+    c = MultimodalCollator(tokenizer=tok, num_vision_tokens=NUM_VISION, seed=0)
+    out = c([(_img(), "red")])
+    assert out["input_ids"].shape[0] == 1
+    assert (out["attention_mask"][0, NUM_VISION:] == 1).all()  # batch-max → no pad
+
+
+def test_padding_fully_masked(tok, labels_mapping):
+    c = _mk_collator(tok, labels_mapping)
+    out = c([(_img(), "r0g255b0")])
+    pad_positions = out["attention_mask"][0] == 0
+    assert (out["labels"][0][pad_positions] == IGNORE_INDEX).all()
+    assert (out["input_ids"][0][pad_positions] == tok.pad_token_id).all()
+
+
+def test_determinism_with_seed(tok, labels_mapping):
+    c1 = _mk_collator(tok, labels_mapping)
+    c2 = _mk_collator(tok, labels_mapping)
+    b = [(_img(), "r255g0b0"), (_img(), "r0g255b0")] * 4
+    o1, o2 = c1(b), c2(b)
+    np.testing.assert_array_equal(o1["input_ids"], o2["input_ids"])
+    np.testing.assert_array_equal(o1["labels"], o2["labels"])

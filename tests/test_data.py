@@ -1,0 +1,165 @@
+"""Data-layer tests: generator split logic, datasets, transforms, pipeline."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from multimodal_concept_learning_tpu.configs import ColorDatasetConfig, VisionTrainingConfig
+from multimodal_concept_learning_tpu.data import (
+    BatchLoader,
+    ColorDataset,
+    compute_split_counts,
+    create_transforms,
+    generate_color_dataset,
+    load_split_datasets,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_color_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("color_data")
+    config = ColorDatasetConfig.from_params(
+        {
+            "dataset_name": "tiny",
+            "image_size": 32,
+            "colors": [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]],
+            "radius_range": [4, 10],
+            "n_images_per_color": 10,
+            "min_intensity": 1.0,
+            "max_intensity": 1.0,
+            "train_val_test_split": [0.8, 0.1, 0.1],
+            "data_dir": str(root),
+            "seed": 0,
+        }
+    )
+    return generate_color_dataset(config, verbose=False), config
+
+
+def test_compute_split_counts_parity():
+    # Largest-remainder behavior (reference create_color_dataset.py:14-35)
+    assert compute_split_counts(10, [0.8, 0.1, 0.1]) == [8, 1, 1]
+    assert compute_split_counts(0, [0.8, 0.1, 0.1]) == [0, 0, 0]
+    assert sum(compute_split_counts(7, [0.7, 0.15, 0.15])) == 7
+    assert compute_split_counts(1, [0.34, 0.33, 0.33])[0] == 1
+
+
+def test_generate_color_dataset_layout(tiny_color_dataset):
+    import os
+
+    dataset_dir, config = tiny_color_dataset
+    assert os.path.isdir(os.path.join(dataset_dir, "r255g0b0"))
+    for split, want in (("train", 32), ("val", 4), ("test", 4)):
+        path = os.path.join(dataset_dir, f"{split}_mapping.csv")
+        assert os.path.exists(path)
+        with open(path) as f:
+            lines = f.read().strip().splitlines()
+        assert lines[0] == "image_path,class_name"
+        assert len(lines) - 1 == want
+
+    # Images are white background with one colored circle
+    img = Image.open(os.path.join(dataset_dir, "r255g0b0", "circle_r255g0b0_00000.png"))
+    arr = np.asarray(img)
+    assert arr.shape == (32, 32, 3)
+    assert (arr == 255).all(axis=-1).any()  # white background present
+    # reference clamps 255*1.0 -> 254 (create_color_dataset.py:82: 254 if c == 255)
+    assert (arr == [254, 0, 0]).all(axis=-1).any()  # red circle present
+
+
+def test_color_dataset_and_labels(tiny_color_dataset):
+    dataset_dir, config = tiny_color_dataset
+    cfg = VisionTrainingConfig.from_params(
+        {"train_transforms": ["ToTensor"], "val_transforms": ["ToTensor"], "image_size": 32}
+    )
+    t = create_transforms(cfg, is_train=False)
+    train, val, test = load_split_datasets(ColorDataset, dataset_dir, dataset_dir, t, t)
+    assert train.num_classes == 4
+    assert train.unique_labels == sorted(train.unique_labels)
+    img, label = train[0]
+    assert img.shape == (3, 32, 32) and img.dtype == np.float32
+    assert 0 <= label < 4
+    img2, name = ColorDataset(
+        dataset_dir + "/train_mapping.csv", dataset_dir, transform=t, return_synset=True, verbose=False
+    )[0]
+    assert isinstance(name, str) and name.startswith("r")
+
+
+def test_transform_registry_parity():
+    cfg = VisionTrainingConfig.from_params(
+        {
+            "image_size": 32,
+            "dataset_name": "imagenet100",
+            "train_transforms": [
+                {"name": "Resize", "size": [40, 40]},
+                {"name": "RandomResizedCrop", "size": 32, "scale": [0.8, 1.0]},
+                "RandomHorizontalFlip",
+                {"name": "ColorJitter", "brightness": 0.2, "contrast": 0.2, "saturation": 0.2, "hue": 0.1},
+                {"name": "RandomRotation", "degrees": 10},
+                "RandomPerspective",
+                "RandAugment",
+                "ToTensor",
+                "Normalize",
+                "RandomErasing",
+            ],
+        }
+    )
+    t = create_transforms(cfg, is_train=True, seed=0)
+    img = Image.fromarray((np.random.default_rng(0).random((48, 48, 3)) * 255).astype(np.uint8))
+    out = t(img)
+    assert out.shape == (3, 32, 32)
+    assert out.dtype == np.float32
+
+    # ImageNet mean/std resolution (src/utils.py:32-45)
+    norm = [x for x in t.transforms if x.__class__.__name__ == "Normalize"][0]
+    np.testing.assert_allclose(norm.mean.ravel(), [0.485, 0.456, 0.406])
+
+
+def test_unknown_transform_raises():
+    cfg = VisionTrainingConfig.from_params({"train_transforms": ["NoSuchTransform"]})
+    with pytest.raises(ValueError, match="Unknown transform"):
+        create_transforms(cfg, is_train=True)
+
+
+def test_totensor_range():
+    t = create_transforms(
+        VisionTrainingConfig.from_params({"train_transforms": ["ToTensor"]}), is_train=True
+    )
+    img = Image.new("RGB", (8, 8), (255, 128, 0))
+    out = t(img)
+    np.testing.assert_allclose(out[0], 1.0)
+    np.testing.assert_allclose(out[1], 128 / 255, atol=1e-6)
+    np.testing.assert_allclose(out[2], 0.0)
+
+
+def test_batchloader_shapes_and_padding(tiny_color_dataset):
+    dataset_dir, config = tiny_color_dataset
+    cfg = VisionTrainingConfig.from_params({"train_transforms": ["ToTensor"], "image_size": 32})
+    t = create_transforms(cfg, is_train=False)
+    ds = ColorDataset(dataset_dir + "/train_mapping.csv", dataset_dir, transform=t, verbose=False)
+
+    loader = BatchLoader(ds, batch_size=5, shuffle=True, drop_last=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 5 == len(loader)
+    for b in batches:
+        assert b["images"].shape == (5, 3, 32, 32)
+        assert b["valid"].all()
+
+    loader = BatchLoader(ds, batch_size=5, shuffle=False, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == -(-len(ds) // 5)
+    assert batches[-1]["images"].shape == (5, 3, 32, 32)
+    total_valid = sum(int(b["valid"].sum()) for b in batches)
+    assert total_valid == len(ds)
+
+
+def test_batchloader_shuffle_is_epoch_deterministic(tiny_color_dataset):
+    dataset_dir, _ = tiny_color_dataset
+    cfg = VisionTrainingConfig.from_params({"train_transforms": ["ToTensor"], "image_size": 32})
+    t = create_transforms(cfg, is_train=False)
+    ds = ColorDataset(dataset_dir + "/train_mapping.csv", dataset_dir, transform=t, verbose=False)
+    l1 = BatchLoader(ds, batch_size=4, shuffle=True, seed=7)
+    l2 = BatchLoader(ds, batch_size=4, shuffle=True, seed=7)
+    b1, b2 = next(iter(l1)), next(iter(l2))
+    np.testing.assert_array_equal(b1["labels"], b2["labels"])
+    l2.set_epoch(1)
+    b3 = next(iter(l2))
+    assert not np.array_equal(b1["labels"], b3["labels"])

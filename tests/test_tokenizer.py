@@ -1,0 +1,94 @@
+"""Tokenizer unit tests: answer-span stability, OOD add_tokens, round-trip."""
+
+import numpy as np
+import pytest
+
+from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer
+
+
+@pytest.fixture()
+def tok():
+    return ConceptTokenizer()
+
+
+def _is_subsequence(needle, haystack):
+    n, h = list(needle), list(haystack)
+    for i in range(len(h) - len(n) + 1):
+        if h[i : i + len(n)] == n:
+            return True
+    return False
+
+
+def test_word_tokens_single_id(tok):
+    ids = tok(" Yes", add_special_tokens=False).input_ids
+    assert len(ids) == 1
+    ids = tok("red", add_special_tokens=False).input_ids
+    assert len(ids) == 1
+
+
+def test_answer_span_subsequence(tok):
+    # Collator parity requirement: answer ids are a contiguous subsequence of
+    # the full prompt+answer ids (reference imagenet_dataset.py:154-175).
+    for answer in (" Yes", " No"):
+        prompt = "Is the color of the circle red?" + answer
+        full = tok(prompt, add_special_tokens=True).input_ids
+        ans = tok(answer, add_special_tokens=False).input_ids
+        assert _is_subsequence(ans, full)
+
+
+def test_ood_token_roundtrip(tok):
+    base = len(tok)
+    n = tok.add_tokens([f"<ood {i}>" for i in range(1, 13)])
+    assert n == 12 and len(tok) == base + 12
+    # appended at end of vocab (mllm.py:72-73 relies on this)
+    assert tok.convert_tokens_to_ids("<ood 12>") == base + 11
+    ids = tok("Is the color of the circle r255g32b0? <ood 7>", add_special_tokens=False).input_ids
+    ood_id = tok.convert_tokens_to_ids("<ood 7>")
+    assert ids[-1] == ood_id
+    assert _is_subsequence([ood_id], ids)
+
+
+def test_add_tokens_idempotent(tok):
+    tok.add_tokens("<ood 1>")
+    before = len(tok)
+    assert tok.add_tokens("<ood 1>") == 0
+    assert len(tok) == before
+
+
+def test_decode_roundtrip(tok):
+    text = "Is a zygomorphic-qux in the image? Yes"
+    ids = tok(text, add_special_tokens=True).input_ids
+    assert tok.decode(ids, skip_special_tokens=True) == text
+    assert tok.decode(ids).startswith("<bos>")
+
+
+def test_padding_and_truncation(tok):
+    enc = tok(["red", "Is a red circle in the image?"], padding=True, truncation=True, max_length=128)
+    assert enc.input_ids.shape == enc.attention_mask.shape
+    assert enc.input_ids.shape[0] == 2
+    assert enc.attention_mask[0].sum() < enc.attention_mask[1].sum()
+    assert enc.input_ids[0, -1] == tok.pad_token_id
+
+    enc = tok(["a b c d e f g h"], padding="max_length", truncation=True, max_length=4)
+    assert enc.input_ids.shape == (1, 4)
+
+
+def test_save_load_roundtrip(tmp_path, tok):
+    tok.add_tokens(["<ood 1>", "<ood 2>"])
+    text = "Is the color of the circle red? <ood 2>"
+    ids_before = tok(text, add_special_tokens=True).input_ids
+    tok.save_pretrained(str(tmp_path))
+    tok2 = ConceptTokenizer.from_pretrained(str(tmp_path))
+    assert len(tok2) == len(tok)
+    assert tok2(text, add_special_tokens=True).input_ids == ids_before
+
+
+def test_unknown_words_are_bytes(tok):
+    ids = tok("qwzyx", add_special_tokens=False).input_ids
+    assert len(ids) == 5  # one byte token per char
+    assert tok.decode(ids) == "qwzyx"
+
+
+def test_digit_splitting(tok):
+    ids = tok("r255g0b0", add_special_tokens=False).input_ids
+    assert tok.decode(ids) == "r255g0b0"
