@@ -1,0 +1,22 @@
+"""Model layer: Flax ViT, Gemma-style causal LM, MLLM composite, CLIP towers."""
+
+from multimodal_concept_learning_tpu.models.vit import (
+    ViTConfig,
+    ViTEncoder,
+    ViTForImageClassification,
+)
+from multimodal_concept_learning_tpu.models.lm import LMConfig, CausalLM
+from multimodal_concept_learning_tpu.models.mllm import MLLM, MLLMConfig
+from multimodal_concept_learning_tpu.models.clip import CLIPConfig, CLIPModel
+
+__all__ = [
+    "ViTConfig",
+    "ViTEncoder",
+    "ViTForImageClassification",
+    "LMConfig",
+    "CausalLM",
+    "MLLM",
+    "MLLMConfig",
+    "CLIPConfig",
+    "CLIPModel",
+]

@@ -1,0 +1,178 @@
+"""CLIP-style dual-encoder for contrastive concept learning.
+
+The reference repo has no contrastive trainer; this model backs the
+benchmark flagship config in BASELINE.json ("CLIP-style ViT-B/32 + text
+encoder contrastive training on concept image-caption pairs") and gives the
+framework a second multimodal family beyond the MLLM.
+
+Image tower: the shared ViTEncoder (models/vit.py) with a linear projection
+of the CLS token.  Text tower: pre-LN causal transformer (CLIP-GPT style,
+LayerNorm + learned positions) pooled at the last valid token.  Both
+projections land in a shared ``embed_dim`` space; similarity is scaled by a
+learnable temperature (logit_scale, init log(1/0.07) as in CLIP).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_concept_learning_tpu.models.vit import ViTConfig, ViTEncoder
+from multimodal_concept_learning_tpu.ops.attention import make_attention_bias, multi_head_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    vision: ViTConfig
+    vocab_size: int = 2048
+    text_width: int = 512
+    text_layers: int = 12
+    text_heads: int = 8
+    context_length: int = 77
+    embed_dim: int = 512
+    dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def create(
+        cls,
+        vocab_size: int,
+        vision_preset: str = "vit-b-32",
+        image_size: int = 224,
+        text_width: int = 512,
+        text_layers: int = 12,
+        text_heads: int = 8,
+        context_length: int = 77,
+        embed_dim: int = 512,
+    ) -> "CLIPConfig":
+        vision = dataclasses.replace(ViTConfig.preset(vision_preset), image_size=image_size)
+        return cls(
+            vision=vision,
+            vocab_size=vocab_size,
+            text_width=text_width,
+            text_layers=text_layers,
+            text_heads=text_heads,
+            context_length=context_length,
+            embed_dim=embed_dim,
+        )
+
+
+class TextBlock(nn.Module):
+    width: int
+    heads: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, bias):
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x).astype(self.dtype)
+        head_dim = self.width // self.heads
+        proj = lambda name: nn.DenseGeneral(  # noqa: E731
+            features=(self.heads, head_dim), dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.02), name=name,
+        )
+        q, k, v = proj("q")(h), proj("k")(h), proj("v")(h)
+        a = multi_head_attention(q, k, v, bias=bias)
+        a = nn.DenseGeneral(features=self.width, axis=(-2, -1), dtype=self.dtype,
+                            kernel_init=nn.initializers.normal(0.02), name="out")(a)
+        x = x + a
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x).astype(self.dtype)
+        h = nn.Dense(self.width * 4, dtype=self.dtype,
+                     kernel_init=nn.initializers.normal(0.02), name="mlp_fc")(h)
+        h = nn.gelu(h, approximate=True)
+        h = nn.Dense(self.width, dtype=self.dtype,
+                     kernel_init=nn.initializers.normal(0.02), name="mlp_proj")(h)
+        return x + h
+
+
+class TextEncoder(nn.Module):
+    config: CLIPConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None):
+        cfg = self.config
+        b, t = input_ids.shape
+        x = nn.Embed(cfg.vocab_size, cfg.text_width, param_dtype=jnp.float32,
+                     embedding_init=nn.initializers.normal(0.02),
+                     name="token_embedding")(input_ids).astype(cfg.dtype)
+        pos = self.param("positional_embedding", nn.initializers.normal(0.01),
+                         (cfg.context_length, cfg.text_width))
+        x = x + pos[None, :t].astype(cfg.dtype)
+        bias = make_attention_bias(attention_mask, causal=True, q_len=t, k_len=t)
+        for i in range(cfg.text_layers):
+            x = TextBlock(cfg.text_width, cfg.text_heads, cfg.dtype, name=f"block_{i}")(x, bias)
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
+        # Pool at the last valid token (CLIP pools at EOT).
+        if attention_mask is not None:
+            last = jnp.maximum(attention_mask.sum(axis=1) - 1, 0)
+        else:
+            last = jnp.full((b,), t - 1)
+        return jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+
+
+class CLIPModel(nn.Module):
+    """Dual encoder producing L2-normalized image/text features + logit scale."""
+
+    config: CLIPConfig
+
+    def setup(self):
+        cfg = self.config
+        self.visual = ViTEncoder(cfg.vision, name="visual")
+        self.visual_projection = nn.Dense(
+            cfg.embed_dim, use_bias=False, dtype=cfg.dtype,
+            kernel_init=nn.initializers.normal(0.02), name="visual_projection",
+        )
+        self.text = TextEncoder(cfg, name="text")
+        self.text_projection = nn.Dense(
+            cfg.embed_dim, use_bias=False, dtype=cfg.dtype,
+            kernel_init=nn.initializers.normal(0.02), name="text_projection",
+        )
+        self.logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(jnp.log(1.0 / 0.07)), ()
+        )
+
+    def encode_image(self, images) -> jax.Array:
+        feats = self.visual_projection(self.visual(images)[:, 0])
+        return _l2_normalize(feats)
+
+    def encode_text(self, input_ids, attention_mask=None) -> jax.Array:
+        feats = self.text_projection(self.text(input_ids, attention_mask))
+        return _l2_normalize(feats)
+
+    def __call__(self, images, input_ids, attention_mask=None):
+        img = self.encode_image(images)
+        txt = self.encode_text(input_ids, attention_mask)
+        scale = jnp.exp(jnp.clip(self.logit_scale, a_max=jnp.log(100.0)))
+        return img, txt, scale
+
+
+def _l2_normalize(x, eps=1e-8):
+    x = x.astype(jnp.float32)
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+def contrastive_loss(
+    img: jax.Array, txt: jax.Array, scale: jax.Array, axis_name: Optional[str] = None
+):
+    """Symmetric InfoNCE.  Under shard_map/pjit with ``axis_name`` the feature
+    batch is all-gathered over the mesh axis so negatives span the global
+    batch (the standard CLIP large-batch recipe over ICI)."""
+    if axis_name is not None:
+        all_img = jax.lax.all_gather(img, axis_name, tiled=True)
+        all_txt = jax.lax.all_gather(txt, axis_name, tiled=True)
+        shard = jax.lax.axis_index(axis_name)
+        offset = shard * img.shape[0]
+    else:
+        all_img, all_txt, offset = img, txt, 0
+
+    logits_per_image = scale * img @ all_txt.T  # [b, B_global]
+    logits_per_text = scale * txt @ all_img.T
+    labels = offset + jnp.arange(img.shape[0])
+
+    def ce(logits):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+
+    return 0.5 * (ce(logits_per_image) + ce(logits_per_text))

@@ -1,0 +1,211 @@
+"""Gemma-style decoder-only causal LM (Flax linen).
+
+The reference loads ``google/gemma-3-1b-it`` via HF with bf16 + eager
+attention (src/multimodal/mllm.py:42-45) and only ever uses it as (a) an
+input-embedding table that gets resized for new concept tokens, and (b) a
+loss-producing forward over ``inputs_embeds`` (src/multimodal/mllm.py:108-121).
+This offline environment cannot fetch pretrained weights, so the framework
+ships its own Gemma-architecture LM: RMSNorm (1+w scaling), rotary position
+embeddings, grouped-query attention, GeGLU MLP, embedding scaled by
+sqrt(hidden), and an LM head tied to the input embedding — i.e. the same
+geometry/semantics class so checkpoints map name-for-name (see
+checkpoint/torch_interop.py) and the "gemma3-1b" preset matches the real
+model's shapes (hidden 1152, 26 layers, 4q/1kv heads, head_dim 256).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_concept_learning_tpu.ops.attention import make_attention_bias, multi_head_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    vocab_size: int = 2048
+    hidden_size: int = 1152
+    intermediate_size: int = 6912
+    num_layers: int = 26
+    num_heads: int = 4
+    num_kv_heads: int = 1
+    head_dim: int = 256
+    max_seq_len: int = 1024
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-6
+    tie_lm_head: bool = True
+    final_logit_softcap: Optional[float] = None
+    dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def preset(cls, name: str, vocab_size: int) -> "LMConfig":
+        presets = {
+            # google/gemma-3-1b shape (per its published config)
+            "gemma3-1b": dict(hidden_size=1152, intermediate_size=6912, num_layers=26,
+                              num_heads=4, num_kv_heads=1, head_dim=256, rope_theta=1_000_000.0),
+            # small LM for tests / color experiments
+            "nano": dict(hidden_size=128, intermediate_size=512, num_layers=2,
+                         num_heads=4, num_kv_heads=2, head_dim=32),
+            "small": dict(hidden_size=512, intermediate_size=2048, num_layers=6,
+                          num_heads=8, num_kv_heads=4, head_dim=64),
+        }
+        if name not in presets:
+            raise ValueError(f"Unknown LM preset: {name}")
+        return cls(vocab_size=vocab_size, **presets[name])
+
+
+class RMSNorm(nn.Module):
+    """Gemma RMSNorm: fp32 statistics, output scaled by (1 + weight)."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        x = x.astype(jnp.float32)
+        scale = self.param("weight", nn.initializers.zeros_init(), (x.shape[-1],))
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        x = x * jax.lax.rsqrt(var + self.eps)
+        return (x * (1.0 + scale)).astype(dtype)
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Rotary embedding over [B, T, H, D] with positions [B, T]."""
+    d = x.shape[-1]
+    half = d // 2
+    freq = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    angles = positions[:, :, None].astype(jnp.float32) * freq[None, None, :]  # [B, T, half]
+    sin = jnp.sin(angles)[:, :, None, :]
+    cos = jnp.cos(angles)[:, :, None, :]
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+class LMAttention(nn.Module):
+    config: LMConfig
+
+    @nn.compact
+    def __call__(self, x, bias, positions, deterministic: bool = True):
+        cfg = self.config
+        proj = lambda heads, name: nn.DenseGeneral(  # noqa: E731
+            features=(heads, cfg.head_dim),
+            use_bias=False,
+            dtype=cfg.dtype,
+            kernel_init=nn.initializers.normal(0.02),
+            name=name,
+        )
+        q = proj(cfg.num_heads, "q_proj")(x)
+        k = proj(cfg.num_kv_heads, "k_proj")(x)
+        v = proj(cfg.num_kv_heads, "v_proj")(x)
+
+        q = apply_rope(q, positions, cfg.rope_theta)
+        k = apply_rope(k, positions, cfg.rope_theta)
+
+        out = multi_head_attention(q, k, v, bias=bias, deterministic=deterministic)
+        return nn.DenseGeneral(
+            features=cfg.hidden_size,
+            axis=(-2, -1),
+            use_bias=False,
+            dtype=cfg.dtype,
+            kernel_init=nn.initializers.normal(0.02),
+            name="o_proj",
+        )(out)
+
+
+class LMBlock(nn.Module):
+    config: LMConfig
+
+    @nn.compact
+    def __call__(self, x, bias, positions, deterministic: bool = True):
+        cfg = self.config
+        h = RMSNorm(cfg.rms_norm_eps, name="input_layernorm")(x)
+        h = LMAttention(cfg, name="self_attn")(h, bias, positions, deterministic=deterministic)
+        x = x + h
+        h = RMSNorm(cfg.rms_norm_eps, name="post_attention_layernorm")(x)
+        gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype,
+                        kernel_init=nn.initializers.normal(0.02), name="gate_proj")(h)
+        up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype,
+                      kernel_init=nn.initializers.normal(0.02), name="up_proj")(h)
+        h = nn.gelu(gate, approximate=True) * up
+        h = nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
+                     kernel_init=nn.initializers.normal(0.02), name="down_proj")(h)
+        return x + h
+
+
+class CausalLM(nn.Module):
+    """Decoder-only LM exposing embed / hidden-states / logits entry points.
+
+    The MLLM needs the decomposed surface (reference mllm.py:108-121 uses
+    ``get_input_embeddings()`` then forwards ``inputs_embeds``), so the module
+    methods are:
+      - ``embed(input_ids)``: scaled embedding lookup
+      - ``hidden_states(inputs_embeds, attention_mask)``: final-norm hiddens
+      - ``lm_head(hidden)``: logits (tied to embedding by default)
+      - ``__call__(input_ids, attention_mask)``: full forward → logits
+    """
+
+    config: LMConfig
+
+    def setup(self):
+        cfg = self.config
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size,
+            cfg.hidden_size,
+            embedding_init=nn.initializers.normal(0.02),
+            param_dtype=jnp.float32,
+            name="embed_tokens",
+        )
+        self.layers = [LMBlock(cfg, name=f"layer_{i}") for i in range(cfg.num_layers)]
+        self.final_norm = RMSNorm(cfg.rms_norm_eps, name="norm")
+        if not cfg.tie_lm_head:
+            self.lm_head_dense = nn.Dense(
+                cfg.vocab_size, use_bias=False, dtype=cfg.dtype,
+                kernel_init=nn.initializers.normal(0.02), name="lm_head",
+            )
+
+    def embed(self, input_ids: jax.Array) -> jax.Array:
+        # Gemma scales embeddings by sqrt(hidden_size)
+        scale = jnp.asarray(self.config.hidden_size**0.5, dtype=self.config.dtype)
+        return self.embed_tokens(input_ids).astype(self.config.dtype) * scale
+
+    def hidden_states(
+        self,
+        inputs_embeds: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.config
+        b, t, _ = inputs_embeds.shape
+        bias = make_attention_bias(attention_mask, causal=True, q_len=t, k_len=t)
+        if attention_mask is not None:
+            positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+        else:
+            positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+        x = inputs_embeds.astype(cfg.dtype)
+        for layer in self.layers:
+            x = layer(x, bias, positions, deterministic=deterministic)
+        return self.final_norm(x)
+
+    def lm_head(self, hidden: jax.Array) -> jax.Array:
+        cfg = self.config
+        if cfg.tie_lm_head:
+            logits = jnp.einsum(
+                "...h,vh->...v",
+                hidden.astype(cfg.dtype),
+                self.embed_tokens.embedding.astype(cfg.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            logits = self.lm_head_dense(hidden).astype(jnp.float32)
+        if cfg.final_logit_softcap is not None:
+            logits = jnp.tanh(logits / cfg.final_logit_softcap) * cfg.final_logit_softcap
+        return logits
+
+    def __call__(self, input_ids, attention_mask=None, deterministic: bool = True):
+        h = self.hidden_states(self.embed(input_ids), attention_mask, deterministic=deterministic)
+        return self.lm_head(h)

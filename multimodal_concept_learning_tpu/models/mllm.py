@@ -1,0 +1,200 @@
+"""MLLM: ViT vision tower + linear projector + Gemma-style causal LM.
+
+Parity target: the reference composite model (src/multimodal/mllm.py:14-121):
+vision tower last_hidden_state [B, 197, 768] → linear projector to LM hidden
+→ splice into the first ``num_vision_tokens`` embedding positions → causal LM
+with answer-only labels.
+
+TPU-first differences (all loss/gradient-equivalent):
+- the splice is a concatenation: text embeddings are only looked up for the
+  text region instead of embedding the pad placeholders and overwriting them
+  in place (reference mllm.py:108-112) — identical math, no wasted gather,
+  and trivially functional;
+- the LM loss is computed sparsely at the ≤A supervised answer positions
+  (ops/losses.sparse_answer_cross_entropy) instead of materializing
+  [B, T, V] logits; verified equal to the dense HF-style loss in tests.
+
+Trainable-parameter settings (reference mllm.py:157-193) become optax
+masks built by ``trainable_mask`` — the projector is always trainable, plus
+one of vision_only / language_only / language_embed_only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_concept_learning_tpu.models.lm import CausalLM, LMConfig
+from multimodal_concept_learning_tpu.models.vit import ViTConfig, ViTEncoder
+from multimodal_concept_learning_tpu.ops.losses import (
+    dense_causal_lm_cross_entropy,
+    sparse_answer_cross_entropy,
+)
+
+TRAINABLE_SETTINGS = ("vision_only", "language_only", "language_embed_only")
+
+
+@dataclasses.dataclass(frozen=True)
+class MLLMConfig:
+    vision: ViTConfig
+    lm: LMConfig
+    num_vision_tokens: int = 197
+    max_answer_tokens: int = 8  # static bound A for the sparse answer loss
+    dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def create(
+        cls,
+        vocab_size: int,
+        vision_preset: str = "vit-b-16",
+        lm_preset: str = "gemma3-1b",
+        num_vision_tokens: int = 197,
+        image_size: int = 224,
+        max_answer_tokens: int = 8,
+    ) -> "MLLMConfig":
+        vision = dataclasses.replace(ViTConfig.preset(vision_preset), image_size=image_size)
+        lm = LMConfig.preset(lm_preset, vocab_size=vocab_size)
+        return cls(
+            vision=vision,
+            lm=lm,
+            num_vision_tokens=num_vision_tokens,
+            max_answer_tokens=max_answer_tokens,
+        )
+
+
+class MLLM(nn.Module):
+    """Multimodal LLM combining vision tower, projector and language model."""
+
+    config: MLLMConfig
+
+    def setup(self):
+        self.vision_model = ViTEncoder(self.config.vision, name="vision_model")
+        self.projector = nn.Dense(
+            self.config.lm.hidden_size,
+            dtype=self.config.dtype,
+            kernel_init=nn.initializers.normal(0.02),
+            name="projector",
+        )
+        self.language_model = CausalLM(self.config.lm, name="language_model")
+
+    # -- vision helpers (parity: mllm.py:123-155) ---------------------------
+
+    def get_vision_embeds(self, images) -> jax.Array:
+        return self.vision_model(images, deterministic=True)
+
+    def get_vision_projected_embeds(self, images) -> jax.Array:
+        return self.projector(self.vision_model(images, deterministic=True))
+
+    # -- forward ------------------------------------------------------------
+
+    def __call__(
+        self,
+        images: jax.Array,
+        input_ids: jax.Array,
+        attention_mask: jax.Array,
+        labels: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        dense_loss: bool = False,
+    ):
+        cfg = self.config
+        nvt = cfg.num_vision_tokens
+
+        image_embeds = self.vision_model(images, deterministic=deterministic)
+        if image_embeds.shape[1] != nvt:
+            raise ValueError(
+                f"vision tower produced {image_embeds.shape[1]} tokens, "
+                f"config expects num_vision_tokens={nvt}"
+            )
+        projected = self.projector(image_embeds)  # [B, nvt, H_lm]
+
+        text_embeds = self.language_model.embed(input_ids[:, nvt:])
+        inputs_embeds = jnp.concatenate([projected.astype(text_embeds.dtype), text_embeds], axis=1)
+
+        hidden = self.language_model.hidden_states(
+            inputs_embeds, attention_mask, deterministic=deterministic
+        )
+
+        if labels is None:
+            return {"hidden_states": hidden}
+
+        if dense_loss:
+            loss = dense_causal_lm_cross_entropy(hidden, labels, self.language_model.lm_head)
+            return {"loss": loss, "hidden_states": hidden}
+
+        loss, logits, positions, valid = sparse_answer_cross_entropy(
+            hidden,
+            labels,
+            self.language_model.lm_head,
+            max_positions=cfg.max_answer_tokens,
+        )
+        return {
+            "loss": loss,
+            "logits": logits,  # [B, A, V] at supervised positions only
+            "positions": positions,  # [B, A] indices into the shifted label row
+            "valid": valid,  # [B, A]
+            "hidden_states": hidden,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Trainable-parameter masking (reference mllm.py:157-193)
+# ---------------------------------------------------------------------------
+
+
+def trainable_mask(params, setting: str):
+    """Boolean pytree: True = trainable, for optax.masked.
+
+    The projector is always trainable; then one of
+    vision_only / language_only / language_embed_only.
+    """
+    if setting not in TRAINABLE_SETTINGS:
+        raise ValueError(f"Unknown trainable_params_setting: {setting}")
+
+    def decide(path) -> bool:
+        keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        if "projector" in keys:
+            return True
+        if setting == "vision_only":
+            return "vision_model" in keys
+        if setting == "language_only":
+            return "language_model" in keys
+        return "language_model" in keys and "embed_tokens" in keys
+
+    return jax.tree_util.tree_map_with_path(lambda path, _: decide(path), params)
+
+
+def count_params(params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+def print_trainable_summary(params, mask, setting: str):
+    """Print parity with reference mllm.py:188-193."""
+    total = count_params(params)
+    trainable = sum(
+        int(x.size)
+        for x, m in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(mask))
+        if m
+    )
+    print(f"Trainable params setting: {setting}")
+    print(f"Total parameters: {total:,}")
+    print(f"Trainable parameters: {trainable:,} ({100 * trainable / total:.2f}%)")
+
+
+def copy_init_ood_rows(params, num_ood: int):
+    """Initialize the last ``num_ood`` embedding rows by copying rows 0..k-1
+    (parity: reference mllm.py:72-73 — the exact init the analysis baseline
+    measures against)."""
+    if num_ood <= 0:
+        return params
+
+    def update(path, x):
+        keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        if "embed_tokens" in keys and "embedding" in keys:
+            return x.at[-num_ood:].set(x[:num_ood])
+        return x
+
+    return jax.tree_util.tree_map_with_path(update, params)

@@ -1,0 +1,225 @@
+"""Vision Transformer (Flax linen), geometry-compatible with HF ViT.
+
+The reference builds ``ViTForImageClassification`` from an HF ``ViTConfig``
+with YAML-driven hidden/intermediate/layers/heads/patch/dropout knobs
+(src/vision/vision_training.py:51-69) and uses ``ViTModel``'s
+``last_hidden_state`` ([B, 197, 768] = CLS + 196 patches at 224²/16) as the
+vision tower of the MLLM (src/multimodal/mllm.py:98-103).
+
+TPU-first choices:
+- patch embedding is a reshape + one dense matmul (for non-overlapping
+  patches this is exactly Conv2d(p, stride=p), but lowers to a single large
+  MXU matmul with no im2col),
+- computation dtype bf16 with fp32 params and fp32 LayerNorm statistics,
+- pre-LN blocks exactly like HF ViT (layernorm_before/after), GELU (tanh
+  approximation off — HF uses erf-based gelu).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_concept_learning_tpu.ops.attention import multi_head_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    patch_size: int = 16
+    image_size: int = 224
+    num_channels: int = 3
+    hidden_dropout_prob: float = 0.0
+    attention_probs_dropout_prob: float = 0.0
+    num_labels: int = 100
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    dtype: Any = jnp.bfloat16  # computation dtype; params stay fp32
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # + CLS
+
+    @classmethod
+    def from_training_config(cls, config, image_size: Optional[int] = None) -> "ViTConfig":
+        """Build from a VisionTrainingConfig (reference vision_training.py:53-64)."""
+        return cls(
+            hidden_size=config.hidden_size,
+            intermediate_size=config.intermediate_size,
+            num_hidden_layers=config.num_hidden_layers,
+            num_attention_heads=config.num_attention_heads,
+            patch_size=config.patch_size,
+            image_size=image_size or config.image_size,
+            hidden_dropout_prob=config.hidden_dropout_prob,
+            attention_probs_dropout_prob=config.attention_dropout_prob,
+            num_labels=config.num_labels,
+        )
+
+    # Named presets for the CLIP towers / bench configs.
+    @classmethod
+    def preset(cls, name: str, num_labels: int = 0) -> "ViTConfig":
+        presets = {
+            "vit-s-16": dict(hidden_size=384, intermediate_size=1536, num_hidden_layers=12,
+                             num_attention_heads=6, patch_size=16),
+            "vit-b-16": dict(hidden_size=768, intermediate_size=3072, num_hidden_layers=12,
+                             num_attention_heads=12, patch_size=16),
+            "vit-b-32": dict(hidden_size=768, intermediate_size=3072, num_hidden_layers=12,
+                             num_attention_heads=12, patch_size=32),
+            "vit-l-14": dict(hidden_size=1024, intermediate_size=4096, num_hidden_layers=24,
+                             num_attention_heads=16, patch_size=14),
+        }
+        if name not in presets:
+            raise ValueError(f"Unknown ViT preset: {name}")
+        return cls(num_labels=num_labels, **presets[name])
+
+
+class ViTSelfAttention(nn.Module):
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        head_dim = cfg.hidden_size // cfg.num_attention_heads
+        dense = lambda name: nn.DenseGeneral(  # noqa: E731
+            features=(cfg.num_attention_heads, head_dim),
+            dtype=cfg.dtype,
+            kernel_init=nn.initializers.normal(cfg.initializer_range),
+            name=name,
+        )
+        q, k, v = dense("query")(x), dense("key")(x), dense("value")(x)
+        dropout_rng = (
+            self.make_rng("dropout")
+            if (not deterministic and cfg.attention_probs_dropout_prob > 0)
+            else None
+        )
+        out = multi_head_attention(
+            q,
+            k,
+            v,
+            dropout_rate=cfg.attention_probs_dropout_prob,
+            dropout_rng=dropout_rng,
+            deterministic=deterministic,
+        )
+        return nn.DenseGeneral(
+            features=cfg.hidden_size,
+            axis=(-2, -1),
+            dtype=cfg.dtype,
+            kernel_init=nn.initializers.normal(cfg.initializer_range),
+            name="output",
+        )(out)
+
+
+class ViTBlock(nn.Module):
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        ln = lambda name: nn.LayerNorm(  # noqa: E731
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name=name
+        )
+        # Pre-LN attention (HF ViT layernorm_before)
+        h = ln("layernorm_before")(x).astype(cfg.dtype)
+        h = ViTSelfAttention(cfg, name="attention")(h, deterministic=deterministic)
+        h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+        x = x + h
+        # Pre-LN MLP (HF ViT layernorm_after)
+        h = ln("layernorm_after")(x).astype(cfg.dtype)
+        h = nn.Dense(
+            cfg.intermediate_size,
+            dtype=cfg.dtype,
+            kernel_init=nn.initializers.normal(cfg.initializer_range),
+            name="intermediate",
+        )(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(
+            cfg.hidden_size,
+            dtype=cfg.dtype,
+            kernel_init=nn.initializers.normal(cfg.initializer_range),
+            name="output",
+        )(h)
+        h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+        return x + h
+
+
+def patchify(images: jax.Array, patch_size: int) -> jax.Array:
+    """[B, C, H, W] (collator contract) → [B, N, p*p*C] via pure reshape/transpose.
+
+    Equivalent to Conv2d(patch, stride=patch) im2col, but free of convolution:
+    the following Dense is then one big MXU matmul.
+    """
+    b, c, h, w = images.shape
+    p = patch_size
+    gh, gw = h // p, w // p
+    x = images.reshape(b, c, gh, p, gw, p)
+    # → [B, gh, gw, p, p, C]: patch pixels fastest, channel last (HF conv
+    # weight layout maps onto this ordering transposed; see checkpoint interop)
+    x = x.transpose(0, 2, 4, 3, 5, 1)
+    return x.reshape(b, gh * gw, p * p * c)
+
+
+class ViTEncoder(nn.Module):
+    """Returns last_hidden_state [B, 1+N, H] (parity: ViTModel.last_hidden_state)."""
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, images, deterministic: bool = True, interpolate_positions: bool = False):
+        cfg = self.config
+        b = images.shape[0]
+
+        patches = patchify(images.astype(cfg.dtype), cfg.patch_size)
+        x = nn.Dense(
+            cfg.hidden_size,
+            dtype=cfg.dtype,
+            kernel_init=nn.initializers.normal(cfg.initializer_range),
+            name="patch_embed",
+        )(patches)
+
+        cls = self.param(
+            "cls_token", nn.initializers.normal(cfg.initializer_range), (1, 1, cfg.hidden_size)
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, cfg.hidden_size)).astype(cfg.dtype), x], axis=1)
+
+        num_positions = cfg.seq_len
+        pos = self.param(
+            "position_embeddings",
+            nn.initializers.normal(cfg.initializer_range),
+            (1, num_positions, cfg.hidden_size),
+        )
+        x = x + pos.astype(cfg.dtype)
+        x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
+
+        for i in range(cfg.num_hidden_layers):
+            x = ViTBlock(cfg, name=f"layer_{i}")(x, deterministic=deterministic)
+
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layernorm")(x)
+        return x
+
+
+class ViTForImageClassification(nn.Module):
+    """ViT encoder + linear classifier on the CLS token (HF head semantics)."""
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self, images, deterministic: bool = True):
+        hidden = ViTEncoder(self.config, name="vit")(images, deterministic=deterministic)
+        logits = nn.Dense(
+            self.config.num_labels,
+            dtype=jnp.float32,
+            kernel_init=nn.initializers.normal(self.config.initializer_range),
+            name="classifier",
+        )(hidden[:, 0])
+        return logits

@@ -1,0 +1,18 @@
+"""Compute ops: attention, fused losses, Pallas TPU kernels.
+
+The reference's hot-path compute lives inside HF transformers / cuDNN
+(SURVEY.md §2: no native reference code); here the equivalents are XLA-fused
+jnp with Pallas kernels for the paths XLA doesn't fuse optimally.
+"""
+
+from multimodal_concept_learning_tpu.ops.attention import multi_head_attention
+from multimodal_concept_learning_tpu.ops.losses import (
+    cross_entropy_loss,
+    sparse_answer_cross_entropy,
+)
+
+__all__ = [
+    "multi_head_attention",
+    "cross_entropy_loss",
+    "sparse_answer_cross_entropy",
+]

@@ -1,0 +1,98 @@
+"""Multi-head attention.
+
+Default path is plain jnp einsum attention — at the stack's sequence lengths
+(197 vision tokens, ≤ 197+128 multimodal tokens) XLA fuses this into a small
+number of MXU ops and the softmax rides the VPU.  A Pallas flash-attention
+kernel (ops/flash_attention.py) is dispatched automatically on TPU when
+shapes meet its tiling constraints; both paths compute identical math.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30  # large finite negative; -inf breaks softmax rows that are fully masked
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    use_flash: Optional[bool] = None,
+) -> jax.Array:
+    """Scaled dot-product attention over [B, T, H, D] tensors.
+
+    Args:
+      q, k, v: [batch, seq, heads, head_dim] (kv heads may be fewer: GQA —
+        they are broadcast to q heads).
+      bias: additive attention bias broadcastable to [B, H, Tq, Tk]
+        (use ``make_attention_bias`` to build it from masks).
+      use_flash: force/forbid the Pallas kernel; None = auto.
+    """
+    b, tq, hq, d = q.shape
+    hk = k.shape[2]
+    if hk != hq:
+        assert hq % hk == 0, f"GQA requires q heads {hq} divisible by kv heads {hk}"
+        rep = hq // hk
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    if use_flash is None:
+        use_flash = _flash_ok(q, k)
+    if use_flash and deterministic:
+        try:
+            from multimodal_concept_learning_tpu.ops.flash_attention import flash_attention
+
+            return flash_attention(q, k, v, bias=bias)
+        except ImportError:  # kernel not available on this platform/build
+            pass
+
+    scale = d**-0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _flash_ok(q, k) -> bool:
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return False
+    except Exception:  # noqa: BLE001
+        return False
+    # Tiling constraints of the Pallas kernel: seq multiples of 128, head_dim >= 64.
+    return q.shape[1] % 128 == 0 and k.shape[1] % 128 == 0 and q.shape[3] >= 64
+
+
+def make_attention_bias(
+    attention_mask: Optional[jax.Array],
+    causal: bool,
+    q_len: int,
+    k_len: int,
+    dtype=jnp.float32,
+) -> Optional[jax.Array]:
+    """Build the additive bias combining padding and causality.
+
+    attention_mask: [B, Tk] with 1 = attend (the collator contract,
+    reference imagenet_dataset.py:151-152); None = all attendable.
+    """
+    bias = None
+    if attention_mask is not None:
+        pad = (1.0 - attention_mask.astype(dtype)) * _NEG_INF
+        bias = pad[:, None, None, :]  # [B, 1, 1, Tk]
+    if causal:
+        causal_mask = jnp.tril(jnp.ones((q_len, k_len), dtype=bool), k_len - q_len)
+        causal_bias = jnp.where(causal_mask, 0.0, _NEG_INF).astype(dtype)[None, None]
+        bias = causal_bias if bias is None else bias + causal_bias
+    return bias

@@ -1,0 +1,116 @@
+"""Loss functions: label-smoothed CE and the sparse answer-position LM loss.
+
+The reference's multimodal loss is HF's internal causal-LM cross entropy:
+full [B, T, V] logits, shift-by-one, mean over labels != -100
+(src/multimodal/mllm.py:115-120 delegating to transformers).  With
+answer-only supervision (labels are -100 everywhere except ≤A answer tokens,
+reference imagenet_dataset.py:154-175) computing the full-vocab logits for
+every position wastes T/A ≈ 80× of the LM-head FLOPs and HBM traffic.
+
+``sparse_answer_cross_entropy`` instead gathers the ≤A supervised positions
+per row (static A keeps shapes jit-stable), computes logits only there, and
+produces the *identical* mean loss and gradients — verified against the
+dense path in tests/test_losses.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+IGNORE_INDEX = -100
+
+
+def cross_entropy_loss(
+    logits: jax.Array,
+    labels: jax.Array,
+    label_smoothing: float = 0.0,
+    valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Mean softmax CE for classification ([B, C] logits, [B] int labels).
+
+    ``valid``: bool [B] mask excluding padded eval samples from the mean.
+    Matches torch.nn.CrossEntropyLoss(label_smoothing=s) semantics
+    (reference vision_training.py:80-83).
+    """
+    num_classes = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    if label_smoothing > 0.0:
+        smooth = -logp.mean(axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    if valid is None:
+        return nll.mean()
+    valid = valid.astype(jnp.float32)
+    return (nll * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+
+
+def shift_labels(labels: jax.Array) -> jax.Array:
+    """HF causal-LM shift: position t is supervised by labels[t+1]."""
+    return jnp.concatenate(
+        [labels[:, 1:], jnp.full_like(labels[:, :1], IGNORE_INDEX)], axis=1
+    )
+
+
+def gather_supervised_positions(labels: jax.Array, max_positions: int) -> Tuple[jax.Array, jax.Array]:
+    """Static-shape gather of supervised positions.
+
+    Returns (positions [B, A], valid [B, A]) where positions are the first A
+    indices with labels != IGNORE_INDEX, ascending (stable argsort of the
+    mask).  Rows with fewer than A supervised tokens pad with position 0,
+    masked out by ``valid``.
+    """
+    mask = labels != IGNORE_INDEX  # [B, T]
+    order = jnp.argsort(~mask, axis=1, stable=True)  # supervised positions first, ascending
+    positions = order[:, :max_positions]
+    valid = jnp.take_along_axis(mask, positions, axis=1)
+    return positions, valid
+
+
+def sparse_answer_cross_entropy(
+    hidden: jax.Array,
+    labels: jax.Array,
+    lm_head_fn,
+    max_positions: int,
+    logits_softcap: Optional[float] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Causal-LM CE computed only at supervised positions.
+
+    Args:
+      hidden: [B, T, H] final hidden states.
+      labels: [B, T] with IGNORE_INDEX on unsupervised positions (pre-shift,
+        HF convention: hidden[t] predicts labels[t+1]).
+      lm_head_fn: maps [..., H] → [..., V] (the tied/untied LM head).
+      max_positions: static per-row bound A on supervised tokens.
+
+    Returns (mean_loss, sparse_logits [B, A, V], positions [B, A], valid [B, A]).
+    """
+    shifted = shift_labels(labels)
+    positions, valid = gather_supervised_positions(shifted, max_positions)
+
+    gathered_h = jnp.take_along_axis(hidden, positions[:, :, None], axis=1)  # [B, A, H]
+    logits = lm_head_fn(gathered_h)  # [B, A, V]
+    if logits_softcap is not None:
+        logits = jnp.tanh(logits / logits_softcap) * logits_softcap
+
+    target = jnp.take_along_axis(shifted, positions, axis=1)  # [B, A]
+    target = jnp.where(valid, target, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]  # [B, A]
+    validf = valid.astype(jnp.float32)
+    loss = (nll * validf).sum() / jnp.maximum(validf.sum(), 1.0)
+    return loss, logits, positions, valid
+
+
+def dense_causal_lm_cross_entropy(hidden: jax.Array, labels: jax.Array, lm_head_fn) -> jax.Array:
+    """Reference-semantics dense loss (full [B,T,V] logits) for parity testing."""
+    logits = lm_head_fn(hidden)
+    shifted = shift_labels(labels)
+    mask = shifted != IGNORE_INDEX
+    target = jnp.where(mask, shifted, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    maskf = mask.astype(jnp.float32)
+    return (nll * maskf).sum() / jnp.maximum(maskf.sum(), 1.0)

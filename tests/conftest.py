@@ -8,10 +8,18 @@ all; JAX makes distributed paths testable via
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (remote TPU
+# tunnel) and a sitecustomize re-registers the axon backend in every process,
+# which would run every unit test over slow RPC.  Both the env var AND a
+# post-import config update are needed to defeat it.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,208 @@
+"""Model-layer tests: ViT, LM, MLLM composite, CLIP; loss parity and masks."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_concept_learning_tpu.models import (
+    CausalLM,
+    CLIPConfig,
+    CLIPModel,
+    LMConfig,
+    MLLM,
+    MLLMConfig,
+    ViTConfig,
+    ViTForImageClassification,
+)
+from multimodal_concept_learning_tpu.models.clip import contrastive_loss
+from multimodal_concept_learning_tpu.models.mllm import (
+    copy_init_ood_rows,
+    trainable_mask,
+)
+
+VOCAB = 512
+
+
+def tiny_vit(num_labels=4, image_size=32, patch=8):
+    return ViTConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        patch_size=patch,
+        image_size=image_size,
+        num_labels=num_labels,
+        dtype=jnp.float32,
+    )
+
+
+def tiny_mllm_config(num_vision_tokens=17):
+    vision = tiny_vit(image_size=32, patch=8)  # 16 patches + CLS = 17 tokens
+    lm = dataclasses.replace(LMConfig.preset("nano", vocab_size=VOCAB), dtype=jnp.float32)
+    return MLLMConfig(vision=vision, lm=lm, num_vision_tokens=num_vision_tokens,
+                      max_answer_tokens=4, dtype=jnp.float32)
+
+
+def test_vit_shapes():
+    cfg = tiny_vit()
+    model = ViTForImageClassification(cfg)
+    x = jnp.zeros((2, 3, 32, 32))
+    params = model.init(jax.random.key(0), x)
+    logits = model.apply(params, x)
+    assert logits.shape == (2, 4)
+    # encoder hidden: CLS + 16 patches
+    from multimodal_concept_learning_tpu.models import ViTEncoder
+
+    enc = ViTEncoder(cfg)
+    p = enc.init(jax.random.key(0), x)
+    h = enc.apply(p, x)
+    assert h.shape == (2, 17, 64)
+
+
+def test_patchify_is_conv_equivalent():
+    from multimodal_concept_learning_tpu.models.vit import patchify
+
+    x = np.random.default_rng(0).normal(size=(1, 3, 8, 8)).astype(np.float32)
+    p = patchify(jnp.asarray(x), 4)
+    assert p.shape == (1, 4, 48)
+    # first patch must contain exactly the top-left 4x4 block of every channel
+    top_left = x[0, :, :4, :4]  # [C, 4, 4]
+    np.testing.assert_allclose(
+        np.sort(np.asarray(p)[0, 0]), np.sort(top_left.ravel()), rtol=1e-6
+    )
+
+
+def test_lm_forward_and_causality():
+    cfg = dataclasses.replace(LMConfig.preset("nano", vocab_size=VOCAB), dtype=jnp.float32)
+    model = CausalLM(cfg)
+    ids = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8]])
+    params = model.init(jax.random.key(0), ids)
+    logits = model.apply(params, ids)
+    assert logits.shape == (1, 8, VOCAB)
+
+    # causality: changing a future token must not affect earlier logits
+    ids2 = ids.at[0, 6].set(99)
+    logits2 = model.apply(params, ids2)
+    np.testing.assert_allclose(logits[0, :6], logits2[0, :6], atol=1e-5)
+    assert not np.allclose(logits[0, 7], logits2[0, 7], atol=1e-5)
+
+
+def test_lm_attention_mask_ignores_padding():
+    cfg = dataclasses.replace(LMConfig.preset("nano", vocab_size=VOCAB), dtype=jnp.float32)
+    model = CausalLM(cfg)
+    ids = jnp.array([[5, 6, 7, 0, 0, 0]])
+    mask = jnp.array([[1, 1, 1, 0, 0, 0]])
+    params = model.init(jax.random.key(0), ids)
+    l1 = model.apply(params, ids, mask)
+    ids2 = ids.at[0, 4].set(123)  # change a padded token
+    l2 = model.apply(params, ids2, mask)
+    np.testing.assert_allclose(l1[0, :3], l2[0, :3], atol=1e-5)
+
+
+def _mllm_batch(cfg, batch=2, text_len=16, rng_seed=0):
+    rng = np.random.default_rng(rng_seed)
+    nvt = cfg.num_vision_tokens
+    T = nvt + text_len
+    images = rng.normal(size=(batch, 3, 32, 32)).astype(np.float32)
+    input_ids = np.full((batch, T), 0, dtype=np.int32)
+    input_ids[:, nvt:] = rng.integers(4, VOCAB - 4, size=(batch, text_len))
+    attention_mask = np.ones((batch, T), dtype=np.int32)
+    attention_mask[:, -3:] = 0  # trailing pad
+    labels = np.full((batch, T), -100, dtype=np.int32)
+    # two supervised answer tokens per row, inside the valid text region
+    labels[:, nvt + 5] = input_ids[:, nvt + 5]
+    labels[:, nvt + 6] = input_ids[:, nvt + 6]
+    return (
+        jnp.asarray(images),
+        jnp.asarray(input_ids),
+        jnp.asarray(attention_mask),
+        jnp.asarray(labels),
+    )
+
+
+def test_mllm_sparse_dense_loss_parity():
+    cfg = tiny_mllm_config()
+    model = MLLM(cfg)
+    images, ids, mask, labels = _mllm_batch(cfg)
+    params = model.init(jax.random.key(0), images, ids, mask, labels)
+
+    out_sparse = model.apply(params, images, ids, mask, labels)
+    out_dense = model.apply(params, images, ids, mask, labels, dense_loss=True)
+    np.testing.assert_allclose(
+        float(out_sparse["loss"]), float(out_dense["loss"]), rtol=1e-5
+    )
+
+    # gradient parity on the trainable subset
+    def loss_fn(p, dense):
+        return model.apply(p, images, ids, mask, labels, dense_loss=dense)["loss"]
+
+    g_sparse = jax.grad(loss_fn)(params, False)
+    g_dense = jax.grad(loss_fn)(params, True)
+    gs = jax.tree_util.tree_leaves(g_sparse)
+    gd = jax.tree_util.tree_leaves(g_dense)
+    for a, b in zip(gs, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_mllm_vision_splice_affects_loss():
+    cfg = tiny_mllm_config()
+    model = MLLM(cfg)
+    images, ids, mask, labels = _mllm_batch(cfg)
+    params = model.init(jax.random.key(0), images, ids, mask, labels)
+    l1 = model.apply(params, images, ids, mask, labels)["loss"]
+    l2 = model.apply(params, images + 1.0, ids, mask, labels)["loss"]
+    assert not np.isclose(float(l1), float(l2))
+
+
+def test_trainable_masks():
+    cfg = tiny_mllm_config()
+    model = MLLM(cfg)
+    images, ids, mask, labels = _mllm_batch(cfg)
+    params = model.init(jax.random.key(0), images, ids, mask, labels)
+
+    m = trainable_mask(params, "language_embed_only")
+    flat = jax.tree_util.tree_flatten_with_path(m)[0]
+    trainable_paths = [jax.tree_util.keystr(p) for p, v in flat if v]
+    assert any("projector" in p for p in trainable_paths)
+    assert any("embed_tokens" in p for p in trainable_paths)
+    assert not any("vision_model" in p for p in trainable_paths)
+    assert not any("q_proj" in p for p in trainable_paths)
+
+    m = trainable_mask(params, "vision_only")
+    flat = jax.tree_util.tree_flatten_with_path(m)[0]
+    trainable_paths = [jax.tree_util.keystr(p) for p, v in flat if v]
+    assert any("vision_model" in p for p in trainable_paths)
+    assert not any("embed_tokens" in p for p in trainable_paths)
+
+    with pytest.raises(ValueError):
+        trainable_mask(params, "bogus")
+
+
+def test_copy_init_ood_rows():
+    cfg = tiny_mllm_config()
+    model = MLLM(cfg)
+    images, ids, mask, labels = _mllm_batch(cfg)
+    params = model.init(jax.random.key(0), images, ids, mask, labels)
+    k = 5
+    params2 = copy_init_ood_rows(params, k)
+    emb = params2["params"]["language_model"]["embed_tokens"]["embedding"]
+    np.testing.assert_array_equal(np.asarray(emb[-k:]), np.asarray(emb[:k]))
+
+
+def test_clip_forward_and_loss():
+    vision = tiny_vit(image_size=32, patch=8)
+    cfg = CLIPConfig(vision=vision, vocab_size=VOCAB, text_width=64, text_layers=2,
+                     text_heads=4, context_length=16, embed_dim=32, dtype=jnp.float32)
+    model = CLIPModel(cfg)
+    images = jnp.zeros((4, 3, 32, 32))
+    ids = jnp.ones((4, 12), dtype=jnp.int32)
+    mask = jnp.ones((4, 12), dtype=jnp.int32)
+    params = model.init(jax.random.key(0), images, ids, mask)
+    img, txt, scale = model.apply(params, images, ids, mask)
+    assert img.shape == (4, 32) and txt.shape == (4, 32)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(img), axis=-1), 1.0, rtol=1e-5)
+    loss = contrastive_loss(img, txt, scale)
+    assert np.isfinite(float(loss))
