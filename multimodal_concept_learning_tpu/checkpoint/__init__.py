@@ -1,0 +1,34 @@
+"""Checkpoint layer: reference-layout torch interop + orbax native checkpoints.
+
+The reference's results layout (src/multimodal/multimodal_training.py:103-195):
+``results_dir/models/{initial_model.pt, best_model.pt, epoch_{e}_model.pt,
+tokenizer/, training_config.json}`` — the analysis tooling hard-depends on it
+(token_embedding_analysis.py:97-121), so this framework writes the same
+files: real torch state dicts whose keys follow the reference MLLM naming
+(``language_model.model.embed_tokens.weight`` etc.) so learned
+concept-embedding rows interchange bit-for-bit.
+"""
+
+from multimodal_concept_learning_tpu.checkpoint.torch_interop import (
+    load_torch_state_dict,
+    mllm_params_from_torch,
+    mllm_params_to_torch,
+    save_torch_state_dict,
+    vit_classifier_params_from_torch,
+    vit_classifier_params_to_torch,
+)
+from multimodal_concept_learning_tpu.checkpoint.orbax_io import (
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+__all__ = [
+    "save_torch_state_dict",
+    "load_torch_state_dict",
+    "mllm_params_to_torch",
+    "mllm_params_from_torch",
+    "vit_classifier_params_to_torch",
+    "vit_classifier_params_from_torch",
+    "save_checkpoint",
+    "restore_checkpoint",
+]

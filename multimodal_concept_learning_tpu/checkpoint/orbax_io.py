@@ -1,0 +1,68 @@
+"""Native orbax checkpointing with resume support.
+
+The reference has checkpoint-only persistence, no resume (SURVEY.md §5:
+training always restarts from scratch).  The TPU framework adds real
+resume: full TrainState (params + optimizer state + step) via orbax, written
+asynchronously so the device never waits on host IO.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(directory: str, state: Any, step: int, keep: int = 3):
+    """Write ``directory/step_{step}`` (blocking finalize, async-safe layout)."""
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"step_{step}")
+    ckpt = _checkpointer()
+    ckpt.save(path, jax.device_get(state), force=True)
+    ckpt.wait_until_finished()
+    _gc_old(directory, keep)
+
+
+def restore_checkpoint(directory: str, template: Any, step: Optional[int] = None):
+    """Restore latest (or a specific step) into arrays shaped like ``template``.
+    Returns (state, step) or (None, None) when no checkpoint exists."""
+    directory = os.path.abspath(directory)
+    steps = _list_steps(directory)
+    if not steps:
+        return None, None
+    target = step if step is not None else max(steps)
+    path = os.path.join(directory, f"step_{target}")
+    ckpt = _checkpointer()
+    state = ckpt.restore(path, target=jax.device_get(template))
+    return state, target
+
+
+def _list_steps(directory: str):
+    if not os.path.isdir(directory):
+        return []
+    out = []
+    for name in os.listdir(directory):
+        if name.startswith("step_"):
+            try:
+                out.append(int(name.split("_")[1]))
+            except ValueError:
+                continue
+    return out
+
+
+def _gc_old(directory: str, keep: int):
+    import shutil
+
+    steps = sorted(_list_steps(directory))
+    for s in steps[:-keep]:
+        shutil.rmtree(os.path.join(directory, f"step_{s}"), ignore_errors=True)

@@ -1,0 +1,304 @@
+"""PyTorch-format checkpoint interop.
+
+Maps this framework's Flax param pytrees to/from torch ``state_dict`` files
+whose key names follow the reference models:
+
+- MLLM (src/multimodal/mllm.py): ``vision_model.*`` (HF ViTModel naming),
+  ``projector.{weight,bias}``, ``language_model.model.*`` (HF Gemma naming).
+  The concept-token rows live at ``language_model.model.embed_tokens.weight``
+  exactly as in reference checkpoints, so analysis tooling and the
+  interchange requirement (BASELINE.json) read either side's files.
+- ViT classifier (HF ViTForImageClassification naming: ``vit.*`` +
+  ``classifier.*``), written by the vision trainer
+  (src/vision/vision_training.py:167-170).
+
+Weight-layout conversions: flax Dense kernels are (in, out) = torch
+``weight.T``; DenseGeneral attention projections reshape (in, heads, hd) ↔
+(heads*hd, in); the patch-embed Dense maps to/from HF's Conv2d(p, stride=p)
+weight (H, C, p, p) matching ops' patchify pixel ordering; flax LayerNorm
+``scale`` ↔ torch ``weight``.
+
+Architectural caveat (documented, not hidden): the language model is a
+Gemma-architecture re-implementation, not a weight-level clone of
+google/gemma-3-1b-it (no network access to its weights); layers shared by
+both (embeddings, q/k/v/o, gate/up/down, norms) map name-for-name, and HF
+Gemma-3 extras absent here (q/k-norm, pre/post-feedforward norms) are
+ignored on load.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# torch file IO (torch is CPU-only in this image and used ONLY here)
+# ---------------------------------------------------------------------------
+
+
+def save_torch_state_dict(state_dict: Dict[str, np.ndarray], path: str):
+    import torch
+
+    # np.array(copy=True) also makes jax-exported (read-only) buffers writable
+    torch.save({k: torch.from_numpy(np.array(v)) for k, v in state_dict.items()}, path)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.float().numpy() if v.dtype == torch.bfloat16 else v.numpy() for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# Flax tree <-> flat dict helpers
+# ---------------------------------------------------------------------------
+
+
+def flatten_params(params) -> Dict[str, np.ndarray]:
+    """Flax nested dict → {'a/b/c': array} (fp32 numpy)."""
+    flat = {}
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(v, path + [k])
+        else:
+            flat["/".join(path)] = np.asarray(node, dtype=np.float32)
+
+    rec(params, [])
+    return flat
+
+
+def unflatten_params(flat: Dict[str, np.ndarray]):
+    tree: Dict = {}
+    for key, value in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# ViT tower (flax names under vision prefix -> HF ViTModel names)
+# ---------------------------------------------------------------------------
+
+_VIT_ATTN = {"query": "query", "key": "key", "value": "value"}
+
+
+def _vit_entry_to_torch(rel: str, arr: np.ndarray, patch_size: int, num_heads: int):
+    """Map one flax ViT param (path relative to the tower) to (torch_name, tensor)."""
+    parts = rel.split("/")
+    if rel == "cls_token":
+        return "embeddings.cls_token", arr
+    if rel == "position_embeddings":
+        return "embeddings.position_embeddings", arr
+    if parts[0] == "patch_embed":
+        if parts[1] == "kernel":
+            in_dim, hidden = arr.shape
+            c = in_dim // (patch_size * patch_size)
+            w = arr.reshape(patch_size, patch_size, c, hidden).transpose(3, 2, 0, 1)
+            return "embeddings.patch_embeddings.projection.weight", w
+        return "embeddings.patch_embeddings.projection.bias", arr
+    if parts[0] == "layernorm":
+        name = "layernorm.weight" if parts[1] == "scale" else "layernorm.bias"
+        return name, arr
+    if parts[0].startswith("layer_"):
+        i = parts[0].split("_")[1]
+        base = f"encoder.layer.{i}"
+        if parts[1] == "attention":
+            proj = parts[2]
+            if proj in _VIT_ATTN:
+                if parts[3] == "kernel":  # (H, heads, hd)
+                    h = arr.shape[0]
+                    w = arr.reshape(h, -1).T
+                    return f"{base}.attention.attention.{_VIT_ATTN[proj]}.weight", w
+                return f"{base}.attention.attention.{_VIT_ATTN[proj]}.bias", arr.reshape(-1)
+            if proj == "output":
+                if parts[3] == "kernel":  # (heads, hd, H)
+                    h = arr.shape[-1]
+                    w = arr.reshape(-1, h).T
+                    return f"{base}.attention.output.dense.weight", w
+                return f"{base}.attention.output.dense.bias", arr
+        if parts[1] in ("layernorm_before", "layernorm_after"):
+            suffix = "weight" if parts[2] == "scale" else "bias"
+            return f"{base}.{parts[1]}.{suffix}", arr
+        if parts[1] == "intermediate":
+            if parts[2] == "kernel":
+                return f"{base}.intermediate.dense.weight", arr.T
+            return f"{base}.intermediate.dense.bias", arr
+        if parts[1] == "output":
+            if parts[2] == "kernel":
+                return f"{base}.output.dense.weight", arr.T
+            return f"{base}.output.dense.bias", arr
+    raise KeyError(f"Unmapped ViT param: {rel}")
+
+
+def _vit_entry_from_torch(rel: str, torch_arr: np.ndarray, template: np.ndarray, patch_size: int):
+    """Inverse of _vit_entry_to_torch for one param (template gives flax shape)."""
+    parts = rel.split("/")
+    if rel in ("cls_token", "position_embeddings"):
+        return torch_arr.reshape(template.shape)
+    if parts[0] == "patch_embed":
+        if parts[1] == "kernel":
+            h = torch_arr.shape[0]
+            return torch_arr.transpose(2, 3, 1, 0).reshape(-1, h).reshape(template.shape)
+        return torch_arr.reshape(template.shape)
+    if parts[-1] == "kernel":
+        if parts[1] == "attention" and parts[2] in _VIT_ATTN:
+            return torch_arr.T.reshape(template.shape)
+        if parts[1] == "attention" and parts[2] == "output":
+            return torch_arr.T.reshape(template.shape)
+        return torch_arr.T.reshape(template.shape)
+    return torch_arr.reshape(template.shape)
+
+
+# ---------------------------------------------------------------------------
+# Gemma-style LM (flax names under language_model -> HF Gemma names)
+# ---------------------------------------------------------------------------
+
+
+def _lm_entry_to_torch(rel: str, arr: np.ndarray):
+    parts = rel.split("/")
+    if rel == "embed_tokens/embedding":
+        return "model.embed_tokens.weight", arr
+    if rel == "norm/weight":
+        return "model.norm.weight", arr
+    if parts[0].startswith("layer_"):
+        i = parts[0].split("_")[1]
+        base = f"model.layers.{i}"
+        if parts[1] == "self_attn":
+            proj = parts[2]  # q_proj / k_proj / v_proj / o_proj
+            if proj == "o_proj":  # (heads, hd, H)
+                h = arr.shape[-1]
+                return f"{base}.self_attn.o_proj.weight", arr.reshape(-1, h).T
+            h = arr.shape[0]  # (H, heads, hd)
+            return f"{base}.self_attn.{proj}.weight", arr.reshape(h, -1).T
+        if parts[1] in ("gate_proj", "up_proj", "down_proj"):
+            return f"{base}.mlp.{parts[1]}.weight", arr.T
+        if parts[1] in ("input_layernorm", "post_attention_layernorm"):
+            return f"{base}.{parts[1]}.weight", arr
+    raise KeyError(f"Unmapped LM param: {rel}")
+
+
+def _lm_entry_from_torch(rel: str, torch_arr: np.ndarray, template: np.ndarray):
+    parts = rel.split("/")
+    if parts[-1] == "kernel":
+        return torch_arr.T.reshape(template.shape)
+    return torch_arr.reshape(template.shape)
+
+
+# ---------------------------------------------------------------------------
+# Public converters
+# ---------------------------------------------------------------------------
+
+
+def mllm_params_to_torch(params, patch_size: int = 16, num_heads: int = 12) -> Dict[str, np.ndarray]:
+    """MLLM flax params → reference-named torch state dict (mllm.py naming)."""
+    params = params.get("params", params)
+    flat = flatten_params(params)
+    sd: Dict[str, np.ndarray] = {}
+    for key, arr in flat.items():
+        tower, rel = key.split("/", 1)
+        if tower == "vision_model":
+            name, tensor = _vit_entry_to_torch(rel, arr, patch_size, num_heads)
+            sd[f"vision_model.{name}"] = tensor
+        elif tower == "projector":
+            sd["projector.weight" if rel == "kernel" else "projector.bias"] = (
+                arr.T if rel == "kernel" else arr
+            )
+        elif tower == "language_model":
+            name, tensor = _lm_entry_to_torch(rel, arr)
+            sd[f"language_model.{name}"] = tensor
+        else:
+            raise KeyError(f"Unknown MLLM tower: {tower}")
+    return sd
+
+
+def mllm_params_from_torch(sd: Dict[str, np.ndarray], params_template, patch_size: int = 16):
+    """Inverse mapping; ``params_template`` supplies tree structure/shapes.
+    Torch keys without a flax counterpart (HF pooler, gemma3 extra norms) are
+    ignored; missing keys keep template values."""
+    template = params_template.get("params", params_template)
+    flat_template = flatten_params(template)
+    out: Dict[str, np.ndarray] = {}
+    for key, tmpl in flat_template.items():
+        tower, rel = key.split("/", 1)
+        if tower == "vision_model":
+            name, _ = _vit_entry_to_torch(rel, tmpl, patch_size, 0)
+            torch_key = f"vision_model.{name}"
+            if torch_key in sd:
+                out[key] = _vit_entry_from_torch(rel, sd[torch_key], tmpl, patch_size)
+            else:
+                out[key] = tmpl
+        elif tower == "projector":
+            torch_key = "projector.weight" if rel == "kernel" else "projector.bias"
+            arr = sd.get(torch_key)
+            out[key] = (arr.T if rel == "kernel" else arr) if arr is not None else tmpl
+        elif tower == "language_model":
+            name, _ = _lm_entry_to_torch(rel, tmpl)
+            torch_key = f"language_model.{name}"
+            if torch_key in sd:
+                out[key] = _lm_entry_from_torch(rel, sd[torch_key], tmpl)
+            else:
+                out[key] = tmpl
+        else:
+            out[key] = tmpl
+    tree = unflatten_params(out)
+    if "params" in params_template:
+        return {"params": tree}
+    return tree
+
+
+def vit_classifier_params_to_torch(params, patch_size: int) -> Dict[str, np.ndarray]:
+    """ViTForImageClassification flax params → HF-named torch state dict."""
+    params = params.get("params", params)
+    flat = flatten_params(params)
+    sd: Dict[str, np.ndarray] = {}
+    for key, arr in flat.items():
+        head, rel = key.split("/", 1)
+        if head == "vit":
+            name, tensor = _vit_entry_to_torch(rel, arr, patch_size, 0)
+            sd[f"vit.{name}"] = tensor
+        elif head == "classifier":
+            sd["classifier.weight" if rel == "kernel" else "classifier.bias"] = (
+                arr.T if rel == "kernel" else arr
+            )
+        else:
+            raise KeyError(f"Unknown classifier component: {head}")
+    return sd
+
+
+def vit_classifier_params_from_torch(sd: Dict[str, np.ndarray], params_template, patch_size: int):
+    template = params_template.get("params", params_template)
+    flat_template = flatten_params(template)
+    out: Dict[str, np.ndarray] = {}
+    for key, tmpl in flat_template.items():
+        head, rel = key.split("/", 1)
+        if head == "vit":
+            name, _ = _vit_entry_to_torch(rel, tmpl, patch_size, 0)
+            torch_key = f"vit.{name}"
+            # the reference saves the DDP-wrapped dict for vision best_model
+            # ("module." prefix, SURVEY.md quirk; vision_training.py:170)
+            if torch_key not in sd and f"module.{torch_key}" in sd:
+                torch_key = f"module.{torch_key}"
+            if torch_key in sd:
+                out[key] = _vit_entry_from_torch(rel, sd[torch_key], tmpl, patch_size)
+            else:
+                out[key] = tmpl
+        elif head == "classifier":
+            torch_key = "classifier.weight" if rel == "kernel" else "classifier.bias"
+            if torch_key not in sd and f"module.{torch_key}" in sd:
+                torch_key = f"module.{torch_key}"
+            arr = sd.get(torch_key)
+            out[key] = (arr.T if rel == "kernel" else arr) if arr is not None else tmpl
+        else:
+            out[key] = tmpl
+    tree = unflatten_params(out)
+    if "params" in params_template:
+        return {"params": tree}
+    return tree

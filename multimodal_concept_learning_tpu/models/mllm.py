@@ -99,6 +99,7 @@ class MLLM(nn.Module):
         labels: Optional[jax.Array] = None,
         deterministic: bool = True,
         dense_loss: bool = False,
+        row_valid: Optional[jax.Array] = None,
     ):
         cfg = self.config
         nvt = cfg.num_vision_tokens
@@ -130,6 +131,7 @@ class MLLM(nn.Module):
             labels,
             self.language_model.lm_head,
             max_positions=cfg.max_answer_tokens,
+            row_valid=row_valid,
         )
         return {
             "loss": loss,

@@ -75,6 +75,7 @@ def sparse_answer_cross_entropy(
     lm_head_fn,
     max_positions: int,
     logits_softcap: Optional[float] = None,
+    row_valid: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Causal-LM CE computed only at supervised positions.
 
@@ -84,11 +85,14 @@ def sparse_answer_cross_entropy(
         HF convention: hidden[t] predicts labels[t+1]).
       lm_head_fn: maps [..., H] → [..., V] (the tied/untied LM head).
       max_positions: static per-row bound A on supervised tokens.
+      row_valid: optional [B] bool excluding padded eval rows from the mean.
 
     Returns (mean_loss, sparse_logits [B, A, V], positions [B, A], valid [B, A]).
     """
     shifted = shift_labels(labels)
     positions, valid = gather_supervised_positions(shifted, max_positions)
+    if row_valid is not None:
+        valid = valid & row_valid[:, None]
 
     gathered_h = jnp.take_along_axis(hidden, positions[:, :, None], axis=1)  # [B, A, H]
     logits = lm_head_fn(gathered_h)  # [B, A, V]

@@ -1,0 +1,35 @@
+"""Parallelism layer: device mesh, shardings, optimizers, jitted train steps.
+
+Replaces the reference's HF-Accelerate DDP-over-NCCL machinery (SURVEY.md C21,
+src/multimodal/multimodal_training.py:334-340) with jax.sharding: a 1-D data
+mesh, NamedSharding-annotated batches, replicated parameters, and XLA-inserted
+psum gradient reduction over ICI.  Gradient accumulation (the reference's
+``effective_batch_size`` second batch axis) is optax.MultiSteps.
+"""
+
+from multimodal_concept_learning_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+from multimodal_concept_learning_tpu.parallel.optimizer import build_optimizer, cosine_epoch_schedule
+from multimodal_concept_learning_tpu.parallel.train_step import (
+    make_classifier_eval_step,
+    make_classifier_train_step,
+    make_mllm_eval_step,
+    make_mllm_train_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "build_optimizer",
+    "cosine_epoch_schedule",
+    "make_classifier_train_step",
+    "make_classifier_eval_step",
+    "make_mllm_train_step",
+    "make_mllm_eval_step",
+]

@@ -1,0 +1,46 @@
+"""Device mesh and sharding helpers.
+
+The reference's parallelism is 8-way single-node data parallelism (SURVEY.md
+C22).  The TPU-native equivalent: a 1-D ``Mesh(('data',))`` over all local
+chips; batches are sharded along ``data``, parameters replicated, and jit's
+sharding propagation inserts the gradient psum over ICI.  The same helpers
+accept N-D meshes for model-parallel extensions (the ``model`` axis is used
+by the scaled bench config).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a mesh over ``devices`` (default: all).  1-D data mesh unless a
+    shape is given (e.g. shape=(4, 2), axis_names=('data', 'model'))."""
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices),)
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names=tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension across the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+    """device_put a host batch with its leading axis sharded over the mesh."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,83 @@
+"""Optimizer construction: AdamW + clipping + masking + accumulation.
+
+Reproduces the reference's optimizer semantics functionally:
+- AdamW over only the trainable parameters (the reference filters
+  ``requires_grad`` params, src/multimodal/multimodal_training.py:73-80;
+  here optax.multi_transform routes frozen params to set_to_zero, which is
+  also the JAX answer to DDP's ``find_unused_parameters=True`` — frozen
+  params simply receive zero updates, no unused-grad machinery needed),
+- grad clipping by global norm applied to the *accumulated* gradient
+  (reference clips on sync_gradients, multimodal_training.py:143-144),
+- gradient accumulation via optax.MultiSteps with
+  ``effective_batch_size // batch_size`` micro-steps
+  (multimodal_training.py:330-331),
+- per-epoch cosine annealing to eta_min = 1% lr, stepped once per epoch
+  like torch CosineAnnealingLR in the vision trainer
+  (vision_training.py:73-74, :195),
+- linear warmup+decay when lr_scheduler_type == "linear"
+  (multimodal_training.py:83-91).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import optax
+
+
+def cosine_epoch_schedule(base_lr: float, epochs: int, updates_per_epoch: int) -> Callable:
+    """torch CosineAnnealingLR(T_max=epochs, eta_min=0.01*lr) stepped per epoch:
+    the LR is constant within an epoch and follows the cosine across epochs."""
+    eta_min = base_lr * 0.01
+
+    def schedule(update_count):
+        import jax.numpy as jnp
+
+        epoch = jnp.minimum(update_count // max(1, updates_per_epoch), epochs)
+        return eta_min + 0.5 * (base_lr - eta_min) * (1 + jnp.cos(jnp.pi * epoch / epochs))
+
+    return schedule
+
+
+def linear_warmup_schedule(base_lr: float, warmup_steps: int, total_steps: int) -> Callable:
+    """HF get_linear_schedule_with_warmup semantics (multimodal_training.py:83-91)."""
+
+    def schedule(update_count):
+        import jax.numpy as jnp
+
+        warm = jnp.maximum(warmup_steps, 1)
+        lr_warm = base_lr * jnp.minimum(update_count, warm) / warm
+        decay_span = jnp.maximum(total_steps - warmup_steps, 1)
+        lr_decay = base_lr * jnp.clip(
+            (total_steps - update_count) / decay_span, 0.0, 1.0
+        )
+        return jnp.where(update_count < warmup_steps, lr_warm, lr_decay)
+
+    return schedule
+
+
+def build_optimizer(
+    learning_rate,
+    weight_decay: float,
+    max_grad_norm: Optional[float] = None,
+    accumulation_steps: int = 1,
+    trainable_mask=None,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """AdamW with clipping/masking/accumulation in reference-equivalent order."""
+    core = optax.chain(
+        optax.clip_by_global_norm(max_grad_norm) if max_grad_norm else optax.identity(),
+        optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay),
+    )
+    if trainable_mask is not None:
+        labels = jax.tree_util.tree_map(lambda m: "train" if m else "freeze", trainable_mask)
+        core = optax.multi_transform(
+            {"train": core, "freeze": optax.set_to_zero()}, labels
+        )
+    if accumulation_steps > 1:
+        core = optax.MultiSteps(core, every_k_schedule=accumulation_steps)
+    return core

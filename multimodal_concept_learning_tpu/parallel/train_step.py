@@ -1,0 +1,147 @@
+"""Jitted, sharded train/eval step factories.
+
+Each factory returns a jit-compiled functional step with donated state.  The
+hot loop the reference runs eagerly per batch
+(src/vision/vision_training.py:114-127,
+src/multimodal/multimodal_training.py:128-151 — forward, backward, allreduce,
+clip, step) is here one fused XLA program: loss+grad in a single
+value_and_grad pass, gradient reduction inserted automatically by sharding
+propagation over the data mesh, optimizer update included, parameters donated
+so updates happen in place in HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from multimodal_concept_learning_tpu.ops.losses import cross_entropy_loss
+
+
+class TrainState(struct.PyTreeNode):
+    """Minimal functional train state (params + opt state + step)."""
+
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
+
+
+def make_classifier_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    label_smoothing: float = 0.0,
+) -> Callable:
+    """Vision classifier step: CE loss (+smoothing), clip+AdamW via tx.
+
+    Returns (state, batch, rng) -> (state, metrics{loss, correct, count}).
+    """
+
+    def step(state: TrainState, batch, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params},
+                batch["images"],
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+            loss = cross_entropy_loss(logits, batch["labels"], label_smoothing)
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        preds = jnp.argmax(logits, axis=-1)
+        metrics = {
+            "loss": loss,
+            "correct": (preds == batch["labels"]).sum(),
+            "count": jnp.asarray(batch["labels"].shape[0]),
+        }
+        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_classifier_eval_step(model, label_smoothing: float = 0.0) -> Callable:
+    """Eval step honoring the ``valid`` mask from padded final batches so
+    loss/accuracy match un-padded semantics exactly."""
+
+    def step(params, batch):
+        logits = model.apply({"params": params}, batch["images"], deterministic=True)
+        valid = batch["valid"]
+        loss = cross_entropy_loss(logits, batch["labels"], label_smoothing, valid=valid)
+        preds = jnp.argmax(logits, axis=-1)
+        correct = ((preds == batch["labels"]) & valid).sum()
+        return {"loss": loss, "correct": correct, "count": valid.sum()}
+
+    return jax.jit(step)
+
+
+def make_mllm_train_step(model, tx: optax.GradientTransformation) -> Callable:
+    """MLLM step: sparse answer CE over the composite model."""
+
+    def step(state: TrainState, batch, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params},
+                batch["images"],
+                batch["input_ids"],
+                batch["attention_mask"],
+                batch["labels"],
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+            return out["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), {
+            "loss": loss
+        }
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_mllm_eval_step(model) -> Callable:
+    """MLLM eval: loss + argmax token predictions at supervised positions.
+
+    Returns per-batch {loss, pred_ids [B,A], target_ids [B,A], valid [B,A]}
+    so the host can run the reference's yes/no string-match accuracy
+    (multimodal_training.py:273-303) by decoding only A tokens per sample.
+    """
+
+    def step(params, batch):
+        out = model.apply(
+            {"params": params},
+            batch["images"],
+            batch["input_ids"],
+            batch["attention_mask"],
+            batch["labels"],
+            deterministic=True,
+            row_valid=batch["valid"],
+        )
+        pred_ids = jnp.argmax(out["logits"], axis=-1)  # [B, A]
+        from multimodal_concept_learning_tpu.ops.losses import shift_labels
+
+        shifted = shift_labels(batch["labels"])
+        target_ids = jnp.take_along_axis(shifted, out["positions"], axis=1)
+        return {
+            "loss": out["loss"],
+            "pred_ids": pred_ids,
+            "target_ids": jnp.where(out["valid"], target_ids, -100),
+            "valid": out["valid"],
+        }
+
+    return jax.jit(step)

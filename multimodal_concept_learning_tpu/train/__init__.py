@@ -1,0 +1,6 @@
+"""Training CLIs: vision classifier, multimodal MLLM, CLIP contrastive.
+
+Each CLI keeps the reference's flag surface (``--config_path`` YAML), log
+format, and results layout (SURVEY.md §5 "Config / flag system",
+"Metrics / logging") while running jit-compiled sharded steps.
+"""

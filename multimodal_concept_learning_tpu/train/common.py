@@ -1,0 +1,32 @@
+"""Shared trainer utilities."""
+
+from __future__ import annotations
+
+import jax
+
+from multimodal_concept_learning_tpu.parallel.mesh import make_mesh
+
+
+def mesh_for_batch(batch_size: int, max_devices=None):
+    """1-D data mesh using the largest device count that divides batch_size.
+
+    The reference requires effective/batch divisibility but lets DDP shard
+    unevenly via split_batches; under SPMD the per-device shard must be exact,
+    so the mesh shrinks to the largest divisor (single device worst case).
+    """
+    devices = jax.devices()
+    if max_devices is not None:
+        devices = devices[:max_devices]
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(devices[:n])
+
+
+def epoch_metric_mean(values):
+    """Mean of per-batch device scalars with a single host sync."""
+    import jax.numpy as jnp
+
+    if not values:
+        return 0.0
+    return float(jnp.mean(jnp.stack(values)))

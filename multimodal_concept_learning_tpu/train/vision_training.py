@@ -1,0 +1,234 @@
+"""Vision classifier training CLI.
+
+Parity surface with the reference trainer (src/vision/vision_training.py):
+``python -m multimodal_concept_learning_tpu.train.vision_training
+--config_path cfg.yaml`` with the same YAML schema, per-epoch log format
+(:185-189), dataset dispatch on dataset_name color/imagenet100 (:267-287),
+effective-batch gradient accumulation (:110-127), AdamW + per-epoch cosine
+annealing to 1% lr (:73-74), grad clip 1.0 (:77), label smoothing (:80-83),
+best-by-val-loss checkpoint ``models/best_model.pt`` + ``final_model.pt``
+(:167-170, :199) in torch format, and a final test evaluation (:204-243).
+
+TPU re-design: one jitted train step fusing forward+backward+clip+update with
+donated state over a data-parallel mesh; threaded host input pipeline with
+double-buffered device prefetch; metrics synced once per epoch instead of
+per-batch ``.item()`` calls.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+import yaml
+
+from multimodal_concept_learning_tpu.checkpoint import (
+    save_torch_state_dict,
+    vit_classifier_params_to_torch,
+)
+from multimodal_concept_learning_tpu.configs import VisionTrainingConfig
+from multimodal_concept_learning_tpu.data import (
+    BatchLoader,
+    ColorDataset,
+    ImageNetDataset,
+    create_transforms,
+    load_split_datasets,
+    prefetch_to_device,
+)
+from multimodal_concept_learning_tpu.models import ViTConfig, ViTForImageClassification
+from multimodal_concept_learning_tpu.parallel import (
+    batch_sharding,
+    build_optimizer,
+    cosine_epoch_schedule,
+    make_classifier_eval_step,
+    make_classifier_train_step,
+)
+from multimodal_concept_learning_tpu.parallel.train_step import TrainState
+from multimodal_concept_learning_tpu.train.common import mesh_for_batch
+from multimodal_concept_learning_tpu.utils import MetricsLogger, set_seed
+
+
+def init_model(config: VisionTrainingConfig):
+    """Build the ViT classifier from config knobs (parity: vision_training.py:51-69)."""
+    if config.model_name != "vit":
+        raise ValueError(f"Model {config.model_name} not supported.")
+    return ViTForImageClassification(ViTConfig.from_training_config(config))
+
+
+def _evaluate(eval_step, params, loader, mesh):
+    sharding = batch_sharding(mesh)
+    losses, correct, count = [], 0, 0
+    for batch in prefetch_to_device(loader, sharding):
+        m = eval_step(params, batch)
+        losses.append(m["loss"])
+        correct += int(m["correct"])
+        count += int(m["count"])
+    loss = float(np.mean([float(x) for x in losses])) if losses else 0.0
+    acc = 100.0 * correct / max(count, 1)
+    return loss, acc
+
+
+def run_training(model, train_loader, val_loader, config: VisionTrainingConfig, mesh, rng):
+    assert config.effective_batch_size % config.batch_size == 0, (
+        f"effective_batch_size ({config.effective_batch_size}) must be divisible "
+        f"by batch_size ({config.batch_size})"
+    )
+    accumulation_steps = config.effective_batch_size // config.batch_size
+    updates_per_epoch = max(1, len(train_loader) // accumulation_steps)
+
+    schedule = cosine_epoch_schedule(config.learning_rate, config.epochs, updates_per_epoch)
+    tx = build_optimizer(
+        schedule,
+        weight_decay=config.weight_decay,
+        max_grad_norm=1.0,  # fixed in the reference (vision_training.py:77)
+        accumulation_steps=accumulation_steps,
+    )
+
+    sample = next(iter(train_loader))
+    params = model.init(rng, jax.numpy.asarray(sample["images"][:1]))["params"]
+    state = TrainState.create(params, tx)
+
+    train_step = make_classifier_train_step(model, tx, config.label_smoothing)
+    eval_step = make_classifier_eval_step(model, config.label_smoothing)
+
+    logger = MetricsLogger(
+        enabled=True,
+        use_wandb=not config.disable_wandb,
+        wandb_project=config.wandb_project,
+        wandb_run_name=config.wandb_run_name,
+        wandb_config=vars(config),
+    )
+
+    models_dir = os.path.join(config.results_dir, "models")
+    os.makedirs(models_dir, exist_ok=True)
+    sharding = batch_sharding(mesh)
+    best_loss = float("inf")
+    step_rng = jax.random.fold_in(rng, 1)
+
+    for epoch in range(config.epochs):
+        epoch_start_time = time.time()
+        train_loader.set_epoch(epoch)
+
+        losses, correct, count = [], 0, 0
+        for batch in prefetch_to_device(train_loader, sharding):
+            state, m = train_step(state, batch, step_rng)
+            losses.append(m["loss"])
+            correct += m["correct"]
+            count += m["count"]
+
+        train_loss = float(np.mean([float(x) for x in losses]))
+        train_acc = 100.0 * float(correct) / max(float(count), 1.0)
+
+        val_loss, val_acc = _evaluate(eval_step, state.params, val_loader, mesh)
+        epoch_time = time.time() - epoch_start_time
+        current_lr = float(schedule(min(epoch, config.epochs) * updates_per_epoch))
+
+        if val_loss < best_loss:
+            best_loss = val_loss
+            save_torch_state_dict(
+                vit_classifier_params_to_torch(jax.device_get(state.params), config.patch_size),
+                os.path.join(models_dir, "best_model.pt"),
+            )
+
+        metrics = {
+            "epoch": epoch + 1,
+            "train_loss": train_loss,
+            "val_loss": val_loss,
+            "train_acc": train_acc,
+            "val_acc": val_acc,
+            "learning_rate": current_lr,
+            "epoch_time": epoch_time,
+        }
+        logger.print_vision_epoch(metrics, config.epochs)
+        logger.log(metrics)
+
+    print(f"Best val loss: {best_loss:.4f}")
+    save_torch_state_dict(
+        vit_classifier_params_to_torch(jax.device_get(state.params), config.patch_size),
+        os.path.join(models_dir, "final_model.pt"),
+    )
+    logger.finish()
+    return state
+
+
+def evaluate_model(model, state_params, test_loader, config: VisionTrainingConfig, mesh):
+    """Test-set evaluation with the reference's result print format (:235-238)."""
+    eval_step = make_classifier_eval_step(model, config.label_smoothing)
+    test_loss, test_acc = _evaluate(eval_step, state_params, test_loader, mesh)
+    print("Test Results:")
+    print(f"Test Loss: {test_loss:.4f}")
+    print(f"Test Accuracy: {test_acc:.2f}%")
+    return {"test_loss": test_loss, "test_acc": test_acc}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_path", type=str, required=True)
+    args = parser.parse_args(argv)
+
+    with open(args.config_path, "r") as f:
+        config = VisionTrainingConfig.from_params(yaml.safe_load(f))
+
+    rng = set_seed(config.seed)
+
+    train_transform = create_transforms(config, is_train=True, seed=config.seed)
+    val_transform = create_transforms(config, is_train=False, seed=config.seed)
+
+    if config.dataset_name == "color":
+        dataset_cls = ColorDataset
+    elif config.dataset_name == "imagenet100":
+        dataset_cls = ImageNetDataset
+    else:
+        raise ValueError(f"Dataset {config.dataset_name} not supported.")
+
+    train_dataset, val_dataset, test_dataset = load_split_datasets(
+        dataset_cls,
+        mapping_dir=config.mapping_path,
+        data_dir=config.data_dir,
+        train_transform=train_transform,
+        val_transform=val_transform,
+    )
+    if hasattr(train_dataset, "num_classes"):
+        config.num_labels = train_dataset.num_classes
+
+    mesh = mesh_for_batch(config.batch_size)
+
+    train_loader = BatchLoader(
+        train_dataset,
+        batch_size=config.batch_size,
+        shuffle=True,
+        drop_last=True,
+        num_workers=config.num_workers,
+        seed=config.seed,
+        prefetch_batches=config.prefetch_factor,
+    )
+    val_loader = BatchLoader(
+        val_dataset, batch_size=config.batch_size, num_workers=config.num_workers,
+        prefetch_batches=config.prefetch_factor,
+    )
+    test_loader = BatchLoader(
+        test_dataset, batch_size=config.batch_size, num_workers=config.num_workers,
+        prefetch_batches=config.prefetch_factor,
+    )
+
+    print(
+        f"Loaded {config.dataset_name} dataset with {len(train_dataset)} train samples, "
+        f"{len(val_dataset)} validation samples, and {len(test_dataset)} test samples."
+    )
+
+    os.makedirs(config.results_dir, exist_ok=True)
+    model = init_model(config)
+    state = run_training(model, train_loader, val_loader, config, mesh, rng)
+
+    print("\n" + "=" * 50)
+    print("FINAL EVALUATION ON TEST SET")
+    print("=" * 50)
+    test_metrics = evaluate_model(model, state.params, test_loader, config, mesh)
+    return test_metrics
+
+
+if __name__ == "__main__":
+    main()

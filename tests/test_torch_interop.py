@@ -1,0 +1,135 @@
+"""Checkpoint interop tests.
+
+The strongest check: HF ViTForImageClassification (torch, random init, built
+locally from config — no network) → convert state dict into our Flax ViT →
+identical logits on the same input.  This validates both the weight-layout
+mapping and the model's numerical parity with the reference's vision tower.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_concept_learning_tpu.checkpoint import (
+    load_torch_state_dict,
+    mllm_params_from_torch,
+    mllm_params_to_torch,
+    save_torch_state_dict,
+    vit_classifier_params_from_torch,
+    vit_classifier_params_to_torch,
+)
+from multimodal_concept_learning_tpu.models import ViTConfig, ViTForImageClassification
+
+
+def _tiny_cfg():
+    return ViTConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        patch_size=8,
+        image_size=32,
+        num_labels=4,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        dtype=jnp.float32,
+    )
+
+
+def test_vit_forward_parity_with_hf():
+    import torch
+    from transformers import ViTConfig as HFViTConfig
+    from transformers import ViTForImageClassification as HFViT
+
+    hf_cfg = HFViTConfig(
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        patch_size=8,
+        image_size=32,
+        num_labels=4,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    hf_model = HFViT(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+
+    cfg = _tiny_cfg()
+    model = ViTForImageClassification(cfg)
+    x = np.random.default_rng(0).normal(size=(2, 3, 32, 32)).astype(np.float32)
+    template = model.init(jax.random.key(0), jnp.asarray(x))
+    params = vit_classifier_params_from_torch(sd, template, patch_size=cfg.patch_size)
+
+    ours = np.asarray(model.apply(params, jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = hf_model(pixel_values=torch.from_numpy(x)).logits.numpy()
+
+    np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)
+
+
+def test_vit_roundtrip(tmp_path):
+    cfg = _tiny_cfg()
+    model = ViTForImageClassification(cfg)
+    x = jnp.zeros((1, 3, 32, 32))
+    params = model.init(jax.random.key(1), x)
+
+    sd = vit_classifier_params_to_torch(jax.device_get(params), cfg.patch_size)
+    path = str(tmp_path / "m.pt")
+    save_torch_state_dict(sd, path)
+    sd2 = load_torch_state_dict(path)
+    params2 = vit_classifier_params_from_torch(sd2, params, cfg.patch_size)
+
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_vit_loads_ddp_wrapped_dict(tmp_path):
+    """The reference's vision best_model.pt carries 'module.'-prefixed keys
+    (DDP-wrapped save, SURVEY quirk); loading must transparently unwrap."""
+    cfg = _tiny_cfg()
+    model = ViTForImageClassification(cfg)
+    params = model.init(jax.random.key(1), jnp.zeros((1, 3, 32, 32)))
+    sd = vit_classifier_params_to_torch(jax.device_get(params), cfg.patch_size)
+    wrapped = {f"module.{k}": v for k, v in sd.items()}
+    params2 = vit_classifier_params_from_torch(wrapped, params, cfg.patch_size)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_mllm_roundtrip_and_key_names(tmp_path):
+    from multimodal_concept_learning_tpu.models import LMConfig, MLLM, MLLMConfig
+
+    vision = _tiny_cfg()
+    lm = dataclasses.replace(LMConfig.preset("nano", vocab_size=300), dtype=jnp.float32)
+    cfg = MLLMConfig(vision=vision, lm=lm, num_vision_tokens=17, max_answer_tokens=4,
+                     dtype=jnp.float32)
+    model = MLLM(cfg)
+    images = jnp.zeros((1, 3, 32, 32))
+    ids = jnp.zeros((1, 17 + 8), dtype=jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.key(0), images, ids, mask)
+
+    sd = mllm_params_to_torch(jax.device_get(params), patch_size=vision.patch_size)
+    # reference-critical key names (token_embedding_analysis.py loads these)
+    assert "language_model.model.embed_tokens.weight" in sd
+    assert sd["language_model.model.embed_tokens.weight"].shape == (300, lm.hidden_size)
+    assert "projector.weight" in sd
+    assert "vision_model.embeddings.cls_token" in sd
+    assert "language_model.model.layers.0.self_attn.q_proj.weight" in sd
+    assert "language_model.model.layers.0.mlp.gate_proj.weight" in sd
+
+    path = str(tmp_path / "mllm.pt")
+    save_torch_state_dict(sd, path)
+    params2 = mllm_params_from_torch(load_torch_state_dict(path), params,
+                                     patch_size=vision.patch_size)
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(params2)[0],
+    ):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, err_msg=str(p1))

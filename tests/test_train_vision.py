@@ -1,0 +1,92 @@
+"""End-to-end vision training: tiny color dataset → CLI main() → checkpoints.
+
+The color generator is the repo's built-in fake-data backend (SURVEY.md §4).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from multimodal_concept_learning_tpu.configs import ColorDatasetConfig
+from multimodal_concept_learning_tpu.data import generate_color_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vis_e2e")
+    config = ColorDatasetConfig.from_params(
+        {
+            "dataset_name": "tiny",
+            "image_size": 32,
+            "colors": [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]],
+            "radius_range": [4, 10],
+            "n_images_per_color": 24,
+            "min_intensity": 0.8,
+            "max_intensity": 1.0,
+            "train_val_test_split": [0.75, 0.125, 0.125],
+            "data_dir": str(root),
+            "seed": 0,
+        }
+    )
+    return generate_color_dataset(config, verbose=False)
+
+
+def test_vision_training_e2e(dataset_dir, tmp_path, capsys):
+    from multimodal_concept_learning_tpu.train.vision_training import main
+
+    results_dir = str(tmp_path / "results")
+    cfg = {
+        "model_name": "vit",
+        "hidden_size": 64,
+        "intermediate_size": 128,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 4,
+        "patch_size": 8,
+        "image_size": 32,
+        "num_labels": 4,
+        "data_dir": dataset_dir,
+        "dataset_name": "color",
+        "mapping_path": dataset_dir,
+        "epochs": 3,
+        "learning_rate": 1e-3,
+        "batch_size": 8,
+        "effective_batch_size": 16,
+        "weight_decay": 0.01,
+        "label_smoothing": 0.1,
+        "num_workers": 2,
+        "results_dir": results_dir,
+        "seed": 0,
+        "disable_wandb": True,
+        "train_transforms": ["ToTensor"],
+        "val_transforms": ["ToTensor"],
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    metrics = main(["--config_path", str(cfg_path)])
+
+    assert np.isfinite(metrics["test_loss"])
+    assert metrics["test_acc"] >= 25.0  # at least chance on 4 balanced classes
+    assert os.path.exists(os.path.join(results_dir, "models", "best_model.pt"))
+    assert os.path.exists(os.path.join(results_dir, "models", "final_model.pt"))
+
+    out = capsys.readouterr().out
+    # reference log format (vision_training.py:185-189)
+    assert "Epoch 1/3 completed in" in out
+    assert "Train Loss:" in out and "Val Loss:" in out
+    assert "FINAL EVALUATION ON TEST SET" in out
+    assert "Test Accuracy:" in out
+
+    # checkpoint is a loadable torch state dict with HF-style keys
+    import torch
+
+    sd = torch.load(
+        os.path.join(results_dir, "models", "final_model.pt"),
+        map_location="cpu",
+        weights_only=True,
+    )
+    assert "vit.embeddings.cls_token" in sd
+    assert "classifier.weight" in sd
+    assert sd["classifier.weight"].shape == (4, 64)
