@@ -70,6 +70,9 @@ class ViTConfig:
     @classmethod
     def preset(cls, name: str, num_labels: int = 0) -> "ViTConfig":
         presets = {
+            # tiny preset for tests / CPU smoke runs
+            "vit-t-8": dict(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                            num_attention_heads=4, patch_size=8),
             "vit-s-16": dict(hidden_size=384, intermediate_size=1536, num_hidden_layers=12,
                              num_attention_heads=6, patch_size=16),
             "vit-b-16": dict(hidden_size=768, intermediate_size=3072, num_hidden_layers=12,

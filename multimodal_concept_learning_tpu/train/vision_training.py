@@ -59,15 +59,20 @@ def init_model(config: VisionTrainingConfig):
 
 
 def _evaluate(eval_step, params, loader, mesh):
+    import jax.numpy as jnp
+
     sharding = batch_sharding(mesh)
-    losses, correct, count = [], 0, 0
+    losses, correct, count = [], [], []
     for batch in prefetch_to_device(loader, sharding):
         m = eval_step(params, batch)
         losses.append(m["loss"])
-        correct += int(m["correct"])
-        count += int(m["count"])
-    loss = float(np.mean([float(x) for x in losses])) if losses else 0.0
-    acc = 100.0 * correct / max(count, 1)
+        correct.append(m["correct"])
+        count.append(m["count"])
+    if not losses:
+        return 0.0, 0.0
+    # single host sync for the whole eval pass
+    loss = float(jnp.stack(losses).mean())
+    acc = 100.0 * float(jnp.stack(correct).sum()) / max(float(jnp.stack(count).sum()), 1.0)
     return loss, acc
 
 
@@ -112,15 +117,17 @@ def run_training(model, train_loader, val_loader, config: VisionTrainingConfig, 
         epoch_start_time = time.time()
         train_loader.set_epoch(epoch)
 
-        losses, correct, count = [], 0, 0
+        import jax.numpy as jnp
+
+        losses, correct, count = [], [], []
         for batch in prefetch_to_device(train_loader, sharding):
             state, m = train_step(state, batch, step_rng)
             losses.append(m["loss"])
-            correct += m["correct"]
-            count += m["count"]
+            correct.append(m["correct"])
+            count.append(m["count"])
 
-        train_loss = float(np.mean([float(x) for x in losses]))
-        train_acc = 100.0 * float(correct) / max(float(count), 1.0)
+        train_loss = float(jnp.stack(losses).mean())
+        train_acc = 100.0 * float(jnp.stack(correct).sum()) / max(float(jnp.stack(count).sum()), 1.0)
 
         val_loss, val_acc = _evaluate(eval_step, state.params, val_loader, mesh)
         epoch_time = time.time() - epoch_start_time

@@ -1,0 +1,131 @@
+"""End-to-end multimodal training on tiny color data with OOD concept tokens.
+
+Exercises the full reference workflow: dataset generation → labels mapping
+with <ood N> tokens → MLLM training (language_embed_only) → reference
+checkpoint layout → final yes/no evaluation — all offline on CPU devices.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from multimodal_concept_learning_tpu.configs import ColorDatasetConfig
+from multimodal_concept_learning_tpu.data import generate_color_dataset
+
+COLORS = [[255, 0, 0], [0, 255, 0], [255, 32, 0], [0, 255, 32]]
+LABELS_MAPPING = {
+    "r255g0b0": "red",
+    "r0g255b0": "green",
+    "r255g32b0": "<ood 1>",
+    "r0g255b32": "<ood 2>",
+}
+
+
+@pytest.fixture(scope="module")
+def mm_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mm_e2e")
+    config = ColorDatasetConfig.from_params(
+        {
+            "dataset_name": "tiny",
+            "image_size": 32,
+            "colors": COLORS,
+            "radius_range": [4, 10],
+            "n_images_per_color": 16,
+            "min_intensity": 0.9,
+            "max_intensity": 1.0,
+            "train_val_test_split": [0.75, 0.125, 0.125],
+            "data_dir": str(root),
+            "seed": 0,
+        }
+    )
+    dataset_dir = generate_color_dataset(config, verbose=False)
+    labels_path = str(root / "labels_mapping.json")
+    with open(labels_path, "w") as f:
+        json.dump(LABELS_MAPPING, f)
+    return dataset_dir, labels_path
+
+
+def test_multimodal_training_e2e(mm_setup, tmp_path, capsys):
+    from multimodal_concept_learning_tpu.train.multimodal_training import main
+
+    dataset_dir, labels_path = mm_setup
+    results_dir = str(tmp_path / "results")
+    cfg = {
+        "mapping_path": os.path.join(dataset_dir, "train_mapping.csv"),
+        "image_root": dataset_dir,
+        "labels_mapping_path": labels_path,
+        "prompt_template": "Is the color of the circle {class_name}?",
+        "dataset_name": "color_multimodal",
+        "vision_model_name": "vit-t-8",
+        "language_model_name": "nano",
+        "num_vision_tokens": 17,  # 32px / patch 8 -> 16 patches + CLS
+        "image_size": 32,
+        "trainable_params_setting": "language_embed_only",
+        "epochs": 2,
+        "batch_size": 8,
+        "effective_batch_size": 16,
+        "learning_rate": 5e-3,
+        "save_every_epoch": True,
+        "results_dir": results_dir,
+        "seed": 0,
+        "num_workers": 2,
+        "train_transforms": ["ToTensor"],
+        "val_transforms": ["ToTensor"],
+        "use_wandb": False,
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    metrics = main(["--config_path", str(cfg_path)])
+    assert np.isfinite(metrics["test_loss"])
+    assert 0.0 <= metrics["test_acc"] <= 100.0
+
+    models_dir = os.path.join(results_dir, "models")
+    # Reference checkpoint layout (multimodal_training.py:103-195)
+    for fname in (
+        "initial_model.pt",
+        "best_model.pt",
+        "epoch_0_model.pt",
+        "epoch_1_model.pt",
+        "training_config.json",
+    ):
+        assert os.path.exists(os.path.join(models_dir, fname)), fname
+    assert os.path.exists(os.path.join(models_dir, "tokenizer", "vocab.json"))
+
+    out = capsys.readouterr().out
+    assert "Trainable params setting: language_embed_only" in out
+    assert "Epoch 1/2 completed in" in out
+    assert "Best Val Loss:" in out
+    assert "FINAL EVALUATION ON VALIDATION SET" in out
+
+    # OOD rows: initial checkpoint embedding has last-2 rows == first-2 rows
+    import torch
+
+    sd = torch.load(
+        os.path.join(models_dir, "initial_model.pt"), map_location="cpu", weights_only=True
+    )
+    emb = sd["language_model.model.embed_tokens.weight"].numpy()
+    np.testing.assert_array_equal(emb[-2:], emb[:2])
+
+    # training moved the OOD rows but not frozen LM rows
+    sd1 = torch.load(
+        os.path.join(models_dir, "epoch_1_model.pt"), map_location="cpu", weights_only=True
+    )
+    emb1 = sd1["language_model.model.embed_tokens.weight"].numpy()
+    assert not np.allclose(emb1[-2:], emb[-2:])  # ood rows trained
+    # attention weights frozen under language_embed_only
+    k = "language_model.model.layers.0.self_attn.q_proj.weight"
+    np.testing.assert_allclose(sd1[k].numpy(), sd[k].numpy(), atol=1e-7)
+
+
+def test_multimodal_unknown_dataset(tmp_path, mm_setup):
+    from multimodal_concept_learning_tpu.train.multimodal_training import main
+
+    dataset_dir, labels_path = mm_setup
+    cfg_path = tmp_path / "bad.yaml"
+    cfg_path.write_text(yaml.safe_dump({"dataset_name": "bogus"}))
+    with pytest.raises(ValueError, match="not supported"):
+        main(["--config_path", str(cfg_path)])
