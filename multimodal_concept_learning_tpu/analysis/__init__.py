@@ -1,0 +1,8 @@
+"""Analysis layer: token-embedding probes re-designed as batched array jobs.
+
+Replaces the reference's per-checkpoint full-model reconstruction + O(n²)
+Python distance loops (src/multimodal/token_embedding_analysis.py:53-124,
+:237-246) with direct embedding-tensor reads from checkpoints and one jitted
+einsum pass for all pairwise distances.  CLI flags, printed sections, and
+output filenames match the reference so downstream tooling is unaffected.
+"""

@@ -1,0 +1,55 @@
+"""2D/3D embedding projection with a dependency fallback chain.
+
+The reference uses umap-learn (token_embedding_analysis.py:330-344); this
+image does not ship it, so the projector prefers UMAP when importable and
+falls back to sklearn PCA (always available) with the identical
+fit/transform API the analysis code needs.  The backend used is printed so
+plots are never silently comparing different projections.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Projector:
+    """fit-on-reference / transform-many projector (UMAP or PCA backend)."""
+
+    def __init__(self, n_components: int = 2, random_state: int = 42, n_neighbors: int = 15):
+        self.n_components = n_components
+        self.random_state = random_state
+        self.n_neighbors = n_neighbors
+        self._impl = None
+        self.backend = None
+
+    def _build(self, n_samples: int):
+        try:  # pragma: no cover - umap not installed in CI image
+            import umap
+
+            self.backend = "umap"
+            return umap.UMAP(
+                n_components=self.n_components,
+                random_state=self.random_state,
+                n_neighbors=min(self.n_neighbors, max(2, n_samples - 1)),
+            )
+        except ImportError:
+            from sklearn.decomposition import PCA
+
+            self.backend = "pca"
+            return PCA(
+                n_components=min(self.n_components, n_samples),
+                random_state=self.random_state,
+            )
+
+    def fit(self, x: np.ndarray) -> "Projector":
+        self._impl = self._build(x.shape[0])
+        print(f"Projection backend: {self.backend}")
+        self._impl.fit(np.asarray(x, dtype=np.float64))
+        return self
+
+    def transform(self, x: np.ndarray) -> np.ndarray:
+        return np.asarray(self._impl.transform(np.asarray(x, dtype=np.float64)))
+
+    def fit_transform(self, x: np.ndarray) -> np.ndarray:
+        self.fit(x)
+        return self.transform(x)

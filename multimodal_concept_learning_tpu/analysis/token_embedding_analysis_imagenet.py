@@ -1,0 +1,394 @@
+"""Token-embedding analysis CLI for ImageNet models.
+
+Parity surface with the reference
+(src/multimodal/token_embedding_analysis_imagenet.py): flags --results_dir
+--output_dir --max_epochs --parent_level --data_dir --epoch (:394-432),
+WordNet hierarchy parsing from the ILSVRC2012 devkit (:44-68), path-to-root
+ancestor coloring at the requested depth with a tab20-family palette
+(:99-151), multi-token concept embeddings as the mean of subword rows
+(:261-286), and six static PNGs — 2D+3D projections for the
+all/regular/ood token subsets at one target epoch, named
+``{epoch}_{label}_umap_{2d,3d}.png`` (:343-377).
+
+TPU re-designs: checkpoints are read directly for the embedding tensor
+(no per-epoch model reconstruction), and the subword mean-pooling is one
+vectorized segment-mean over a padded id matrix instead of a Python loop
+per token.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from collections import Counter
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+from matplotlib import cm
+from matplotlib.lines import Line2D
+
+from multimodal_concept_learning_tpu.analysis.projection import Projector
+from multimodal_concept_learning_tpu.analysis.token_embedding_analysis import (
+    EMBED_KEY,
+    extract_tokens_from_saved_tokenizer,
+)
+from multimodal_concept_learning_tpu.checkpoint import load_torch_state_dict
+from multimodal_concept_learning_tpu.configs import MultimodalTrainingConfig
+from multimodal_concept_learning_tpu.tokenizer import load_tokenizer
+
+FALLBACK_COLOR = "#636363"
+DEFAULT_LEGEND_MAX = 12
+
+
+# -- WordNet hierarchy (parity :44-96) --------------------------------------
+
+
+def load_wordnet_hierarchy(data_dir: str):
+    devkit_dir = os.path.join(data_dir, "ILSVRC2012_devkit_t12", "data")
+    isa_path = os.path.join(devkit_dir, "wordnet.is_a.txt")
+    words_path = os.path.join(devkit_dir, "words.txt")
+
+    parent_to_children: Dict[str, List[str]] = {}
+    child_to_parents: Dict[str, List[str]] = {}
+    with open(isa_path) as f:
+        for line in f:
+            parent, child = line.strip().split()
+            parent_to_children.setdefault(parent, []).append(child)
+            child_to_parents.setdefault(child, []).append(parent)
+
+    wnid_to_name: Dict[str, str] = {}
+    with open(words_path) as f:
+        for line in f:
+            parts = line.strip().split("\t")
+            if not parts:
+                continue
+            wnid_to_name[parts[0]] = " ".join(parts[1:]) if len(parts) > 1 else parts[0]
+
+    return parent_to_children, child_to_parents, wnid_to_name
+
+
+def find_root_nodes(parent_to_children) -> List[str]:
+    all_children = {c for children in parent_to_children.values() for c in children}
+    return [p for p in parent_to_children if p not in all_children]
+
+
+def get_nodes_at_depth(parent_to_children, root_nodes, depth: int) -> List[str]:
+    if depth <= 0:
+        return root_nodes
+    current = list(root_nodes)
+    for _ in range(depth):
+        next_level = [c for node in current for c in parent_to_children.get(node, [])]
+        if not next_level:
+            break
+        current = next_level
+    return current
+
+
+def get_path_to_root(wnid: str, child_to_parents) -> List[str]:
+    path = [wnid]
+    current = wnid
+    while current in child_to_parents and child_to_parents[current]:
+        current = child_to_parents[current][0]
+        path.append(current)
+    return path
+
+
+def build_palette() -> List[str]:
+    qualitative = []
+    for name in ["tab20", "tab20b", "tab20c", "Set3"]:
+        cmap = plt.get_cmap(name)
+        qualitative.extend([cmap(i) for i in range(cmap.N)])
+    return [
+        "#%02x%02x%02x" % (int(r * 255), int(g * 255), int(b * 255))
+        for r, g, b, *_ in qualitative
+    ] or [FALLBACK_COLOR]
+
+
+def get_path_based_colors(
+    token_names, token_to_wnid, parent_to_children, child_to_parents, wnid_to_name, depth
+):
+    """Color each token by its ancestor at ``depth`` (parity :99-151)."""
+    root_nodes = find_root_nodes(parent_to_children)
+    target_nodes = get_nodes_at_depth(parent_to_children, root_nodes, depth) or list(root_nodes)
+
+    palette = build_palette()
+    parent_to_color: Dict[str, str] = {}
+    token_to_parent: Dict[str, str] = {}
+    token_to_color: Dict[str, str] = {}
+    color_index = 0
+
+    def claim_color(parent_id: str) -> str:
+        nonlocal color_index
+        if parent_id not in parent_to_color:
+            parent_to_color[parent_id] = palette[color_index % len(palette)]
+            color_index += 1
+        return parent_to_color[parent_id]
+
+    for node in target_nodes:
+        claim_color(node)
+
+    for token in token_names:
+        wnid = token_to_wnid.get(token)
+        parent_choice = wnid
+        if wnid:
+            path = get_path_to_root(wnid, child_to_parents)
+            parent_choice = next((n for n in path if n in parent_to_color), wnid)
+        if parent_choice is None:
+            parent_choice = token
+        token_to_parent[token] = parent_choice
+        token_to_color[token] = claim_color(parent_choice)
+
+    return token_to_color, token_to_parent, parent_to_color
+
+
+# -- embeddings --------------------------------------------------------------
+
+
+def _sort_epochs(epoch_names: Iterable[str]) -> List[str]:
+    names = list(epoch_names)
+    has_initial = "initial" in names
+    if has_initial:
+        names.remove("initial")
+    names.sort(key=lambda n: int(n.split("_")[1]) if n.startswith("epoch_") else 0)
+    if has_initial:
+        names.insert(0, "initial")
+    return names
+
+
+def load_token_embeddings(results_dir: str, max_epochs: Optional[int] = None):
+    """Direct embedding-tensor reads (+ --max_epochs cap, parity :218-220)."""
+    models_dir = os.path.join(results_dir, "models")
+    config_path = os.path.join(models_dir, "training_config.json")
+    if not os.path.exists(config_path):
+        raise FileNotFoundError(f"Training config not found at {config_path}")
+    with open(config_path) as f:
+        config = MultimodalTrainingConfig.from_params(json.load(f))
+
+    tokenizer_path = os.path.join(models_dir, "tokenizer")
+    if not os.path.exists(tokenizer_path):
+        raise FileNotFoundError(f"Saved tokenizer not found at {tokenizer_path}")
+    tokenizer = load_tokenizer(tokenizer_path)
+    print(f"Loaded tokenizer with vocabulary size {len(tokenizer)}")
+
+    embeddings_by_epoch: Dict[str, np.ndarray] = {}
+    initial_path = os.path.join(models_dir, "initial_model.pt")
+    if os.path.exists(initial_path):
+        embeddings_by_epoch["initial"] = load_torch_state_dict(initial_path)[EMBED_KEY]
+        print(f"Loaded initial embeddings {embeddings_by_epoch['initial'].shape}")
+
+    epoch_files = [
+        f for f in os.listdir(models_dir) if f.startswith("epoch_") and f.endswith("_model.pt")
+    ]
+    epoch_files.sort(key=lambda n: int(n.split("_")[1]))
+    if max_epochs is not None:
+        epoch_files = epoch_files[:max_epochs]
+        print(f"Limiting to {len(epoch_files)} epoch checkpoints")
+
+    for epoch_file in epoch_files:
+        epoch_num = epoch_file.split("_")[1]
+        embeddings_by_epoch[f"epoch_{epoch_num}"] = load_torch_state_dict(
+            os.path.join(models_dir, epoch_file)
+        )[EMBED_KEY]
+        print(f"Loaded epoch {epoch_num} embeddings {embeddings_by_epoch[f'epoch_{epoch_num}'].shape}")
+
+    return embeddings_by_epoch, tokenizer, config
+
+
+def average_embeddings_for_tokens(
+    tokenizer, embeddings_by_epoch: Dict[str, np.ndarray], token_names: List[str]
+) -> Dict[str, np.ndarray]:
+    """Mean of subword-token rows per concept (parity :261-286), vectorized:
+    one padded gather + segment mean instead of a per-token Python loop."""
+    averaged: Dict[str, np.ndarray] = {}
+    if not embeddings_by_epoch:
+        return averaged
+    dim = next(iter(embeddings_by_epoch.values())).shape[1]
+
+    id_lists = [tokenizer.encode(t, add_special_tokens=False) for t in token_names]
+    max_len = max((len(ids) for ids in id_lists), default=1) or 1
+    ids = np.zeros((len(token_names), max_len), dtype=np.int64)
+    mask = np.zeros((len(token_names), max_len), dtype=np.float32)
+    for i, id_list in enumerate(id_lists):
+        ids[i, : len(id_list)] = id_list
+        mask[i, : len(id_list)] = 1.0
+    denom = np.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+
+    for epoch_name, matrix in embeddings_by_epoch.items():
+        if not token_names:
+            averaged[epoch_name] = np.empty((0, dim), dtype=np.float32)
+            continue
+        gathered = np.asarray(matrix)[ids]  # [N, L, H]
+        averaged[epoch_name] = (gathered * mask[:, :, None]).sum(axis=1) / denom
+    return averaged
+
+
+def select_epoch(embeddings_by_epoch, requested_epoch: Optional[str]) -> str:
+    epochs = _sort_epochs(embeddings_by_epoch.keys())
+    if not epochs:
+        raise ValueError("No embedding checkpoints were loaded.")
+    if requested_epoch and requested_epoch in embeddings_by_epoch:
+        return requested_epoch
+    if requested_epoch:
+        print(f"Requested epoch '{requested_epoch}' not found; falling back to final epoch")
+    return epochs[-1]
+
+
+# -- figures ------------------------------------------------------------------
+
+
+def _project(embeddings: np.ndarray, n_components: int) -> np.ndarray:
+    if embeddings.shape[0] < max(3, n_components + 1):
+        raise ValueError("Need more tokens to run the projection for the requested dimensionality.")
+    reducer = Projector(
+        n_components=n_components, random_state=42,
+        n_neighbors=max(2, min(15, embeddings.shape[0] - 1)),
+    )
+    return reducer.fit_transform(embeddings)
+
+
+def add_parent_legend(ax, parents, parent_to_color, wnid_to_name):
+    counts = Counter(parents)
+    handles, labels = [], []
+    for parent, _ in counts.most_common(DEFAULT_LEGEND_MAX):
+        handles.append(
+            Line2D([0], [0], marker="o", color="none",
+                   markerfacecolor=parent_to_color.get(parent, FALLBACK_COLOR), markersize=6)
+        )
+        labels.append(wnid_to_name.get(parent, parent))
+    if handles:
+        ax.legend(handles, labels, title="WordNet parent", loc="best", fontsize=8)
+
+
+def save_umap_figures(
+    label, epoch_name, embeddings, token_names, token_to_color, token_to_parent,
+    parent_to_color, wnid_to_name, output_dir,
+):
+    if embeddings.shape[0] < 3:
+        print(f"Not enough tokens to build {label} projections (need at least 3)")
+        return
+
+    colors = [token_to_color.get(t, FALLBACK_COLOR) for t in token_names]
+    parents = [token_to_parent.get(t, t) for t in token_names]
+
+    for n_components, suffix in ((2, "2d"), (3, "3d")):
+        try:
+            points = _project(embeddings, n_components)
+        except ValueError as err:
+            print(f"  Skipping {suffix.upper()} projection for {label}: {err}")
+            continue
+        path = os.path.join(output_dir, f"{epoch_name}_{label}_umap_{suffix}.png")
+        if n_components == 2:
+            fig, ax = plt.subplots(figsize=(6, 5))
+            ax.scatter(points[:, 0], points[:, 1], c=colors, s=16, alpha=0.9)
+        else:
+            fig = plt.figure(figsize=(6, 5))
+            ax = fig.add_subplot(111, projection="3d")
+            ax.scatter(points[:, 0], points[:, 1], points[:, 2], c=colors, s=16, depthshade=False)
+            ax.set_zlabel("UMAP 3")
+        ax.set_title(f"UMAP {suffix.upper()} ({label}, {epoch_name})")
+        ax.set_xlabel("UMAP 1")
+        ax.set_ylabel("UMAP 2")
+        add_parent_legend(ax, parents, parent_to_color, wnid_to_name)
+        plt.tight_layout()
+        fig.savefig(path, dpi=150)
+        plt.close(fig)
+        print(f"  Saved {path}")
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="Token Embedding Analysis for ImageNet Models")
+    parser.add_argument("--results_dir", type=str, required=True,
+                        help="Path to results directory containing the trained model")
+    parser.add_argument("--output_dir", type=str, default=None,
+                        help="Directory to save output plots (defaults to results_dir/plots)")
+    parser.add_argument("--max_epochs", type=int, default=None,
+                        help="Maximum number of epochs to analyze (None for all epochs)")
+    parser.add_argument("--parent_level", type=int, default=4,
+                        help="WordNet hierarchy level to use for coloring (1=parent, ...)")
+    parser.add_argument("--data_dir", type=str, required=True,
+                        help="Path to ImageNet data directory containing WordNet hierarchy files")
+    parser.add_argument("--epoch", type=str, default=None,
+                        help="Specific epoch to visualise (e.g. 'initial' or 'epoch_10')")
+    args = parser.parse_args(argv)
+
+    if args.output_dir is None:
+        args.output_dir = os.path.join(args.results_dir, "plots")
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    print(f"Loading embeddings from {args.results_dir}")
+    print(f"Saving plots to {args.output_dir}")
+
+    parent_to_children, child_to_parents, wnid_to_name = load_wordnet_hierarchy(args.data_dir)
+    embeddings_by_epoch, tokenizer, config = load_token_embeddings(
+        args.results_dir, args.max_epochs
+    )
+    labels_mapping, ood_tokens, regular_tokens = extract_tokens_from_saved_tokenizer(
+        tokenizer, config
+    )
+
+    print("\n=== Token Overview ===")
+    print(f"Total vocabulary size: {len(tokenizer)}")
+    print(f"Regular tokens selected: {len(regular_tokens)}")
+    print(f"OOD tokens selected: {len(ood_tokens)}")
+
+    ood_embeddings = average_embeddings_for_tokens(tokenizer, embeddings_by_epoch, ood_tokens)
+    regular_embeddings = average_embeddings_for_tokens(
+        tokenizer, embeddings_by_epoch, regular_tokens
+    )
+
+    token_to_wnid = (
+        {token_name: wnid for wnid, token_name in labels_mapping.items()} if labels_mapping else {}
+    )
+
+    print(f"\nAssigning colors using WordNet hierarchy level {args.parent_level}")
+    all_tokens = ood_tokens + regular_tokens
+    token_to_color, token_to_parent, parent_to_color = get_path_based_colors(
+        all_tokens, token_to_wnid, parent_to_children, child_to_parents, wnid_to_name,
+        args.parent_level,
+    )
+
+    if not all_tokens:
+        print("No tokens available to visualise; exiting.")
+        return
+
+    target_epoch = select_epoch(embeddings_by_epoch, args.epoch)
+    print(f"\nTarget epoch for plots: {target_epoch}")
+
+    if ood_tokens and regular_tokens:
+        combined = np.concatenate(
+            [ood_embeddings[target_epoch], regular_embeddings[target_epoch]], axis=0
+        )
+    elif ood_tokens:
+        combined = ood_embeddings[target_epoch]
+    else:
+        combined = regular_embeddings[target_epoch]
+
+    print("\nGenerating projection figures...")
+    common = dict(
+        token_to_color=token_to_color, token_to_parent=token_to_parent,
+        parent_to_color=parent_to_color, wnid_to_name=wnid_to_name,
+        output_dir=args.output_dir, epoch_name=target_epoch,
+    )
+    if combined is not None and combined.shape[0] >= 3:
+        save_umap_figures(label="all_tokens", embeddings=combined, token_names=all_tokens, **common)
+    if regular_tokens and target_epoch in regular_embeddings:
+        save_umap_figures(
+            label="regular_tokens", embeddings=regular_embeddings[target_epoch],
+            token_names=regular_tokens, **common,
+        )
+    if ood_tokens and target_epoch in ood_embeddings:
+        save_umap_figures(
+            label="ood_tokens", embeddings=ood_embeddings[target_epoch],
+            token_names=ood_tokens, **common,
+        )
+
+    print("\nAnalysis complete.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Analysis CLI tests on a synthesized results directory."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_concept_learning_tpu.analysis.token_embedding_analysis import (
+    extract_rgb_from_mapping,
+    main as analysis_main,
+    pairwise_color_and_embedding_distances,
+)
+from multimodal_concept_learning_tpu.checkpoint import save_torch_state_dict
+from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer
+
+LABELS_MAPPING = {
+    "r255g0b0": "red",
+    "r0g255b0": "green",
+    "r0g0b255": "blue",
+    "r255g32b0": "<ood 1>",
+    "r255g64b0": "<ood 2>",
+    "r32g255b0": "<ood 3>",
+}
+
+
+@pytest.fixture()
+def results_dir(tmp_path):
+    """Fabricate a reference-layout results dir with controlled embeddings."""
+    models_dir = tmp_path / "results" / "models"
+    models_dir.mkdir(parents=True)
+
+    tok = ConceptTokenizer()
+    tok.add_tokens([v for v in LABELS_MAPPING.values() if v.startswith("<ood")])
+    tok.save_pretrained(str(models_dir / "tokenizer"))
+
+    labels_path = tmp_path / "labels_mapping.json"
+    labels_path.write_text(json.dumps(LABELS_MAPPING))
+
+    config = {"labels_mapping_path": str(labels_path), "dataset_name": "color_multimodal"}
+    (models_dir / "training_config.json").write_text(json.dumps(config))
+
+    rng = np.random.default_rng(0)
+    V, H = len(tok), 32
+    base = rng.normal(size=(V, H)).astype(np.float32)
+    for name, scale in (("initial_model.pt", 0.0), ("epoch_0_model.pt", 0.5), ("epoch_1_model.pt", 1.0)):
+        emb = base + scale * rng.normal(size=(V, H)).astype(np.float32)
+        save_torch_state_dict({"language_model.model.embed_tokens.weight": emb}, str(models_dir / name))
+    return str(tmp_path / "results")
+
+
+def test_analysis_cli_outputs(results_dir, tmp_path, capsys):
+    out_dir = str(tmp_path / "plots")
+    corr = analysis_main(["--results_dir", results_dir, "--output_dir", out_dir])
+
+    assert np.isfinite(corr) and -1.0 <= corr <= 1.0
+    for fname in (
+        "token_embeddings_umap.png",
+        "token_embeddings_3d_umap.html",
+        "regular_tokens_umap.png",
+    ):
+        assert os.path.exists(os.path.join(out_dir, fname)), fname
+
+    out = capsys.readouterr().out
+    assert "=== FINAL CORRELATION RESULT ===" in out
+    assert "Pearson correlation coefficient:" in out
+    assert "Loaded epoch 1 embeddings" in out
+
+
+def test_rgb_parsing():
+    assert extract_rgb_from_mapping(LABELS_MAPPING, "red") == (1.0, 0.0, 0.0)
+    assert extract_rgb_from_mapping(LABELS_MAPPING, "<ood 1>") == (1.0, 32 / 255.0, 0.0)
+    assert extract_rgb_from_mapping(LABELS_MAPPING, "nope") == (0.5, 0.5, 0.5)
+
+
+def test_vectorized_distances_match_naive_loop():
+    rng = np.random.default_rng(1)
+    n, h = 12, 16
+    rgb = rng.random((n, 3))
+    emb = rng.normal(size=(n, h)).astype(np.float32)
+
+    color_d, embed_d = pairwise_color_and_embedding_distances(rgb, emb)
+
+    # reference-style O(n^2) loop (token_embedding_analysis.py:237-246)
+    exp_color, exp_embed = [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            exp_color.append(np.abs(rgb[i] - rgb[j]).sum())
+            a, b = emb[i].astype(np.float64), emb[j].astype(np.float64)
+            cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+            exp_embed.append(1 - cos)
+
+    np.testing.assert_allclose(color_d, exp_color, rtol=1e-6)
+    np.testing.assert_allclose(embed_d, exp_embed, rtol=1e-6, atol=1e-7)

@@ -1,0 +1,215 @@
+"""ImageNet builder + analysis tests on a fabricated miniature devkit."""
+
+import csv
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+# mini WordNet: root n00 -> {n01 animal, n02 vehicle}; leaves under each
+HIERARCHY = [
+    ("n00000001", "n00000002"),  # root -> animal
+    ("n00000001", "n00000003"),  # root -> vehicle
+    ("n00000002", "n01000001"),  # animal -> dog
+    ("n00000002", "n01000002"),  # animal -> cat
+    ("n00000003", "n02000001"),  # vehicle -> car
+    ("n00000003", "n02000002"),  # vehicle -> truck
+]
+WORDS = {
+    "n00000001": "entity",
+    "n00000002": "animal, animate being",
+    "n00000003": "vehicle",
+    "n01000001": "dog, domestic dog, Canis familiaris",
+    "n01000002": "cat, true cat",
+    "n02000001": "car, auto, automobile",
+    "n02000002": "truck, motortruck",
+}
+LEAVES = ["n01000001", "n01000002", "n02000001", "n02000002"]
+
+
+@pytest.fixture(scope="module")
+def devkit(tmp_path_factory):
+    root = tmp_path_factory.mktemp("imagenet")
+    data = root / "ILSVRC2012_devkit_t12" / "data"
+    data.mkdir(parents=True)
+
+    with open(data / "words.txt", "w") as f:
+        for wnid, name in WORDS.items():
+            f.write(f"{wnid}\t{name}\n")
+    with open(data / "wordnet.is_a.txt", "w") as f:
+        for parent, child in HIERARCHY:
+            f.write(f"{parent} {child}\n")
+
+    import scipy.io
+
+    dt = np.dtype([("ILSVRC2012_ID", "O"), ("WNID", "O")])
+    synsets = np.zeros((len(LEAVES), 1), dtype=dt)
+    for i, wnid in enumerate(LEAVES):
+        synsets[i, 0] = (np.array([[i + 1]]), np.array([wnid]))
+    scipy.io.savemat(str(data / "meta.mat"), {"synsets": synsets})
+
+    img = Image.new("RGB", (8, 8), (100, 150, 200))
+    for wnid in LEAVES:
+        d = root / "train" / wnid
+        d.mkdir(parents=True)
+        for j in range(6):
+            img.save(d / f"{wnid}_{j}.JPEG")
+
+    val = root / "val"
+    val.mkdir()
+    gts = []
+    for j in range(8):
+        img.save(val / f"ILSVRC2012_val_{j:08d}.JPEG")
+        gts.append((j % len(LEAVES)) + 1)  # ILSVRC ids 1..4 round robin
+    with open(data / "ILSVRC2012_validation_ground_truth.txt", "w") as f:
+        f.write("\n".join(map(str, gts)) + "\n")
+
+    return str(root)
+
+
+def test_descendant_collection(devkit):
+    from multimodal_concept_learning_tpu.data.imagenet_builder import (
+        get_all_imagenet1k_descendants,
+        load_imagenet1k_wnids,
+        load_parent_child_relationships,
+    )
+
+    p2c = load_parent_child_relationships(devkit)
+    wnids = load_imagenet1k_wnids(devkit)
+    assert wnids == set(LEAVES)
+    # internal node -> its ImageNet-1K leaves
+    assert get_all_imagenet1k_descendants("n00000002", p2c, wnids) == ["n01000001", "n01000002"]
+    # leaf -> itself
+    assert get_all_imagenet1k_descendants("n01000001", p2c, wnids) == ["n01000001"]
+
+
+def test_build_dataset_csvs(devkit, tmp_path):
+    from multimodal_concept_learning_tpu.configs import ImageNetDatasetConfig
+    from multimodal_concept_learning_tpu.data.imagenet_builder import build_dataset
+
+    config = ImageNetDatasetConfig.from_params(
+        {
+            "data_dir": devkit,
+            "output_dir": str(tmp_path / "out"),
+            "dataset_name": "mini",
+            "target_synsets": ["n00000002", "n00000003"],  # internal nodes
+            "per_class_train": 6,
+            "per_class_val": 2,
+            "per_class_test": 2,
+            "allow_shortfall": True,
+            "seed": 0,
+        }
+    )
+    out_dir = build_dataset(config)
+
+    with open(os.path.join(out_dir, "train_mapping.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert {r["target_synset"] for r in rows} == {"n00000002", "n00000003"}
+    # class_name = first comma-segment of WordNet name
+    names = {r["target_synset"]: r["class_name"] for r in rows}
+    assert names["n00000002"] == "animal"
+    assert names["n00000003"] == "vehicle"
+    # image paths are relative to the base data dir
+    assert all(r["image_path"].startswith("train/") for r in rows)
+
+    with open(os.path.join(out_dir, "test_mapping.csv")) as f:
+        test_rows = list(csv.DictReader(f))
+    assert all(r["image_path"].startswith("val/") for r in test_rows)
+    assert len(test_rows) == 4  # 2 per class
+
+
+def test_shortfall_raises(devkit, tmp_path):
+    from multimodal_concept_learning_tpu.configs import ImageNetDatasetConfig
+    from multimodal_concept_learning_tpu.data.imagenet_builder import build_dataset
+
+    config = ImageNetDatasetConfig.from_params(
+        {
+            "data_dir": devkit,
+            "output_dir": str(tmp_path / "out"),
+            "dataset_name": "mini",
+            "target_synsets": ["n00000002"],
+            "per_class_train": 500,
+            "per_class_val": 2,
+            "per_class_test": 2,
+            "allow_shortfall": False,
+            "seed": 0,
+        }
+    )
+    with pytest.raises(ValueError, match="Not enough images"):
+        build_dataset(config)
+
+
+def test_imagenet1k_configs_cli(devkit, tmp_path, capsys):
+    from multimodal_concept_learning_tpu.data.imagenet_configs import main
+
+    config_path, labels_path = main(
+        [
+            "--data_dir", devkit,
+            "--dataset_name", "mini1k",
+            "--num_ood", "2",
+            "--seed", "7",
+            "--output_root", str(tmp_path),
+        ]
+    )
+    with open(labels_path) as f:
+        mapping = json.load(f)
+    assert len(mapping) == 4
+    ood = [v for v in mapping.values() if v.startswith("<ood_")]
+    assert len(ood) == 2
+    # semantic first-names
+    semantic = [v for v in mapping.values() if not v.startswith("<ood")]
+    assert all("," not in v for v in semantic)
+
+    import yaml
+
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    assert cfg["target_synsets"] == LEAVES
+    assert cfg["allow_shortfall"] is True
+
+
+def test_imagenet_analysis_cli(devkit, tmp_path, capsys):
+    from multimodal_concept_learning_tpu.analysis.token_embedding_analysis_imagenet import main
+    from multimodal_concept_learning_tpu.checkpoint import save_torch_state_dict
+    from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer
+
+    labels_mapping = {
+        "n01000001": "dog",
+        "n01000002": "cat",
+        "n02000001": "<ood_car>",
+        "n02000002": "truck",
+    }
+    labels_path = tmp_path / "labels.json"
+    labels_path.write_text(json.dumps(labels_mapping))
+
+    models_dir = tmp_path / "results" / "models"
+    models_dir.mkdir(parents=True)
+    tok = ConceptTokenizer()
+    tok.add_tokens(["<ood_car>"])
+    tok.save_pretrained(str(models_dir / "tokenizer"))
+    (models_dir / "training_config.json").write_text(
+        json.dumps({"labels_mapping_path": str(labels_path)})
+    )
+    rng = np.random.default_rng(0)
+    for name in ("initial_model.pt", "epoch_0_model.pt"):
+        save_torch_state_dict(
+            {"language_model.model.embed_tokens.weight": rng.normal(size=(len(tok), 16)).astype(np.float32)},
+            str(models_dir / name),
+        )
+
+    out_dir = str(tmp_path / "plots")
+    main(
+        [
+            "--results_dir", str(tmp_path / "results"),
+            "--output_dir", out_dir,
+            "--data_dir", devkit,
+            "--parent_level", "1",
+        ]
+    )
+    # all-tokens figures exist (regular/ood subsets are too small: <3 tokens)
+    assert os.path.exists(os.path.join(out_dir, "epoch_0_all_tokens_umap_2d.png"))
+    assert os.path.exists(os.path.join(out_dir, "epoch_0_all_tokens_umap_3d.png"))
+    out = capsys.readouterr().out
+    assert "Assigning colors using WordNet hierarchy level 1" in out
