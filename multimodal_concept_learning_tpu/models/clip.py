@@ -144,7 +144,7 @@ class CLIPModel(nn.Module):
     def __call__(self, images, input_ids, attention_mask=None):
         img = self.encode_image(images)
         txt = self.encode_text(input_ids, attention_mask)
-        scale = jnp.exp(jnp.clip(self.logit_scale, a_max=jnp.log(100.0)))
+        scale = jnp.exp(jnp.clip(self.logit_scale, max=jnp.log(100.0)))
         return img, txt, scale
 
 

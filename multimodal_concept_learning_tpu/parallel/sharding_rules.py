@@ -1,0 +1,79 @@
+"""Parameter sharding rules for N-D meshes (data + model axes).
+
+The reference is data-parallel only (SURVEY.md C22); these rules extend the
+framework to Megatron-style tensor parallelism for the scaled bench config:
+- LM embedding + tied head: vocab dimension sharded over ``model``
+- LM MLP: gate/up column-parallel, down row-parallel
+- LM attention: q/k/v head-sharded, o row-parallel
+- ViT MLP: intermediate column-parallel, output row-parallel
+
+A dimension is only sharded when its size divides the mesh axis (e.g. a
+single-KV-head GQA projection stays replicated on a 2-way model axis).
+XLA GSPMD inserts the psums/all-gathers implied by the layout over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _keys(path):
+    return [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+
+
+def _maybe(spec_dims, shape, mesh: Mesh, model_axis: str):
+    """Zero out sharded dims that don't divide the mesh axis size."""
+    axis_size = mesh.shape[model_axis]
+    out = []
+    for dim, s in zip(spec_dims, shape):
+        if dim == model_axis and s % axis_size != 0:
+            out.append(None)
+        else:
+            out.append(dim)
+    return P(*out)
+
+
+def mllm_param_spec(path, x, mesh: Mesh, model_axis: str = "model") -> P:
+    """PartitionSpec for one MLLM/CLIP/ViT parameter."""
+    if model_axis not in mesh.axis_names or mesh.shape[model_axis] == 1:
+        return P()
+    keys = _keys(path)
+    shape = x.shape
+
+    if "embed_tokens" in keys and "embedding" in keys:
+        return _maybe([model_axis, None], shape, mesh, model_axis)
+    if any(k in keys for k in ("gate_proj", "up_proj")):
+        return _maybe([None, model_axis], shape, mesh, model_axis)
+    if "down_proj" in keys:
+        return _maybe([model_axis, None], shape, mesh, model_axis)
+    if any(k in keys for k in ("q_proj", "k_proj", "v_proj")):
+        return _maybe([None, model_axis, None], shape, mesh, model_axis)
+    if "o_proj" in keys:
+        return _maybe([model_axis, None, None], shape, mesh, model_axis)
+    # ViT MLP (named intermediate/output inside layer_i)
+    if "intermediate" in keys and keys[-1] == "kernel":
+        return _maybe([None, model_axis], shape, mesh, model_axis)
+    if "intermediate" in keys and keys[-1] == "bias":
+        return _maybe([model_axis], shape, mesh, model_axis)
+    if "output" in keys and "attention" not in keys and keys[-1] == "kernel" and len(shape) == 2:
+        return _maybe([model_axis, None], shape, mesh, model_axis)
+    return P()
+
+
+def shard_params(params, mesh: Mesh, model_axis: str = "model"):
+    """device_put a param tree according to the TP rules (replicated over data)."""
+    def put(path, x):
+        spec = mllm_param_spec(path, x, mesh, model_axis)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, params)
+
+
+def param_shardings(params, mesh: Mesh, model_axis: str = "model"):
+    """The NamedSharding tree matching shard_params (for jit in_shardings)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: NamedSharding(mesh, mllm_param_spec(path, x, mesh, model_axis)), params
+    )

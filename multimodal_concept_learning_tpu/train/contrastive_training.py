@@ -1,0 +1,219 @@
+"""CLIP-style contrastive training CLI (framework extension).
+
+No reference counterpart exists (the reference is classification + MLLM
+only); this trainer realizes the benchmark flagship workload from
+BASELINE.json — "CLIP-style ViT-B/32 + text encoder contrastive training on
+concept image-caption pairs" — with the same config/CLI conventions as the
+other trainers (``--config_path`` YAML → ContrastiveTrainingConfig).
+
+Under jit the symmetric InfoNCE is computed on the globally sharded batch:
+XLA GSPMD inserts the all-gathers for the [B, B] similarity matrix over the
+data mesh, which is exactly the large-global-batch CLIP recipe over ICI.
+
+Evaluation: zero-shot classification of the val/test split — each class's
+caption is embedded once, images are classified by nearest caption.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import yaml
+
+from multimodal_concept_learning_tpu.checkpoint import save_checkpoint
+from multimodal_concept_learning_tpu.configs import ContrastiveTrainingConfig
+from multimodal_concept_learning_tpu.data import (
+    BatchLoader,
+    ColorDataset,
+    create_transforms,
+    load_split_datasets,
+    prefetch_to_device,
+)
+from multimodal_concept_learning_tpu.data.clip_collator import ClipCollator
+from multimodal_concept_learning_tpu.models import CLIPConfig, CLIPModel
+from multimodal_concept_learning_tpu.models.clip import contrastive_loss
+from multimodal_concept_learning_tpu.parallel import batch_sharding, build_optimizer
+from multimodal_concept_learning_tpu.parallel.optimizer import linear_warmup_schedule
+from multimodal_concept_learning_tpu.parallel.train_step import TrainState
+from multimodal_concept_learning_tpu.tokenizer import load_tokenizer
+from multimodal_concept_learning_tpu.train.common import mesh_for_batch
+from multimodal_concept_learning_tpu.utils import MetricsLogger, set_seed
+
+
+def make_clip_train_step(model, tx):
+    def step(state: TrainState, batch, rng):
+        def loss_fn(params):
+            img, txt, scale = model.apply(
+                {"params": params}, batch["images"], batch["input_ids"], batch["attention_mask"]
+            )
+            return contrastive_loss(img, txt, scale)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), {"loss": loss}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_zero_shot_step(model):
+    def step(params, batch, class_features):
+        img = model.apply({"params": params}, batch["images"], method=CLIPModel.encode_image)
+        sims = img @ class_features.T  # [B, C]
+        preds = jnp.argmax(sims, axis=-1)
+        valid = batch["valid"]
+        correct = ((preds == batch["labels"]) & valid).sum()
+        return correct, valid.sum()
+
+    return jax.jit(step)
+
+
+def run_training(model, tokenizer, train_loader, config: ContrastiveTrainingConfig, mesh, rng):
+    total_updates = max(
+        1, (len(train_loader) * config.epochs) // max(1, config.effective_batch_size // config.batch_size)
+    )
+    schedule = linear_warmup_schedule(config.learning_rate, config.warmup_steps, total_updates)
+    tx = build_optimizer(
+        schedule,
+        weight_decay=config.weight_decay,
+        max_grad_norm=config.max_grad_norm,
+        accumulation_steps=config.effective_batch_size // config.batch_size,
+    )
+
+    sample = next(iter(train_loader))
+    params = jax.jit(model.init)(
+        rng,
+        jnp.asarray(sample["images"][:1]),
+        jnp.asarray(sample["input_ids"][:1]),
+        jnp.asarray(sample["attention_mask"][:1]),
+    )["params"]
+    state = TrainState.create(params, tx)
+    train_step = make_clip_train_step(model, tx)
+
+    logger = MetricsLogger(
+        enabled=True, use_wandb=config.use_wandb, wandb_project=config.wandb_project,
+        wandb_run_name=config.wandb_run_name or config.run_name, wandb_config=vars(config),
+    )
+
+    sharding = batch_sharding(mesh)
+    step_rng = jax.random.fold_in(rng, 3)
+    os.makedirs(config.results_dir, exist_ok=True)
+
+    for epoch in range(config.epochs):
+        t0 = time.time()
+        train_loader.set_epoch(epoch)
+        losses = []
+        for batch in prefetch_to_device(train_loader, sharding):
+            state, m = train_step(state, batch, step_rng)
+            losses.append(m["loss"])
+        train_loss = float(jnp.stack(losses).mean()) if losses else 0.0
+        epoch_time = time.time() - t0
+        metrics = {
+            "epoch": epoch + 1,
+            "train_loss": train_loss,
+            "epoch_time": epoch_time,
+        }
+        print(
+            f"Epoch {epoch + 1}/{config.epochs} completed in {epoch_time:.2f}s | "
+            f"Train Loss: {train_loss:.4f}"
+        )
+        logger.log(metrics)
+
+    save_checkpoint(os.path.join(config.results_dir, "checkpoints"), state.params, int(state.step))
+    logger.finish()
+    return state
+
+
+def zero_shot_eval(model, params, tokenizer, loader, class_names, collator, mesh):
+    """Zero-shot accuracy: nearest caption embedding per class."""
+    cap_ids, cap_masks = [], []
+    for name in class_names:
+        arr, mask = collator.caption_ids(name)
+        cap_ids.append(arr)
+        cap_masks.append(mask)
+    class_features = model.apply(
+        {"params": params},
+        jnp.asarray(np.stack(cap_ids)),
+        jnp.asarray(np.stack(cap_masks)),
+        method=CLIPModel.encode_text,
+    )
+
+    step = make_zero_shot_step(model)
+    sharding = batch_sharding(mesh)
+    correct, total = 0, 0
+    for batch in prefetch_to_device(loader, sharding):
+        c, n = step(params, batch, class_features)
+        correct += int(c)
+        total += int(n)
+    acc = 100.0 * correct / max(total, 1)
+    print(f"Zero-shot accuracy: {acc:.2f}% ({correct}/{total})")
+    return acc
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_path", type=str, required=True)
+    args = parser.parse_args(argv)
+
+    with open(args.config_path) as f:
+        config = ContrastiveTrainingConfig.from_params(yaml.safe_load(f))
+
+    rng = set_seed(config.seed)
+    tokenizer = load_tokenizer("concept-tokenizer")
+
+    train_transform = create_transforms(config, is_train=True, seed=config.seed)
+    val_transform = create_transforms(config, is_train=False, seed=config.seed)
+
+    mapping_dir = os.path.dirname(config.mapping_path)
+    train_dataset, val_dataset, test_dataset = load_split_datasets(
+        ColorDataset, mapping_dir=mapping_dir, data_dir=config.image_root,
+        train_transform=train_transform, val_transform=val_transform, return_synset=True,
+    )
+    class_names = train_dataset.unique_labels
+    label_to_idx = {n: i for i, n in enumerate(class_names)}
+    print(
+        f"Loaded contrastive dataset with {len(train_dataset)} train / "
+        f"{len(val_dataset)} val / {len(test_dataset)} test pairs, "
+        f"{len(class_names)} concepts"
+    )
+
+    collator = ClipCollator(tokenizer, config.caption_template, config.context_length)
+
+    model_config = CLIPConfig.create(
+        vocab_size=len(tokenizer),
+        vision_preset=config.vision_model_name,
+        image_size=config.image_size,
+        text_width=config.text_width,
+        text_layers=config.text_layers,
+        text_heads=config.text_heads,
+        context_length=config.context_length,
+        embed_dim=config.embed_dim,
+    )
+    model = CLIPModel(model_config)
+
+    mesh = mesh_for_batch(config.batch_size)
+    train_loader = BatchLoader(
+        train_dataset, batch_size=config.batch_size, shuffle=True, drop_last=True,
+        collate_fn=collator, seed=config.seed,
+    )
+    state = run_training(model, tokenizer, train_loader, config, mesh, rng)
+
+    # Zero-shot eval on test split with classification-style labels.
+    def eval_collate(batch):
+        images = np.stack([b[0] for b in batch]).astype(np.float32)
+        labels = np.asarray([label_to_idx[b[1]] for b in batch], dtype=np.int32)
+        return {"images": images, "labels": labels}
+
+    test_loader = BatchLoader(test_dataset, batch_size=config.batch_size, collate_fn=eval_collate)
+    acc = zero_shot_eval(model, state.params, tokenizer, test_loader, class_names, collator, mesh)
+    return {"zero_shot_acc": acc}
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Distributed-path tests on the 8-virtual-device CPU mesh.
+
+Exercises the pjit/GSPMD paths the reference delegated to DDP (SURVEY.md
+C21/C22): data-parallel gradient equivalence, gradient accumulation
+semantics, and 2-D data+model sharding of the MLLM.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_concept_learning_tpu.models import LMConfig, MLLM, MLLMConfig, ViTConfig
+from multimodal_concept_learning_tpu.parallel import (
+    batch_sharding,
+    build_optimizer,
+    make_mllm_train_step,
+    make_classifier_train_step,
+)
+from multimodal_concept_learning_tpu.parallel.mesh import make_mesh, shard_batch
+from multimodal_concept_learning_tpu.parallel.sharding_rules import (
+    param_shardings,
+    shard_params,
+)
+from multimodal_concept_learning_tpu.parallel.train_step import TrainState
+
+VOCAB = 256
+
+
+def tiny_mllm():
+    vision = ViTConfig(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                       num_attention_heads=4, patch_size=8, image_size=32,
+                       num_labels=0, dtype=jnp.float32)
+    lm = dataclasses.replace(LMConfig.preset("nano", vocab_size=VOCAB), dtype=jnp.float32)
+    return MLLMConfig(vision=vision, lm=lm, num_vision_tokens=17, max_answer_tokens=4,
+                      dtype=jnp.float32)
+
+
+def _batch(cfg, batch=8, text_len=16, seed=0):
+    rng = np.random.default_rng(seed)
+    nvt = cfg.num_vision_tokens
+    T = nvt + text_len
+    images = rng.normal(size=(batch, 3, 32, 32)).astype(np.float32)
+    input_ids = np.zeros((batch, T), dtype=np.int32)
+    input_ids[:, nvt:] = rng.integers(4, VOCAB - 4, size=(batch, text_len))
+    attention_mask = np.ones((batch, T), dtype=np.int32)
+    labels = np.full((batch, T), -100, dtype=np.int32)
+    labels[:, nvt + 5] = input_ids[:, nvt + 5]
+    labels[:, nvt + 6] = input_ids[:, nvt + 6]
+    return {
+        "images": images, "input_ids": input_ids,
+        "attention_mask": attention_mask, "labels": labels,
+    }
+
+
+def test_data_parallel_matches_single_device(eight_devices):
+    cfg = tiny_mllm()
+    model = MLLM(cfg)
+    batch = _batch(cfg)
+    init_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.key(0), init_batch["images"], init_batch["input_ids"],
+                        init_batch["attention_mask"], init_batch["labels"])["params"]
+
+    tx = build_optimizer(1e-2, weight_decay=0.0, max_grad_norm=1.0)
+    step = make_mllm_train_step(model, tx)
+
+    clone = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # steps donate buffers
+
+    # single device
+    s1 = TrainState.create(clone(params), tx)
+    s1, m1 = step(s1, init_batch, jax.random.key(1))
+
+    # 8-device data parallel
+    mesh = make_mesh(eight_devices)
+    sharded_batch = shard_batch(batch, mesh)
+    s8 = TrainState.create(clone(params), tx)
+    s8, m8 = step(s8, sharded_batch, jax.random.key(1))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    # cross-device psum reduction order differs from single-device summation;
+    # tolerance covers that float noise only
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_gradient_accumulation_equivalence():
+    """2 micro-batches with MultiSteps == 1 full batch (reference
+    effective_batch_size semantics, multimodal_training.py:330-331)."""
+    cfg = tiny_mllm()
+    model = MLLM(cfg)
+    full = _batch(cfg, batch=8)
+    init_batch = {k: jnp.asarray(v) for k, v in full.items()}
+    params = model.init(jax.random.key(0), init_batch["images"], init_batch["input_ids"],
+                        init_batch["attention_mask"], init_batch["labels"])["params"]
+
+    # SGD so averaging semantics are directly comparable
+    import optax
+
+    clone = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # steps donate buffers
+    tx_full = optax.sgd(0.1)
+    step_full = make_mllm_train_step(model, tx_full)
+    s_full = TrainState.create(clone(params), tx_full)
+    s_full, _ = step_full(s_full, init_batch, jax.random.key(1))
+
+    tx_acc = optax.MultiSteps(optax.sgd(0.1), every_k_schedule=2)
+    step_acc = make_mllm_train_step(model, tx_acc)
+    s_acc = TrainState.create(clone(params), tx_acc)
+    half1 = {k: jnp.asarray(v[:4]) for k, v in full.items()}
+    half2 = {k: jnp.asarray(v[4:]) for k, v in full.items()}
+    s_acc, _ = step_acc(s_acc, half1, jax.random.key(1))
+    s_acc, _ = step_acc(s_acc, half2, jax.random.key(1))
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_full.params), jax.tree_util.tree_leaves(s_acc.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_2d_mesh_tensor_parallel(eight_devices):
+    """4x2 data x model mesh: TP-sharded params produce the same loss."""
+    cfg = tiny_mllm()
+    model = MLLM(cfg)
+    batch = _batch(cfg, batch=8)
+    init_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.key(0), init_batch["images"], init_batch["input_ids"],
+                        init_batch["attention_mask"], init_batch["labels"])["params"]
+
+    def loss_fn(p, b):
+        return model.apply({"params": p}, b["images"], b["input_ids"],
+                           b["attention_mask"], b["labels"])["loss"]
+
+    ref = float(jax.jit(loss_fn)(params, init_batch))
+
+    mesh = make_mesh(eight_devices, axis_names=("data", "model"), shape=(4, 2))
+    sp = shard_params(params, mesh)
+    # verify something actually got sharded over the model axis
+    specs = param_shardings(params, mesh)
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    model_sharded = [
+        jax.tree_util.keystr(p) for p, s in flat if "model" in str(s.spec)
+    ]
+    assert any("embed_tokens" in p for p in model_sharded)
+    assert any("gate_proj" in p for p in model_sharded)
+
+    sb = shard_batch(batch, mesh, axis="data")
+    got = float(jax.jit(loss_fn)(sp, sb))
+    np.testing.assert_allclose(ref, got, rtol=1e-5)
+
+
+def test_classifier_step_runs_sharded(eight_devices):
+    from multimodal_concept_learning_tpu.models import ViTForImageClassification
+
+    cfg = ViTConfig(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                    num_attention_heads=4, patch_size=8, image_size=32,
+                    num_labels=4, dtype=jnp.float32)
+    model = ViTForImageClassification(cfg)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 3, 32, 32)))["params"]
+    tx = build_optimizer(1e-3, weight_decay=0.0, max_grad_norm=1.0)
+    step = make_classifier_train_step(model, tx)
+    state = TrainState.create(params, tx)
+
+    mesh = make_mesh(eight_devices)
+    batch = shard_batch(
+        {
+            "images": np.random.default_rng(0).normal(size=(16, 3, 32, 32)).astype(np.float32),
+            "labels": np.arange(16, dtype=np.int32) % 4,
+        },
+        mesh,
+    )
+    state, m = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
+    assert int(m["count"]) == 16

@@ -1,0 +1,67 @@
+"""End-to-end CLIP contrastive training on tiny color data."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from multimodal_concept_learning_tpu.configs import ColorDatasetConfig
+from multimodal_concept_learning_tpu.data import generate_color_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("clip_e2e")
+    config = ColorDatasetConfig.from_params(
+        {
+            "dataset_name": "tiny",
+            "image_size": 32,
+            "colors": [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]],
+            "radius_range": [4, 10],
+            "n_images_per_color": 20,
+            "train_val_test_split": [0.7, 0.15, 0.15],
+            "data_dir": str(root),
+            "seed": 0,
+        }
+    )
+    return generate_color_dataset(config, verbose=False)
+
+
+def test_contrastive_training_e2e(dataset_dir, tmp_path, capsys):
+    from multimodal_concept_learning_tpu.train.contrastive_training import main
+
+    results_dir = str(tmp_path / "results")
+    cfg = {
+        "mapping_path": os.path.join(dataset_dir, "train_mapping.csv"),
+        "image_root": dataset_dir,
+        "caption_template": "a circle of color {class_name}",
+        "vision_model_name": "vit-t-8",
+        "image_size": 32,
+        "text_width": 64,
+        "text_layers": 2,
+        "text_heads": 4,
+        "context_length": 32,
+        "embed_dim": 32,
+        "epochs": 3,
+        "batch_size": 8,
+        "effective_batch_size": 8,
+        "learning_rate": 1e-3,
+        "warmup_steps": 2,
+        "results_dir": results_dir,
+        "seed": 0,
+        "train_transforms": ["ToTensor"],
+        "val_transforms": ["ToTensor"],
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    metrics = main(["--config_path", str(cfg_path)])
+    assert 0.0 <= metrics["zero_shot_acc"] <= 100.0
+
+    out = capsys.readouterr().out
+    assert "Epoch 1/3 completed in" in out
+    assert "Zero-shot accuracy:" in out
+    # orbax checkpoint written
+    ckpts = os.listdir(os.path.join(results_dir, "checkpoints"))
+    assert any(c.startswith("step_") for c in ckpts)
