@@ -1,0 +1,145 @@
+"""Benchmark harness: images/sec/chip fwd+bwd on CLIP ViT-B/32 contrastive.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.json primary metric): CLIP-style ViT-B/32 image tower +
+12-layer/512-wide text tower (context 77, vocab 49408 — OpenAI-CLIP-base
+geometry), symmetric InfoNCE, full training step (fwd + bwd + AdamW update),
+bf16 compute / fp32 params, synthetic device-resident batch.
+
+Measurement: the step is jit-compiled with donated state and ``inner`` steps
+are fused into one executable via lax.scan so per-dispatch latency (large on
+tunneled dev setups) cannot pollute the number; timing covers ``repeats``
+scanned calls after a warmup call, fenced by block_until_ready.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md).  The divisor
+is a documented estimate of the PyTorch reference stack on its actual
+hardware: CLIP ViT-B/32 contrastive fwd+bwd on one RTX 3090 with AMP
+typically lands near 1000 images/sec/GPU (≈14.6 GFLOP/pair at ~20-30% MFU),
+so vs_baseline = value / 1000.0 compares per-chip against per-GPU.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from multimodal_concept_learning_tpu.models import CLIPConfig, CLIPModel
+from multimodal_concept_learning_tpu.models.clip import contrastive_loss
+from multimodal_concept_learning_tpu.parallel.train_step import TrainState
+
+BASELINE_IMG_PER_SEC_PER_GPU = 1000.0  # documented estimate, see module docstring
+
+BATCH = 512
+INNER = 10  # train steps fused per device call
+REPEATS = 5
+IMAGE_SIZE = 224
+CONTEXT = 77
+VOCAB = 49408
+
+
+def build():
+    config = CLIPConfig.create(
+        vocab_size=VOCAB,
+        vision_preset="vit-b-32",
+        image_size=IMAGE_SIZE,
+        text_width=512,
+        text_layers=12,
+        text_heads=8,
+        context_length=CONTEXT,
+        embed_dim=512,
+    )
+    model = CLIPModel(config)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(BATCH, 3, IMAGE_SIZE, IMAGE_SIZE)).astype(np.float32))
+    input_ids = jnp.asarray(rng.integers(0, VOCAB, size=(BATCH, CONTEXT)).astype(np.int32))
+    attention_mask = jnp.ones((BATCH, CONTEXT), jnp.int32)
+
+    params = jax.jit(model.init)(
+        jax.random.key(0), images[:1], input_ids[:1], attention_mask[:1]
+    )["params"]
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4, weight_decay=0.2))
+    state = jax.jit(lambda p: TrainState.create(p, tx))(params)
+    batch = {"images": images, "input_ids": input_ids, "attention_mask": attention_mask}
+
+    # NOTE: the batch must be an ARGUMENT, not a closure constant — closed-over
+    # arrays are embedded into the serialized HLO (hundreds of MB at batch
+    # 1024), which breaks/slows compilation.
+    def one_step(state, batch):
+        def loss_fn(p):
+            img, txt, scale = model.apply(
+                {"params": p}, batch["images"], batch["input_ids"], batch["attention_mask"]
+            )
+            return contrastive_loss(img, txt, scale)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=new_params, opt_state=opt_state), loss
+
+    @jax.jit
+    def scan_steps(state, batch):
+        def body(s, _):
+            return one_step(s, batch)
+
+        return jax.lax.scan(body, state, None, length=INNER)
+
+    return state, batch, scan_steps
+
+
+def main():
+    n_devices = len(jax.devices())
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    state, batch, scan_steps = build()
+
+    # Fencing: on the experimental remote backend block_until_ready does not
+    # reliably wait, so the fence is an actual scalar fetch of the final loss
+    # (device_get forces completion on every backend).
+    t0 = time.time()
+    state, losses = scan_steps(state, batch)  # compile + warmup
+    warm_loss = float(losses[-1])
+    print(f"compile+warmup: {time.time() - t0:.1f}s (loss={warm_loss:.4f})", file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(REPEATS):
+        state, losses = scan_steps(state, batch)
+    final_loss = float(losses[-1])
+    elapsed = time.time() - t0
+
+    total_images = BATCH * INNER * REPEATS
+    img_per_sec = total_images / elapsed
+    img_per_sec_per_chip = img_per_sec / max(1, n_devices)
+
+    # honesty diagnostics (stderr): achieved MFU on v5e (197 bf16 TFLOP/s peak)
+    flop_per_pair = 14.6e9  # ViT-B/32 (~13.2G) + text tower (~1.4G), fwd+bwd
+    mfu = img_per_sec_per_chip * flop_per_pair / 197e12
+    print(
+        f"steps/s={INNER * REPEATS / elapsed:.2f} imgs/s={img_per_sec:.0f} "
+        f"imgs/s/chip={img_per_sec_per_chip:.0f} est. MFU={100 * mfu:.1f}% "
+        f"final_loss={final_loss:.4f}",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip fwd+bwd (ViT-B/32 contrastive)",
+                "value": round(img_per_sec_per_chip, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec_per_chip / BASELINE_IMG_PER_SEC_PER_GPU, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,50 @@ class _CsvImageDataset:
     def __len__(self):
         return len(self.dataset)
 
+    # -- native fast path ---------------------------------------------------
+
+    def _native_setup(self):
+        """Resolve whether this dataset's transform is servable by the C++
+        decode+resize+normalize path (native/fastimage.cc); cached."""
+        if hasattr(self, "_native_spec"):
+            return self._native_spec
+        spec = None
+        try:
+            from multimodal_concept_learning_tpu.data import native_loader
+
+            if self.transform is not None and native_loader.available():
+                spec = native_loader.native_spec_for(self.transform)
+                if spec is not None and spec["size"] is None:
+                    # no Resize in the pipeline: images must already share a
+                    # size — read it from the first image header
+                    with Image.open(self.dataset[0][0]) as im:
+                        spec = dict(spec, size=(im.height, im.width))
+        except Exception:  # noqa: BLE001 - fall back to the PIL path
+            spec = None
+        self._native_spec = spec
+        return spec
+
+    def get_batch(self, indices, num_threads: int = 8):
+        """Load a batch of samples, via the native C++ loader when the
+        transform allows, else per-sample __getitem__."""
+        spec = self._native_setup()
+        if spec is None:
+            return [self[int(i)] for i in indices]
+        from multimodal_concept_learning_tpu.data import native_loader
+
+        paths = [self.dataset[int(i)][0] for i in indices]
+        arr = native_loader.load_batch(
+            paths, spec["size"], spec["mean"], spec["std"], num_threads=num_threads
+        )
+        out = []
+        for j, i in enumerate(indices):
+            _, label_data = self.dataset[int(i)]
+            if self.return_synset:
+                out.append((arr[j], label_data))
+            else:
+                out.append((arr[j], self.label_to_idx[label_data]))
+        return out
+
     def load_image(self, idx: int) -> Image.Image:
         image_path, _ = self.dataset[idx]
         return Image.open(image_path).convert("RGB")

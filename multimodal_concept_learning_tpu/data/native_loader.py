@@ -1,0 +1,116 @@
+"""ctypes binding for the native image loader (native/fastimage.cc).
+
+Decode (libpng/libjpeg) + bilinear resize + fused normalize into a float32
+CHW batch, parallel across C++ threads — the framework's native data path,
+replacing the reference's PIL-in-worker-process loading for the common
+Resize/ToTensor/Normalize pipelines.  Falls back transparently when the
+shared library isn't built (``make -C native``) or the transform pipeline
+contains augmentations the native path doesn't cover.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SO_PATH = os.path.join(_REPO_ROOT, "native", "libfastimage.so")
+
+_lib = None
+_load_failed = False
+
+
+def _get_lib():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not os.path.exists(_SO_PATH):
+        # build on first use if the toolchain is present
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.dirname(_SO_PATH)],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:  # noqa: BLE001
+            _load_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.fi_load_batch.restype = ctypes.c_int
+        lib.fi_load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ]
+        _lib = lib
+    except OSError:
+        _load_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def load_batch(
+    paths: Sequence[str],
+    size: Tuple[int, int],
+    mean: Sequence[float] = (0.0, 0.0, 0.0),
+    std: Sequence[float] = (1.0, 1.0, 1.0),
+    num_threads: int = 8,
+    out: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Decode+resize+normalize ``paths`` into [N, 3, H, W] float32."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native fastimage library unavailable")
+    n = len(paths)
+    h, w = size
+    if out is None:
+        out = np.empty((n, 3, h, w), dtype=np.float32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_mean = (ctypes.c_float * 3)(*[float(x) for x in mean])
+    c_std = (ctypes.c_float * 3)(*[float(x) for x in std])
+    failures = lib.fi_load_batch(
+        c_paths, n, h, w, c_mean, c_std,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), num_threads,
+    )
+    if failures:
+        raise RuntimeError(f"native loader failed on {failures}/{n} images")
+    return out
+
+
+def native_spec_for(transform) -> Optional[dict]:
+    """If a Compose is expressible as the native decode→resize→normalize
+    path, return {size, mean, std}; else None.
+
+    Covered pipelines: optional Resize (exact-size), ToTensor, optional
+    Normalize — the shapes used by every color experiment config and the
+    val/test pipelines of the imagenet configs.
+    """
+    from multimodal_concept_learning_tpu.data import transforms as T
+
+    seq = list(getattr(transform, "transforms", []))
+    size = None
+    mean = (0.0, 0.0, 0.0)
+    std = (1.0, 1.0, 1.0)
+    i = 0
+    if i < len(seq) and isinstance(seq[i], T.Resize):
+        if isinstance(seq[i].size, int):
+            return None  # shorter-side resize changes aspect; native path is exact-size
+        size = tuple(seq[i].size)
+        i += 1
+    if i >= len(seq) or not isinstance(seq[i], T.ToTensor):
+        return None
+    i += 1
+    if i < len(seq) and isinstance(seq[i], T.Normalize):
+        mean = tuple(seq[i].mean.ravel().tolist())
+        std = tuple(seq[i].std.ravel().tolist())
+        i += 1
+    if i != len(seq):
+        return None
+    return {"size": size, "mean": mean, "std": std}

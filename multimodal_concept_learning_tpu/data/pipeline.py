@@ -103,11 +103,18 @@ class BatchLoader:
         sentinel = object()
         error_holder = []
 
+        use_native = hasattr(self.dataset, "get_batch")
+
         def produce():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                     for chunk, valid in batches:
-                        samples = list(pool.map(self.dataset.__getitem__, chunk))
+                        if use_native:
+                            # dataset-level batch load (C++ fast path when the
+                            # transform allows, internal threading)
+                            samples = self.dataset.get_batch(chunk, num_threads=self.num_workers)
+                        else:
+                            samples = list(pool.map(self.dataset.__getitem__, chunk))
                         batch = self.collate_fn(samples)
                         batch["valid"] = valid
                         out_q.put(batch)

@@ -1,0 +1,174 @@
+// fastimage: native image decode + resize + normalize for the input pipeline.
+//
+// The reference delegates image IO to PIL inside torch DataLoader worker
+// processes (src/datasets/*/; SURVEY.md C4/C7).  This library is the
+// TPU-framework's native data-path: libpng/libjpeg decode, bilinear resize,
+// and fused (x/255 - mean)/std normalization directly into a float32 CHW
+// batch buffer, parallelized across a std::thread pool.  Exposed via a C ABI
+// for ctypes (no pybind11 in the image).
+//
+// Build: make -C native   (produces libfastimage.so)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+#include <thread>
+#include <vector>
+#include <atomic>
+
+#include <png.h>
+#include <jpeglib.h>
+#include <csetjmp>
+
+namespace {
+
+struct Decoded {
+  std::vector<uint8_t> pixels;  // RGB interleaved
+  int w = 0, h = 0;
+};
+
+bool decode_png(const char* path, Decoded* out) {
+  png_image image;
+  memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_file(&image, path)) return false;
+  image.format = PNG_FORMAT_RGB;
+  out->w = image.width;
+  out->h = image.height;
+  out->pixels.resize(PNG_IMAGE_SIZE(image));
+  if (!png_image_finish_read(&image, nullptr, out->pixels.data(), 0, nullptr)) {
+    png_image_free(&image);
+    return false;
+  }
+  return true;
+}
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jmp;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jmp, 1);
+}
+
+bool decode_jpeg(const char* path, Decoded* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out->w = cinfo.output_width;
+  out->h = cinfo.output_height;
+  out->pixels.resize(size_t(out->w) * out->h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->pixels.data() + size_t(cinfo.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return true;
+}
+
+bool decode_any(const char* path, Decoded* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  uint8_t magic[4] = {0};
+  size_t n = fread(magic, 1, 4, f);
+  fclose(f);
+  if (n < 2) return false;
+  if (magic[0] == 0x89 && magic[1] == 'P') return decode_png(path, out);
+  if (magic[0] == 0xFF && magic[1] == 0xD8) return decode_jpeg(path, out);
+  return false;
+}
+
+// Bilinear resize (align_corners=false, PIL/torch convention) + fused
+// normalize into CHW float32.
+void resize_normalize(const Decoded& img, int th, int tw, const float* mean,
+                      const float* stdv, float* out) {
+  const float inv255 = 1.0f / 255.0f;
+  float inv_std[3], neg_mean[3];
+  for (int c = 0; c < 3; ++c) {
+    inv_std[c] = 1.0f / stdv[c];
+    neg_mean[c] = mean[c];
+  }
+  const float sx = float(img.w) / tw;
+  const float sy = float(img.h) / th;
+  const size_t plane = size_t(th) * tw;
+  for (int y = 0; y < th; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    if (fy < 0) fy = 0;
+    int y0 = int(fy);
+    int y1 = y0 + 1 < img.h ? y0 + 1 : img.h - 1;
+    float wy = fy - y0;
+    for (int x = 0; x < tw; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      if (fx < 0) fx = 0;
+      int x0 = int(fx);
+      int x1 = x0 + 1 < img.w ? x0 + 1 : img.w - 1;
+      float wx = fx - x0;
+      const uint8_t* p00 = img.pixels.data() + (size_t(y0) * img.w + x0) * 3;
+      const uint8_t* p01 = img.pixels.data() + (size_t(y0) * img.w + x1) * 3;
+      const uint8_t* p10 = img.pixels.data() + (size_t(y1) * img.w + x0) * 3;
+      const uint8_t* p11 = img.pixels.data() + (size_t(y1) * img.w + x1) * 3;
+      for (int c = 0; c < 3; ++c) {
+        float v = (1 - wy) * ((1 - wx) * p00[c] + wx * p01[c]) +
+                  wy * ((1 - wx) * p10[c] + wx * p11[c]);
+        out[c * plane + size_t(y) * tw + x] = (v * inv255 - neg_mean[c]) * inv_std[c];
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Load one image file into out[3*th*tw] (CHW float32). Returns 0 on success.
+int fi_load_image(const char* path, int th, int tw, const float* mean,
+                  const float* stdv, float* out) {
+  Decoded img;
+  if (!decode_any(path, &img)) return 1;
+  resize_normalize(img, th, tw, mean, stdv, out);
+  return 0;
+}
+
+// Load n images in parallel into out[n][3*th*tw]. Returns number of failures.
+int fi_load_batch(const char** paths, int n, int th, int tw, const float* mean,
+                  const float* stdv, float* out, int num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  const size_t stride = size_t(3) * th * tw;
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      if (fi_load_image(paths[i], th, tw, mean, stdv, out + size_t(i) * stride) != 0) {
+        failures.fetch_add(1);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  int t = num_threads < n ? num_threads : n;
+  threads.reserve(t);
+  for (int i = 0; i < t; ++i) threads.emplace_back(worker);
+  for (auto& th_ : threads) th_.join();
+  return failures.load();
+}
+
+}  // extern "C"

@@ -1,0 +1,40 @@
+#!/usr/bin/env python
+"""Bench diagnostics: per-call timing + persistent compile cache probe.
+
+Times individual scanned-step calls (fetch-fenced) to separate dispatch
+overhead from device compute, and exercises the persistent compilation
+cache so subsequent bench runs skip the slow remote compile.
+"""
+
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+import bench  # noqa: E402
+
+
+def main():
+    t0 = time.time()
+    state, batch, scan_steps = bench.build()
+    print(f"build+init: {time.time() - t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    state, losses = scan_steps(state, batch)
+    print(f"first call (compile+run): {time.time() - t0:.1f}s loss={float(losses[-1]):.4f}",
+          flush=True)
+
+    for i in range(6):
+        t0 = time.time()
+        state, losses = scan_steps(state, batch)
+        x = float(losses[-1])
+        dt = time.time() - t0
+        print(f"call {i}: {dt:.3f}s -> {bench.BATCH * bench.INNER / dt:.0f} imgs/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,313 @@
+#!/usr/bin/env python
+"""Generate the experiments/ config grid.
+
+Reproduces the reference's experiment grid structure (SURVEY.md C23: six
+color dataset-generation YAMLs with total image count held ≈36k while class
+count varies, matching vision + multimodal training configs, and labels
+mappings with 6 named colors + the rest ``<ood N>``) with systematic color
+sets and repo-relative paths.  Run from the repo root:
+
+    python scripts/generate_experiment_configs.py [--root experiments]
+
+Color-set construction: the 6 anchor colors are the primaries + secondaries;
+OOD colors are RGB-cube edge points (255,m,0),(255,0,m),(m,255,0),(0,255,m),
+(m,0,255),(0,m,255) over k intensity levels, giving 6 + 6k classes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import yaml
+
+ANCHORS = [
+    [255, 0, 0], [0, 255, 0], [0, 0, 255],      # primaries
+    [255, 255, 0], [255, 0, 255], [0, 255, 255],  # secondaries
+]
+ANCHOR_NAMES = ["red", "green", "blue", "yellow", "magenta", "cyan"]
+
+
+def edge_colors(levels):
+    out = []
+    for m in levels:
+        out.extend(
+            [[255, m, 0], [255, 0, m], [m, 255, 0], [0, 255, m], [m, 0, 255], [0, m, 255]]
+        )
+    return out
+
+
+# name -> (colors, n_images_per_color)
+def build_grid():
+    grid = {}
+    grid["primary_colors_10k"] = (ANCHORS[:3], 10000)
+    grid["primary_secondary_5k"] = (ANCHORS, 5000)
+    grid["12_colors_3k"] = (ANCHORS + edge_colors([128]), 3000)
+    grid["24_colors_1_5k"] = (ANCHORS + edge_colors([64, 128, 192]), 1500)
+    grid["48_colors_750"] = (ANCHORS + edge_colors([32, 64, 96, 128, 160, 192, 224]), 750)
+    grid["96_colors_375"] = (
+        ANCHORS + edge_colors([16, 32, 48, 64, 80, 96, 112, 128, 144, 160, 176, 192, 208, 224, 240]),
+        375,
+    )
+    return grid
+
+
+def color_name(rgb):
+    return f"r{rgb[0]}g{rgb[1]}b{rgb[2]}"
+
+
+def labels_mapping_for(colors):
+    mapping = {}
+    ood_counter = 1
+    anchor_lookup = {tuple(c): n for c, n in zip(ANCHORS, ANCHOR_NAMES)}
+    for rgb in colors:
+        key = color_name(rgb)
+        if tuple(rgb) in anchor_lookup:
+            mapping[key] = anchor_lookup[tuple(rgb)]
+        else:
+            mapping[key] = f"<ood {ood_counter}>"
+            ood_counter += 1
+    return mapping
+
+
+def write_yaml(path, data):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(data, f, sort_keys=False)
+    print(f"wrote {path}")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--root", default="experiments")
+    parser.add_argument("--data_root", default="data")
+    parser.add_argument("--results_root", default="results")
+    args = parser.parse_args()
+
+    grid = build_grid()
+
+    for name, (colors, n_per) in grid.items():
+        # dataset generation config (ColorDatasetConfig schema)
+        write_yaml(
+            os.path.join(args.root, "datasets", "color", f"{name}.yaml"),
+            {
+                "dataset_name": name,
+                "image_size": 224,
+                "colors": colors,
+                "radius_range": [10, 50],
+                "n_images_per_color": n_per,
+                "min_intensity": 1.0,
+                "max_intensity": 1.0,
+                "train_val_test_split": [0.8, 0.1, 0.1],
+                "seed": 42,
+                "data_dir": os.path.join(args.data_root, "color"),
+            },
+        )
+
+        dataset_dir = os.path.join(args.data_root, "color", name)
+
+        # vision training config (VisionTrainingConfig schema)
+        write_yaml(
+            os.path.join(args.root, "vision", "color", f"{name}.yaml"),
+            {
+                "model_name": "vit",
+                "hidden_size": 768,
+                "intermediate_size": 3072,
+                "num_hidden_layers": 12,
+                "num_labels": len(colors),
+                "patch_size": 16,
+                "hidden_dropout_prob": 0.1,
+                "attention_dropout_prob": 0.1,
+                "num_attention_heads": 12,
+                "data_dir": dataset_dir,
+                "dataset_name": "color",
+                "mapping_path": dataset_dir,
+                "epochs": 5,
+                "learning_rate": 1.0e-4,
+                "batch_size": 64,
+                "effective_batch_size": 256,
+                "weight_decay": 0.1,
+                "image_size": 224,
+                "label_smoothing": 0.0,
+                "num_workers": 8,
+                "results_dir": os.path.join(args.results_root, "vision", "color", name),
+                "seed": 42,
+                "disable_wandb": True,
+                "train_transforms": ["ToTensor"],
+                "val_transforms": ["ToTensor"],
+                "wandb_project": "multimodal_concept_learning",
+                "wandb_run_name": f"vision_{name}",
+            },
+        )
+
+        # multimodal labels mapping + training config
+        mapping = labels_mapping_for(colors)
+        labels_path = os.path.join(args.root, "multimodal", "color", f"{name}_labels_mapping.json")
+        os.makedirs(os.path.dirname(labels_path), exist_ok=True)
+        with open(labels_path, "w") as f:
+            json.dump(mapping, f, indent=2)
+        print(f"wrote {labels_path}")
+
+        if name == "primary_colors_10k":
+            continue  # reference ships no multimodal config for the 3-color set
+
+        write_yaml(
+            os.path.join(args.root, "multimodal", "color", f"{name}.yaml"),
+            {
+                "mapping_path": os.path.join(dataset_dir, "train_mapping.csv"),
+                "image_root": dataset_dir,
+                "labels_mapping_path": labels_path,
+                "prompt_template": "Is the color of the circle {class_name}?",
+                "val_split": 0.1,
+                "dataset_name": "color_multimodal",
+                "vision_model_name": "vit-b-16",
+                "language_model_name": "google/gemma-3-1b-it",
+                "vision_path": None,
+                "num_vision_tokens": 197,
+                "num_labels": len(colors),
+                "trainable_params_setting": "language_embed_only",
+                "torch_dtype": "bfloat16",
+                "epochs": 10,
+                "batch_size": 2,
+                "effective_batch_size": 8,
+                "learning_rate": 5.0e-4,
+                "weight_decay": 1.0e-4,
+                "max_grad_norm": 1.0,
+                "lr_scheduler_type": None,
+                "warmup_steps": 0,
+                "optimizer_type": "adamw",
+                "seed": 42,
+                "mixed_precision": "bf16",
+                "supervision_type": "answer_only",
+                "num_workers": 4,
+                "image_size": 224,
+                "train_transforms": ["ToTensor"],
+                "val_transforms": ["ToTensor"],
+                "transform_params": {},
+                "run_name": f"mllm_{name}_ood",
+                "save_every_epoch": True,
+                "save_best_only": True,
+                "use_wandb": False,
+                "wandb_project": "multimodal-concept-learning",
+                "wandb_run_name": f"mllm_{name}_ood",
+                "results_dir": os.path.join(args.results_root, "multimodal", "color", name),
+            },
+        )
+
+        # contrastive (framework extension; bench flagship workload shape)
+        write_yaml(
+            os.path.join(args.root, "contrastive", "color", f"{name}.yaml"),
+            {
+                "mapping_path": os.path.join(dataset_dir, "train_mapping.csv"),
+                "image_root": dataset_dir,
+                "caption_template": "a circle of color {class_name}",
+                "vision_model_name": "vit-b-32",
+                "image_size": 224,
+                "epochs": 10,
+                "batch_size": 256,
+                "effective_batch_size": 256,
+                "learning_rate": 5.0e-4,
+                "warmup_steps": 200,
+                "seed": 42,
+                "results_dir": os.path.join(args.results_root, "contrastive", "color", name),
+                "train_transforms": ["ToTensor"],
+                "val_transforms": ["ToTensor"],
+            },
+        )
+
+    # vision imagenet configs (reference experiments/vision/imagenet)
+    write_yaml(
+        os.path.join(args.root, "vision", "imagenet", "imagenet100.yaml"),
+        {
+            "model_name": "vit",
+            "hidden_size": 768,
+            "intermediate_size": 3072,
+            "num_hidden_layers": 12,
+            "num_labels": 100,
+            "patch_size": 16,
+            "hidden_dropout_prob": 0.1,
+            "attention_dropout_prob": 0.1,
+            "num_attention_heads": 12,
+            "data_dir": os.path.join(args.data_root, "imagenet"),
+            "dataset_name": "imagenet100",
+            "mapping_path": os.path.join(args.data_root, "imagenet100"),
+            "epochs": 300,
+            "learning_rate": 1.0e-3,
+            "batch_size": 64,
+            "effective_batch_size": 1024,
+            "weight_decay": 0.1,
+            "image_size": 224,
+            "label_smoothing": 0.1,
+            "num_workers": 8,
+            "results_dir": os.path.join(args.results_root, "vision", "imagenet", "imagenet100"),
+            "seed": 42,
+            "disable_wandb": True,
+            "train_transforms": [
+                {"name": "RandomResizedCrop", "size": 224, "scale": [0.08, 1.0]},
+                "RandomHorizontalFlip",
+                {"name": "RandAugment", "num_ops": 2, "magnitude": 10},
+                "ToTensor",
+                "Normalize",
+                {"name": "RandomErasing", "p": 0.25},
+            ],
+            "val_transforms": [
+                {"name": "Resize", "size": [256, 256]},
+                {"name": "Resize", "size": [224, 224]},
+                "ToTensor",
+                "Normalize",
+            ],
+            "wandb_project": "multimodal_concept_learning",
+            "wandb_run_name": "vision_imagenet100",
+        },
+    )
+
+    # multimodal imagenet config (reference imagenet1k_timm_vit.yaml shape)
+    write_yaml(
+        os.path.join(args.root, "multimodal", "imagenet", "imagenet1k_vit.yaml"),
+        {
+            "mapping_path": os.path.join(args.data_root, "imagenet1k", "train_mapping.csv"),
+            "image_root": os.path.join(args.data_root, "imagenet"),
+            "labels_mapping_path": os.path.join(
+                args.root, "multimodal", "imagenet", "imagenet1k_100ood_labels_mapping.json"
+            ),
+            "prompt_template": "Is a {class_name} in the image?",
+            "dataset_name": "imagenet_multimodal",
+            "vision_model_name": "vit-b-16",
+            "language_model_name": "google/gemma-3-1b-it",
+            "num_vision_tokens": 197,
+            "num_labels": 1000,
+            "trainable_params_setting": "language_embed_only",
+            "epochs": 25,
+            "batch_size": 8,
+            "effective_batch_size": 256,
+            "learning_rate": 5.0e-4,
+            "weight_decay": 1.0e-4,
+            "max_grad_norm": 1.0,
+            "lr_scheduler_type": "linear",
+            "warmup_steps": 1000,
+            "optimizer_type": "adamw",
+            "seed": 42,
+            "mixed_precision": "bf16",
+            "num_workers": 8,
+            "image_size": 224,
+            "train_transforms": [
+                {"name": "Resize", "size": [256, 256]},
+                {"name": "RandomResizedCrop", "size": 224, "scale": [0.8, 1.0]},
+                "RandomHorizontalFlip",
+                "ToTensor",
+                "Normalize",
+            ],
+            "val_transforms": [{"name": "Resize", "size": [224, 224]}, "ToTensor", "Normalize"],
+            "run_name": "mllm_imagenet1k_100ood",
+            "save_every_epoch": True,
+            "use_wandb": False,
+            "results_dir": os.path.join(args.results_root, "multimodal", "imagenet", "imagenet1k"),
+        },
+    )
+
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

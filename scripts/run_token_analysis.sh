@@ -1,0 +1,13 @@
+#!/usr/bin/env bash
+# Run the token-embedding analysis over a finished experiment directory.
+#
+# Counterpart of scripts/run_token_analysis.slurm (reference): CPU-only batch
+# job taking the experiment results dir as its argument.
+set -euo pipefail
+
+EXPERIMENT_DIR=${1:?usage: run_token_analysis.sh <experiment_results_dir> [output_dir]}
+OUTPUT_DIR=${2:-$EXPERIMENT_DIR}
+
+JAX_PLATFORMS=cpu python -m multimodal_concept_learning_tpu.analysis.token_embedding_analysis \
+    --results_dir "$EXPERIMENT_DIR" \
+    --output_dir "$OUTPUT_DIR"

@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# Launch multimodal MLLM training on a TPU VM.
+#
+# TPU-native counterpart of scripts/train_multimodal_accelerate.sh (reference):
+# same usage (one YAML arg) and $RESULTS_DIR/log.out redirection; the
+# 8-process `accelerate launch` becomes one JAX process sharding over the
+# local chip mesh.
+set -euo pipefail
+
+CONFIG_PATH=${1:?usage: train_multimodal_tpu.sh <config.yaml>}
+
+RESULTS_DIR=$(grep -E "^results_dir:" "$CONFIG_PATH" | sed 's/results_dir:[[:space:]]*//; s/"//g')
+mkdir -p "$RESULTS_DIR"
+
+echo "config: $CONFIG_PATH"
+echo "results: $RESULTS_DIR"
+python -c "import jax; print('devices:', jax.devices())"
+
+python -m multimodal_concept_learning_tpu.train.multimodal_training \
+    --config_path "$CONFIG_PATH" 2>&1 | tee "$RESULTS_DIR/log.out"

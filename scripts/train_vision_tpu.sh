@@ -1,0 +1,21 @@
+#!/usr/bin/env bash
+# Launch vision training on a TPU VM.
+#
+# TPU-native counterpart of the reference's SLURM+accelerate launcher
+# (scripts/train_vision_accelerate.sh): same usage (one YAML arg), same
+# stdout redirection into $RESULTS_DIR/log.out (results_dir grepped from the
+# YAML).  No process launcher is needed — JAX drives all local chips from a
+# single process via the data mesh.
+set -euo pipefail
+
+CONFIG_PATH=${1:?usage: train_vision_tpu.sh <config.yaml>}
+
+RESULTS_DIR=$(grep -E "^results_dir:" "$CONFIG_PATH" | sed 's/results_dir:[[:space:]]*//; s/"//g')
+mkdir -p "$RESULTS_DIR"
+
+echo "config: $CONFIG_PATH"
+echo "results: $RESULTS_DIR"
+python -c "import jax; print('devices:', jax.devices())"
+
+python -m multimodal_concept_learning_tpu.train.vision_training \
+    --config_path "$CONFIG_PATH" 2>&1 | tee "$RESULTS_DIR/log.out"

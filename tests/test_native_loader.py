@@ -1,0 +1,119 @@
+"""Native C++ image loader: correctness vs the PIL path, and pipeline hookup."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from multimodal_concept_learning_tpu.data import native_loader
+from multimodal_concept_learning_tpu.data import transforms as T
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.available(), reason="native library not built"
+)
+
+
+@pytest.fixture(scope="module")
+def image_files(tmp_path_factory):
+    root = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(6):
+        arr = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+        p = root / f"img_{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+    jp = root / "img_j.jpg"
+    Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(jp, quality=95)
+    paths.append(str(jp))
+    return paths
+
+
+def test_decode_matches_pil_identity(image_files):
+    """No-resize decode+ToTensor must match PIL exactly."""
+    p = image_files[0]
+    with Image.open(p) as im:
+        ref = np.asarray(im.convert("RGB"), dtype=np.float32).transpose(2, 0, 1) / 255.0
+        h, w = im.height, im.width
+    out = native_loader.load_batch([p], (h, w))
+    np.testing.assert_allclose(out[0], ref, atol=1e-6)
+
+
+def test_normalize_fused(image_files):
+    p = image_files[0]
+    mean, std = (0.5, 0.4, 0.3), (0.2, 0.3, 0.4)
+    with Image.open(p) as im:
+        raw = np.asarray(im.convert("RGB"), dtype=np.float32).transpose(2, 0, 1) / 255.0
+        h, w = im.height, im.width
+    ref = (raw - np.asarray(mean).reshape(3, 1, 1)) / np.asarray(std).reshape(3, 1, 1)
+    out = native_loader.load_batch([p], (h, w), mean, std)
+    np.testing.assert_allclose(out[0], ref, atol=1e-5)
+
+
+def test_jpeg_decodes(image_files):
+    jp = image_files[-1]
+    out = native_loader.load_batch([jp], (32, 32))
+    assert out.shape == (1, 3, 32, 32)
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_batch_parallel(image_files):
+    out = native_loader.load_batch(image_files, (24, 24), num_threads=4)
+    assert out.shape == (len(image_files), 3, 24, 24)
+    assert np.isfinite(out).all()
+
+
+def test_missing_file_raises(image_files):
+    with pytest.raises(RuntimeError, match="failed"):
+        native_loader.load_batch(["/nonexistent.png"], (8, 8))
+
+
+def test_native_spec_detection():
+    class Cfg:
+        image_size = 32
+        train_transforms = ["ToTensor"]
+        val_transforms = ["ToTensor"]
+        transform_params = {}
+        dataset_name = "color"
+        normalize_mean = None
+        normalize_std = None
+
+    t = T.create_transforms(Cfg(), is_train=False)
+    spec = native_loader.native_spec_for(t)
+    assert spec == {"size": None, "mean": (0.0, 0.0, 0.0), "std": (1.0, 1.0, 1.0)}
+
+    Cfg.val_transforms = [{"name": "Resize", "size": [24, 24]}, "ToTensor", "Normalize"]
+    spec = native_loader.native_spec_for(T.create_transforms(Cfg(), is_train=False))
+    assert spec["size"] == (24, 24)
+    assert spec["mean"] == (0.5, 0.5, 0.5)
+
+    # augmented pipeline -> not native-servable
+    Cfg.val_transforms = ["RandomHorizontalFlip", "ToTensor"]
+    assert native_loader.native_spec_for(T.create_transforms(Cfg(), is_train=False)) is None
+
+
+def test_dataset_get_batch_uses_native(tmp_path):
+    from multimodal_concept_learning_tpu.configs import ColorDatasetConfig, VisionTrainingConfig
+    from multimodal_concept_learning_tpu.data import ColorDataset, generate_color_dataset
+
+    cfg = ColorDatasetConfig.from_params(
+        {
+            "dataset_name": "t", "image_size": 32,
+            "colors": [[255, 0, 0], [0, 255, 0]], "radius_range": [4, 8],
+            "n_images_per_color": 4, "data_dir": str(tmp_path), "seed": 0,
+        }
+    )
+    d = generate_color_dataset(cfg, verbose=False)
+    vcfg = VisionTrainingConfig.from_params(
+        {"train_transforms": ["ToTensor"], "val_transforms": ["ToTensor"], "image_size": 32}
+    )
+    t = __import__(
+        "multimodal_concept_learning_tpu.data.transforms", fromlist=["create_transforms"]
+    ).create_transforms(vcfg, is_train=False)
+    ds = ColorDataset(d + "/train_mapping.csv", d, transform=t, verbose=False)
+
+    native_batch = ds.get_batch([0, 1, 2])
+    assert ds._native_spec is not None  # fast path engaged
+    pil_batch = [ds[i] for i in range(3)]
+    for (a, la), (b, lb) in zip(native_batch, pil_batch):
+        assert la == lb
+        np.testing.assert_allclose(a, b, atol=1e-6)
