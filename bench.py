@@ -30,13 +30,18 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+# persistent compile cache: the remote compile service is slow (minutes);
+# repeated bench runs reuse the serialized executable
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from multimodal_concept_learning_tpu.models import CLIPConfig, CLIPModel
 from multimodal_concept_learning_tpu.models.clip import contrastive_loss
 from multimodal_concept_learning_tpu.parallel.train_step import TrainState
 
 BASELINE_IMG_PER_SEC_PER_GPU = 1000.0  # documented estimate, see module docstring
 
-BATCH = 512
+BATCH = 128
 INNER = 10  # train steps fused per device call
 REPEATS = 5
 IMAGE_SIZE = 224
@@ -120,7 +125,9 @@ def main():
     img_per_sec_per_chip = img_per_sec / max(1, n_devices)
 
     # honesty diagnostics (stderr): achieved MFU on v5e (197 bf16 TFLOP/s peak)
-    flop_per_pair = 14.6e9  # ViT-B/32 (~13.2G) + text tower (~1.4G), fwd+bwd
+    # ViT-B/32 fwd ~8.7 GFLOP/img + text tower fwd ~5.8 GFLOP/caption, x3 for
+    # fwd+bwd ≈ 43.5 GFLOP per image-text pair
+    flop_per_pair = 43.5e9
     mfu = img_per_sec_per_chip * flop_per_pair / 197e12
     print(
         f"steps/s={INNER * REPEATS / elapsed:.2f} imgs/s={img_per_sec:.0f} "

@@ -89,6 +89,10 @@ class MultimodalTrainingConfig:
     num_processes: Optional[int]
     split_batches: bool
 
+    # Framework extension (absent in the reference; defaults off so
+    # reference YAMLs run unchanged): orbax checkpoint + resume.
+    resume: bool = False
+
     @classmethod
     def from_params(cls, params: Optional[dict]) -> "MultimodalTrainingConfig":
         params = params or {}
@@ -166,4 +170,5 @@ class MultimodalTrainingConfig:
             use_accelerate=bool(params.get("use_accelerate", True)),
             num_processes=params.get("num_processes", None),
             split_batches=bool(params.get("split_batches", True)),
+            resume=bool(params.get("resume", False)),
         )

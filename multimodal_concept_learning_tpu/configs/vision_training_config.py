@@ -58,6 +58,10 @@ class VisionTrainingConfig:
     wandb_project: Optional[str]
     wandb_run_name: Optional[str]
 
+    # Framework extension (absent in the reference; defaults off so
+    # reference YAMLs run unchanged): orbax checkpoint + resume.
+    resume: bool = False
+
     @classmethod
     def from_params(cls, params: Optional[dict]) -> "VisionTrainingConfig":
         params = params or {}
@@ -96,4 +100,5 @@ class VisionTrainingConfig:
             transform_params=params.get("transform_params", {}),
             wandb_project=params.get("wandb_project", None),
             wandb_run_name=params.get("wandb_run_name", None),
+            resume=bool(params.get("resume", False)),
         )

@@ -71,8 +71,9 @@ def _flash_ok(q, k) -> bool:
             return False
     except Exception:  # noqa: BLE001
         return False
-    # Tiling constraints of the Pallas kernel: seq multiples of 128, head_dim >= 64.
-    return q.shape[1] % 128 == 0 and k.shape[1] % 128 == 0 and q.shape[3] >= 64
+    from multimodal_concept_learning_tpu.ops.flash_attention import flash_supported
+
+    return flash_supported(q.shape, k.shape)
 
 
 def make_attention_bias(

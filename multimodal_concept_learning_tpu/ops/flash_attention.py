@@ -1,0 +1,259 @@
+"""Pallas TPU fused attention.
+
+A one-pass fused attention kernel for the sequence lengths this stack runs
+(ViT: 50/197/257 tokens, MLLM: ~240, CLIP text: 77 — after padding to the
+128-lane grid): for each query block the full K/V row fits VMEM, so the
+kernel computes softmax(qk^T * scale + bias) @ v without materializing the
+[T, T] probability matrix in HBM.  That removes the attention
+intermediates' HBM round-trips that the jnp fallback pays (the classic
+flash-attention fusion; streaming over K blocks is unnecessary at these T).
+
+Backward is a custom VJP with two Pallas kernels that recompute the
+probabilities blockwise: one producing dQ (loop over K in VMEM), one
+producing dK/dV (loop over Q in VMEM).
+
+Layout: [B, T, H, D] in fp32/bf16; internally processed as [B*H, T, D].
+Constraints: T multiple of the q-block (128), D in {64, 128, 256}.  The
+dispatcher in ops/attention.py only routes here when constraints hold.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BQ = 128  # query block
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, l_ref, *, scale):
+    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
+    k = k_ref[0].astype(jnp.float32)  # [T, D]
+    v = v_ref[0].astype(jnp.float32)  # [T, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [BQ, T]
+    if bias_ref is not None:
+        s = s + bias_ref[0].astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32) / l
+    o_ref[0] = o.astype(o_ref.dtype)
+    # logsumexp per row, saved for the backward pass
+    l_ref[0] = (m + jnp.log(l))[:, 0]
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref, lse_ref, dq_ref, *, scale):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    o = o_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if bias_ref is not None:
+        s = s + bias_ref[0].astype(jnp.float32)
+    p = jnp.exp(s - lse)  # [BQ, T]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [BQ, T]
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)
+    ds = p * (dp - delta)
+    dq_ref[0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref, lse_ref, dk_ref, dv_ref, *, scale):
+    # program handles one (bh, k-block); loops nothing: full Q in VMEM
+    q = q_ref[0].astype(jnp.float32)  # [T, D]
+    k = k_ref[0].astype(jnp.float32)  # [BK, D]
+    v = v_ref[0].astype(jnp.float32)  # [BK, D]
+    do = do_ref[0].astype(jnp.float32)  # [T, D]
+    o = o_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]  # [T, 1]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale  # [T, BK]
+    if bias_ref is not None:
+        s = s + bias_ref[0].astype(jnp.float32)
+    p = jnp.exp(s - lse)  # [T, BK]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [T, BK]
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # [T, 1]
+    ds = p * (dp - delta)  # [T, BK]
+    dk_ref[0] = (jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+    dv_ref[0] = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+
+def _prep(q, k, v, bias):
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, tq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, tk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, tk, d)
+    bf = None
+    if bias is not None:
+        bf = jnp.broadcast_to(bias, (b, h, tq, tk)).reshape(b * h, tq, tk)
+    return qf, kf, vf, bf
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def flash_attention(q, k, v, bias=None):
+    o, _ = _flash_fwd_impl(q, k, v, bias)
+    return o
+
+
+def _flash_fwd_impl(q, k, v, bias):
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    scale = d**-0.5
+    qf, kf, vf, bf = _prep(q, k, v, bias)
+    bh = b * h
+    nq = tq // BQ
+
+    in_specs = [
+        pl.BlockSpec((1, BQ, d), lambda bhi, i: (bhi, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tk, d), lambda bhi, i: (bhi, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tk, d), lambda bhi, i: (bhi, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [qf, kf, vf]
+    if bf is not None:
+        in_specs.append(
+            pl.BlockSpec((1, BQ, tk), lambda bhi, i: (bhi, i, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(bf)
+        kernel = functools.partial(_fwd_kernel, scale=scale)
+    else:
+        kernel = functools.partial(
+            lambda qr, kr, vr, o_ref, l_ref, scale: _fwd_kernel(qr, kr, vr, None, o_ref, l_ref, scale=scale),
+            scale=scale,
+        )
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, nq),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, BQ, d), lambda bhi, i: (bhi, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ), lambda bhi, i: (bhi, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, tq), jnp.float32),
+        ),
+    )(*args)
+    o4 = o.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
+    return o4, (q, k, v, bias, o4, lse)
+
+
+def _flash_fwd(q, k, v, bias):
+    return _flash_fwd_impl(q, k, v, bias)
+
+
+def _flash_bwd(res, g):
+    q, k, v, bias, o4, lse = res
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    scale = d**-0.5
+    qf, kf, vf, bf = _prep(q, k, v, bias)
+    dof = g.transpose(0, 2, 1, 3).reshape(b * h, tq, d)
+    of = o4.transpose(0, 2, 1, 3).reshape(b * h, tq, d)
+    bh = b * h
+    nq = tq // BQ
+    nk = tk // BQ
+
+    # dQ: one program per (bh, q-block)
+    dq_in_specs = [
+        pl.BlockSpec((1, BQ, d), lambda bhi, i: (bhi, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tk, d), lambda bhi, i: (bhi, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tk, d), lambda bhi, i: (bhi, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    dq_args = [qf, kf, vf]
+    if bf is not None:
+        dq_in_specs.append(
+            pl.BlockSpec((1, BQ, tk), lambda bhi, i: (bhi, i, 0), memory_space=pltpu.VMEM)
+        )
+        dq_args.append(bf)
+        dq_kernel = functools.partial(_dq_kernel, scale=scale)
+    else:
+        dq_kernel = functools.partial(
+            lambda qr, kr, vr, do_r, o_r, l_r, dq_r, scale: _dq_kernel(
+                qr, kr, vr, None, do_r, o_r, l_r, dq_r, scale=scale
+            ),
+            scale=scale,
+        )
+    dq_in_specs += [
+        pl.BlockSpec((1, BQ, d), lambda bhi, i: (bhi, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BQ, d), lambda bhi, i: (bhi, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BQ), lambda bhi, i: (bhi, i), memory_space=pltpu.VMEM),
+    ]
+    dq_args += [dof, of, lse]
+
+    dqf = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, nq),
+        in_specs=dq_in_specs,
+        out_specs=pl.BlockSpec((1, BQ, d), lambda bhi, i: (bhi, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+    )(*dq_args)
+
+    # dK/dV: one program per (bh, k-block)
+    dkv_in_specs = [
+        pl.BlockSpec((1, tq, d), lambda bhi, j: (bhi, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BQ, d), lambda bhi, j: (bhi, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BQ, d), lambda bhi, j: (bhi, j, 0), memory_space=pltpu.VMEM),
+    ]
+    dkv_args = [qf, kf, vf]
+    if bf is not None:
+        dkv_in_specs.append(
+            pl.BlockSpec((1, tq, BQ), lambda bhi, j: (bhi, 0, j), memory_space=pltpu.VMEM)
+        )
+        dkv_args.append(bf)
+        dkv_kernel = functools.partial(_dkv_kernel, scale=scale)
+    else:
+        dkv_kernel = functools.partial(
+            lambda qr, kr, vr, do_r, o_r, l_r, dk_r, dv_r, scale: _dkv_kernel(
+                qr, kr, vr, None, do_r, o_r, l_r, dk_r, dv_r, scale=scale
+            ),
+            scale=scale,
+        )
+    dkv_in_specs += [
+        pl.BlockSpec((1, tq, d), lambda bhi, j: (bhi, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tq, d), lambda bhi, j: (bhi, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tq), lambda bhi, j: (bhi, 0), memory_space=pltpu.VMEM),
+    ]
+    dkv_args += [dof, of, lse]
+
+    dkf, dvf = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, nk),
+        in_specs=dkv_in_specs,
+        out_specs=(
+            pl.BlockSpec((1, BQ, d), lambda bhi, j: (bhi, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, d), lambda bhi, j: (bhi, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, tk, d), v.dtype),
+        ),
+    )(*dkv_args)
+
+    dq = dqf.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
+    dk = dkf.reshape(b, h, tk, d).transpose(0, 2, 1, 3)
+    dv = dvf.reshape(b, h, tk, d).transpose(0, 2, 1, 3)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_supported(q_shape, k_shape) -> bool:
+    """Shape gate used by the dispatcher."""
+    _, tq, _, d = q_shape
+    tk = k_shape[1]
+    return tq % BQ == 0 and tk % BQ == 0 and d in (64, 128, 256)

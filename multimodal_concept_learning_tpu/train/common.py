@@ -30,3 +30,54 @@ def epoch_metric_mean(values):
     if not values:
         return 0.0
     return float(jnp.mean(jnp.stack(values)))
+
+
+class ResumeManager:
+    """Orbax-backed epoch-granular resume (SURVEY.md §5: the reference has
+    checkpoints but no resume — training always restarts from scratch).
+
+    Enabled by the optional ``resume: true`` YAML key (absent from reference
+    configs, so they run unchanged).  Saves the full TrainState (params +
+    optimizer state + step) plus a small JSON of loop metadata at each epoch
+    end, and restores the latest on startup.
+    """
+
+    def __init__(self, results_dir: str, enabled: bool):
+        import os
+
+        self.enabled = enabled
+        self.ckpt_dir = os.path.join(results_dir, "orbax")
+        self.meta_path = os.path.join(self.ckpt_dir, "loop_meta.json")
+
+    def restore(self, state):
+        """Returns (state, start_epoch, meta) — meta has e.g. best_loss."""
+        if not self.enabled:
+            return state, 0, {}
+        import json
+        import os
+
+        import jax
+
+        from multimodal_concept_learning_tpu.checkpoint import restore_checkpoint
+
+        restored, epoch = restore_checkpoint(self.ckpt_dir, state)
+        if restored is None:
+            return state, 0, {}
+        meta = {}
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as f:
+                meta = json.load(f)
+        print(f"Resuming from epoch {epoch} checkpoint in {self.ckpt_dir}")
+        restored = jax.tree_util.tree_map(jax.numpy.asarray, restored)
+        return restored, epoch + 1, meta
+
+    def save(self, state, epoch: int, meta: dict):
+        if not self.enabled:
+            return
+        import json
+
+        from multimodal_concept_learning_tpu.checkpoint import save_checkpoint
+
+        save_checkpoint(self.ckpt_dir, state, epoch)
+        with open(self.meta_path, "w") as f:
+            json.dump(meta, f)

@@ -64,7 +64,7 @@ from multimodal_concept_learning_tpu.parallel import (
 from multimodal_concept_learning_tpu.parallel.optimizer import linear_warmup_schedule
 from multimodal_concept_learning_tpu.parallel.train_step import TrainState
 from multimodal_concept_learning_tpu.tokenizer import load_tokenizer
-from multimodal_concept_learning_tpu.train.common import mesh_for_batch
+from multimodal_concept_learning_tpu.train.common import ResumeManager, mesh_for_batch
 from multimodal_concept_learning_tpu.utils import MetricsLogger, set_seed
 
 
@@ -245,11 +245,14 @@ def run_training(
         wandb_config=vars(config),
     )
 
+    resume = ResumeManager(config.results_dir, config.resume)
+    state, start_epoch, meta = resume.restore(state)
+
     sharding = batch_sharding(mesh)
-    best_loss = float("inf")
+    best_loss = float(meta.get("best_loss", float("inf")))
     step_rng = jax.random.fold_in(rng, 2)
 
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         epoch_start_time = time.time()
         train_loader.set_epoch(epoch)
 
@@ -302,6 +305,7 @@ def run_training(
         }
         logger.print_multimodal_epoch(metrics, config.epochs)
         logger.log(metrics)
+        resume.save(state, epoch, {"best_loss": best_loss})
 
     print(f"Best val loss: {best_loss:.4f}")
 

@@ -47,7 +47,7 @@ from multimodal_concept_learning_tpu.parallel import (
     make_classifier_train_step,
 )
 from multimodal_concept_learning_tpu.parallel.train_step import TrainState
-from multimodal_concept_learning_tpu.train.common import mesh_for_batch
+from multimodal_concept_learning_tpu.train.common import ResumeManager, mesh_for_batch
 from multimodal_concept_learning_tpu.utils import MetricsLogger, set_seed
 
 
@@ -96,6 +96,9 @@ def run_training(model, train_loader, val_loader, config: VisionTrainingConfig, 
     params = model.init(rng, jax.numpy.asarray(sample["images"][:1]))["params"]
     state = TrainState.create(params, tx)
 
+    resume = ResumeManager(config.results_dir, config.resume)
+    state, start_epoch, meta = resume.restore(state)
+
     train_step = make_classifier_train_step(model, tx, config.label_smoothing)
     eval_step = make_classifier_eval_step(model, config.label_smoothing)
 
@@ -110,10 +113,10 @@ def run_training(model, train_loader, val_loader, config: VisionTrainingConfig, 
     models_dir = os.path.join(config.results_dir, "models")
     os.makedirs(models_dir, exist_ok=True)
     sharding = batch_sharding(mesh)
-    best_loss = float("inf")
+    best_loss = float(meta.get("best_loss", float("inf")))
     step_rng = jax.random.fold_in(rng, 1)
 
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         epoch_start_time = time.time()
         train_loader.set_epoch(epoch)
 
@@ -151,6 +154,7 @@ def run_training(model, train_loader, val_loader, config: VisionTrainingConfig, 
         }
         logger.print_vision_epoch(metrics, config.epochs)
         logger.log(metrics)
+        resume.save(state, epoch, {"best_loss": best_loss})
 
     print(f"Best val loss: {best_loss:.4f}")
     save_torch_state_dict(

@@ -1,0 +1,38 @@
+"""Numeric-sanity utilities (SURVEY.md §5 "race detection / sanitizers" row:
+the reference has nothing; determinism came from cudnn.deterministic).
+
+JAX is deterministic-by-construction; what remains worth checking is numeric
+health.  ``checked(fn)`` wraps a jitted function with ``checkify`` NaN/OOB
+checks; ``enable_nan_checks()`` flips the global debug_nans flag (eager
+re-run of failing kernels — expensive, debug only); ``assert_finite_tree``
+is a host-side pytree validator for checkpoints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def enable_nan_checks():
+    import jax
+
+    jax.config.update("jax_debug_nans", True)
+
+
+def checked(fn):
+    """checkify-wrap fn: returns (err, out); call err.throw() on host."""
+    from jax.experimental import checkify
+
+    return checkify.checkify(fn, errors=checkify.float_checks | checkify.index_checks)
+
+
+def assert_finite_tree(tree, name: str = "tree"):
+    import jax
+
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        arr = np.asarray(leaf)
+        if not np.isfinite(arr).all():
+            bad = np.size(arr) - int(np.isfinite(arr).sum())
+            raise FloatingPointError(
+                f"{name}{jax.tree_util.keystr(path)} has {bad} non-finite values"
+            )

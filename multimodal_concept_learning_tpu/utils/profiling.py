@@ -1,0 +1,66 @@
+"""Tracing / profiling utilities (SURVEY.md §5: absent in the reference,
+which only logs wall-clock epoch_time).
+
+- ``trace(logdir)``: context manager around ``jax.profiler.trace`` producing
+  an XProf/Perfetto trace of device execution.
+- ``StepTimer``: honest per-step wall timing with an explicit fence; on
+  remote/experimental backends ``block_until_ready`` may not fence, so the
+  fence is a scalar fetch of a provided array.
+- ``annotate``: named trace spans (jax.profiler.TraceAnnotation).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    import jax
+
+    with jax.profiler.trace(logdir):
+        yield
+    print(f"Profiler trace written to {logdir}")
+
+
+def annotate(name: str):
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
+
+
+class StepTimer:
+    """Accumulates fenced per-step wall times; reports mean/p50/p99."""
+
+    def __init__(self):
+        self.times = []
+        self._t0: Optional[float] = None
+
+    def start(self):
+        self._t0 = time.time()
+
+    def stop(self, fence_array=None):
+        """End the step; ``fence_array``: any device array whose value is
+        fetched to force completion (use the step's loss)."""
+        if fence_array is not None:
+            np.asarray(fence_array).ravel()[:1]  # device_get fence
+            float(np.asarray(fence_array).ravel()[0])
+        assert self._t0 is not None, "StepTimer.stop() without start()"
+        self.times.append(time.time() - self._t0)
+        self._t0 = None
+
+    def summary(self) -> dict:
+        if not self.times:
+            return {"steps": 0}
+        arr = np.asarray(self.times)
+        return {
+            "steps": len(arr),
+            "mean_s": float(arr.mean()),
+            "p50_s": float(np.percentile(arr, 50)),
+            "p99_s": float(np.percentile(arr, 99)),
+            "total_s": float(arr.sum()),
+        }

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Bench variant breakdown: where does the step time go?
+
+Times (fetch-fenced, scan-fused): image fwd, text fwd, full fwd+loss,
+fwd+bwd, full train step.  Every variant's inputs are made loop-carry
+dependent (x + eps*acc) so XLA cannot hoist the body out of the scan
+(loop-invariant code motion silently turns 10 steps into 1).
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+from multimodal_concept_learning_tpu.models import CLIPConfig, CLIPModel  # noqa: E402
+from multimodal_concept_learning_tpu.models.clip import contrastive_loss  # noqa: E402
+
+BATCH, INNER, IMAGE, CTX, VOCAB = 512, 10, 224, 77, 49408
+EPS = 1e-30
+
+
+def timeit(name, fn, *args, reps=3):
+    out, _ = fn(*args)
+    _ = float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    t0 = time.time()
+    for _ in range(reps):
+        out, _ = fn(*args)
+    _ = float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    dt = (time.time() - t0) / (reps * INNER)
+    print(f"{name:20s}: {dt * 1e3:7.1f} ms/step  -> {BATCH / dt:7.0f} imgs/s", flush=True)
+    return dt
+
+
+def main():
+    cfg = CLIPConfig.create(vocab_size=VOCAB, vision_preset="vit-b-32", image_size=IMAGE,
+                            context_length=CTX)
+    model = CLIPModel(cfg)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(BATCH, 3, IMAGE, IMAGE)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, VOCAB, size=(BATCH, CTX)).astype(np.int32))
+    mask = jnp.ones((BATCH, CTX), jnp.int32)
+    params = jax.jit(model.init)(jax.random.key(0), images[:1], ids[:1], mask[:1])["params"]
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4, weight_decay=0.2))
+    opt_state = jax.jit(tx.init)(params)
+
+    def scan(fn):
+        @jax.jit
+        def run(carry, *args):
+            def body(c, _):
+                return fn(c, *args)
+            return jax.lax.scan(body, carry, None, length=INNER)
+        return run
+
+    z = jnp.zeros(())
+
+    def img_fwd(acc, p, x):
+        f = model.apply({"params": p}, x + EPS * acc, method=CLIPModel.encode_image)
+        return f.sum(), None
+    timeit("image fwd", scan(img_fwd), z, params, images)
+
+    def txt_fwd(acc, p, i, m):
+        p2 = jax.tree_util.tree_map(lambda a: a + EPS * acc, p)
+        f = model.apply({"params": p2}, i, m, method=CLIPModel.encode_text)
+        return f.sum(), None
+    timeit("text fwd", scan(txt_fwd), z, params, ids, mask)
+
+    def full_fwd(acc, p, x, i, m):
+        img, txt, scale = model.apply({"params": p}, x + EPS * acc, i, m)
+        return contrastive_loss(img, txt, scale), None
+    timeit("full fwd+loss", scan(full_fwd), z, params, images, ids, mask)
+
+    def fwd_bwd(acc, p, x, i, m):
+        def loss_fn(pp):
+            img, txt, scale = model.apply({"params": pp}, x + EPS * acc, i, m)
+            return contrastive_loss(img, txt, scale)
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        g0 = jax.tree_util.tree_leaves(grads)[0]
+        return loss + g0.sum(), None
+    timeit("fwd+bwd", scan(fwd_bwd), z, params, images, ids, mask)
+
+    def train(carry, x, i, m):
+        p, s = carry
+        def loss_fn(pp):
+            img, txt, scale = model.apply({"params": pp}, x, i, m)
+            return contrastive_loss(img, txt, scale)
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return (optax.apply_updates(p, updates), s), None
+    timeit("full train step", scan(train), (params, opt_state), images, ids, mask)
+
+
+if __name__ == "__main__":
+    main()

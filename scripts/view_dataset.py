@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Display one sample image per class of a generated dataset.
+
+Script form of the reference's experiments/datasets/color/view.ipynb
+(SURVEY.md C24): reads a mapping CSV, picks the first image of each class,
+and writes a labeled grid PNG.
+
+    python scripts/view_dataset.py --mapping <dir_or_csv> [--out grid.png]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+from PIL import Image
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mapping", required=True,
+                        help="dataset dir (uses train_mapping.csv) or a mapping CSV path")
+    parser.add_argument("--data_dir", default=None,
+                        help="image root (defaults to the mapping's directory)")
+    parser.add_argument("--out", default="dataset_grid.png")
+    parser.add_argument("--max_classes", type=int, default=96)
+    args = parser.parse_args()
+
+    mapping = args.mapping
+    if os.path.isdir(mapping):
+        mapping = os.path.join(mapping, "train_mapping.csv")
+    data_dir = args.data_dir or os.path.dirname(mapping)
+
+    import csv
+
+    first_per_class = {}
+    with open(mapping) as f:
+        for row in csv.DictReader(f):
+            cls = row.get("class_name") or row.get("target_synset")
+            if cls not in first_per_class:
+                first_per_class[cls] = os.path.join(data_dir, row["image_path"])
+
+    classes = sorted(first_per_class)[: args.max_classes]
+    cols = min(8, len(classes))
+    rows = math.ceil(len(classes) / cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(2 * cols, 2.2 * rows))
+    axes = [axes] if rows * cols == 1 else list(axes.ravel())
+    for ax in axes[len(classes):]:
+        ax.axis("off")
+    for ax, cls in zip(axes, classes):
+        ax.imshow(Image.open(first_per_class[cls]).convert("RGB"))
+        ax.set_title(cls, fontsize=8)
+        ax.axis("off")
+    plt.tight_layout()
+    plt.savefig(args.out, dpi=120)
+    print(f"Saved {args.out} ({len(classes)} classes)")
+
+
+if __name__ == "__main__":
+    main()

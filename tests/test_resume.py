@@ -1,0 +1,82 @@
+"""Checkpoint/resume tests: interrupted vision training resumes exactly."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from multimodal_concept_learning_tpu.configs import ColorDatasetConfig
+from multimodal_concept_learning_tpu.data import generate_color_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("resume_e2e")
+    config = ColorDatasetConfig.from_params(
+        {
+            "dataset_name": "tiny",
+            "image_size": 32,
+            "colors": [[255, 0, 0], [0, 255, 0]],
+            "radius_range": [4, 10],
+            "n_images_per_color": 16,
+            "data_dir": str(root),
+            "seed": 0,
+        }
+    )
+    return generate_color_dataset(config, verbose=False)
+
+
+def _cfg(dataset_dir, results_dir, epochs):
+    return {
+        "model_name": "vit",
+        "hidden_size": 32,
+        "intermediate_size": 64,
+        "num_hidden_layers": 1,
+        "num_attention_heads": 2,
+        "patch_size": 16,
+        "image_size": 32,
+        "num_labels": 2,
+        "data_dir": dataset_dir,
+        "dataset_name": "color",
+        "mapping_path": dataset_dir,
+        "epochs": epochs,
+        "learning_rate": 1e-3,
+        "batch_size": 4,
+        "effective_batch_size": 4,
+        "weight_decay": 0.0,
+        "num_workers": 1,
+        "results_dir": results_dir,
+        "seed": 0,
+        "disable_wandb": True,
+        "train_transforms": ["ToTensor"],
+        "val_transforms": ["ToTensor"],
+        "resume": True,
+    }
+
+
+def test_vision_resume(dataset_dir, tmp_path, capsys):
+    from multimodal_concept_learning_tpu.train.vision_training import main
+
+    results_dir = str(tmp_path / "results")
+
+    # phase 1: 2 epochs
+    p1 = tmp_path / "p1.yaml"
+    p1.write_text(yaml.safe_dump(_cfg(dataset_dir, results_dir, epochs=2)))
+    main(["--config_path", str(p1)])
+    assert os.path.isdir(os.path.join(results_dir, "orbax"))
+    steps = [d for d in os.listdir(os.path.join(results_dir, "orbax")) if d.startswith("step_")]
+    assert "step_1" in steps
+
+    # phase 2: extend to 4 epochs; must resume from epoch 2, not restart
+    capsys.readouterr()
+    p2 = tmp_path / "p2.yaml"
+    p2.write_text(yaml.safe_dump(_cfg(dataset_dir, results_dir, epochs=4)))
+    main(["--config_path", str(p2)])
+    out = capsys.readouterr().out
+    assert "Resuming from epoch 1 checkpoint" in out
+    assert "Epoch 3/4" in out and "Epoch 4/4" in out
+    assert "Epoch 1/4" not in out  # did not restart
+
+    steps = {d for d in os.listdir(os.path.join(results_dir, "orbax")) if d.startswith("step_")}
+    assert "step_3" in steps

@@ -1,0 +1,84 @@
+"""Aux subsystem tests: seeding streams, step timer, numeric checks, logger."""
+
+import numpy as np
+import pytest
+
+from multimodal_concept_learning_tpu.utils.debugging import assert_finite_tree, checked
+from multimodal_concept_learning_tpu.utils.logging import MetricsLogger
+from multimodal_concept_learning_tpu.utils.profiling import StepTimer
+from multimodal_concept_learning_tpu.utils.seeding import host_rng, set_seed
+
+
+def test_set_seed_returns_key_and_seeds_host():
+    key = set_seed(123)
+    import random
+
+    a = random.random()
+    np_a = np.random.random()
+    set_seed(123)
+    assert random.random() == a
+    assert np.random.random() == np_a
+    import jax
+
+    assert jax.random.uniform(key).shape == ()
+
+
+def test_host_rng_streams_independent():
+    g1 = host_rng(0, "collator")
+    g2 = host_rng(0, "shuffle")
+    g1b = host_rng(0, "collator")
+    assert g1.random() == g1b.random()
+    assert host_rng(0, "collator").random() != g2.random()
+
+
+def test_step_timer():
+    t = StepTimer()
+    for _ in range(3):
+        t.start()
+        t.stop(fence_array=np.asarray([1.0]))
+    s = t.summary()
+    assert s["steps"] == 3
+    assert s["mean_s"] >= 0.0
+    assert StepTimer().summary() == {"steps": 0}
+
+
+def test_assert_finite_tree():
+    assert_finite_tree({"a": np.ones(3)}, "ok")
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        assert_finite_tree({"a": {"b": np.array([1.0, np.nan])}}, "bad")
+
+
+def test_checked_catches_nan():
+    import jax.numpy as jnp
+
+    def f(x):
+        return jnp.log(x)
+
+    err, out = checked(f)(jnp.asarray(-1.0))
+    with pytest.raises(Exception):
+        err.throw()
+
+
+def test_metrics_logger_formats(capsys):
+    logger = MetricsLogger(enabled=True, use_wandb=False)
+    logger.print_vision_epoch(
+        {"epoch": 1, "train_loss": 1.0, "val_loss": 2.0, "train_acc": 50.0,
+         "val_acc": 40.0, "learning_rate": 1e-3, "epoch_time": 1.5},
+        total_epochs=3,
+    )
+    out = capsys.readouterr().out
+    assert "Epoch 1/3 completed in 1.50s" in out
+    assert "Train Loss: 1.0000, Train Acc: 50.00%" in out
+
+    logger.print_multimodal_epoch(
+        {"epoch": 2, "train_loss": 1.0, "val_loss": 2.0, "best_val_loss": 1.9,
+         "learning_rate": 5e-4, "epoch_time": 2.0},
+        total_epochs=5,
+    )
+    out = capsys.readouterr().out
+    assert "Best Val Loss: 1.9000" in out
+
+    silent = MetricsLogger(enabled=False, use_wandb=False)
+    silent.print_vision_epoch({"epoch": 1, "train_loss": 0, "val_loss": 0, "train_acc": 0,
+                               "val_acc": 0, "learning_rate": 0, "epoch_time": 0}, 1)
+    assert capsys.readouterr().out == ""
