@@ -16,7 +16,14 @@ TPU-first differences (all loss/gradient-equivalent):
 
 Trainable-parameter settings (reference mllm.py:157-193) become optax
 masks built by ``trainable_mask`` — the projector is always trainable, plus
-one of vision_only / language_only / language_embed_only.
+one of vision_only / language_only / language_embed_only.  Because the mask
+routes frozen params to set_to_zero, XLA dead-code-eliminates their entire
+gradient computations: under language_embed_only the vision tower's backward
+disappears from the compiled step (verified via compiled cost_analysis:
+step FLOPs = forward + LM-dx chain only).  This is the JAX answer to the
+reference's DDP ``find_unused_parameters=True`` (multimodal_training.py:334)
+— frozen towers cost zero backward compute instead of needing special-case
+bucket handling.
 """
 
 from __future__ import annotations

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Secondary benchmark: MLLM concept-learning step throughput.
+
+The reference's headline workload (SURVEY.md §6): ViT-B/16 tower +
+Gemma-3-1b-geometry LM, answer-only supervision, ``language_embed_only``
+training (embedding table + projector trainable; frozen towers' backwards
+are DCE'd).  Reports images/sec/chip fwd+bwd and concept-token updates/sec
+(OOD embedding rows receiving an optimizer update per second =
+ood_rows x steps/sec), the two metrics named by BASELINE.json.
+
+Usage: python scripts/bench_mllm.py [--batch 32] [--ood 90]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+from multimodal_concept_learning_tpu.models import MLLM, MLLMConfig  # noqa: E402
+from multimodal_concept_learning_tpu.models.mllm import trainable_mask  # noqa: E402
+from multimodal_concept_learning_tpu.parallel import build_optimizer  # noqa: E402
+from multimodal_concept_learning_tpu.parallel.train_step import TrainState  # noqa: E402
+from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer  # noqa: E402
+
+INNER = 10
+REPEATS = 3
+TEXT_LEN = 40
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--ood", type=int, default=90)
+    args = parser.parse_args()
+
+    tokenizer = ConceptTokenizer()
+    tokenizer.add_tokens([f"<ood {i}>" for i in range(1, args.ood + 1)])
+
+    config = MLLMConfig.create(
+        vocab_size=len(tokenizer), vision_preset="vit-b-16", lm_preset="gemma3-1b",
+        num_vision_tokens=197, image_size=224,
+    )
+    model = MLLM(config)
+
+    rng = np.random.default_rng(0)
+    B, nvt = args.batch, 197
+    T = nvt + TEXT_LEN
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(B, 3, 224, 224)).astype(np.float32)),
+        "input_ids": jnp.asarray(
+            np.concatenate([np.zeros((B, nvt), np.int32),
+                            rng.integers(4, len(tokenizer) - args.ood,
+                                         size=(B, TEXT_LEN)).astype(np.int32)], axis=1)),
+        "attention_mask": jnp.ones((B, T), jnp.int32),
+        "labels": jnp.full((B, T), -100, jnp.int32).at[:, -2].set(7).at[:, -1].set(8),
+    }
+
+    params = jax.jit(model.init)(
+        jax.random.key(0), batch["images"], batch["input_ids"], batch["attention_mask"]
+    )["params"]
+    mask = trainable_mask(params, "language_embed_only")
+    tx = build_optimizer(5e-4, weight_decay=1e-4, max_grad_norm=1.0, trainable_mask=mask)
+    state = jax.jit(lambda p: TrainState.create(p, tx))(params)
+
+    import optax
+
+    def one(s, b, r):
+        def loss_fn(p):
+            out = model.apply({"params": p}, b["images"], b["input_ids"],
+                              b["attention_mask"], b["labels"])
+            return out["loss"]
+        loss, grads = jax.value_and_grad(loss_fn)(s.params)
+        updates, opt_state = tx.update(grads, s.opt_state, s.params)
+        return TrainState(step=s.step + 1, params=optax.apply_updates(s.params, updates),
+                          opt_state=opt_state), loss
+
+    @jax.jit
+    def scan_fn(state, b, r):
+        return jax.lax.scan(lambda s, _: one(s, b, r), state, None, length=INNER)
+
+    key = jax.random.key(1)
+    t0 = time.time()
+    state, losses = scan_fn(state, batch, key)
+    print(f"compile+warmup: {time.time() - t0:.1f}s loss={float(losses[-1]):.4f}",
+          file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(REPEATS):
+        state, losses = scan_fn(state, batch, key)
+    final = float(losses[-1])
+    elapsed = time.time() - t0
+
+    n_dev = len(jax.devices())
+    steps_per_sec = INNER * REPEATS / elapsed
+    img_per_sec_chip = B * steps_per_sec / n_dev
+    concept_updates_per_sec = args.ood * steps_per_sec
+
+    # fwd FLOPs/img ~ ViT-B/16 35G + LM(26L,1152h,6912i @ 237 tok) 331G;
+    # bwd adds ~LM fwd again (dx chain; frozen-tower dW DCE'd) + answer head
+    flop_per_img = (35e9 + 331e9) + 331e9
+    mfu = img_per_sec_chip * flop_per_img / 197e12
+    print(
+        f"steps/s={steps_per_sec:.2f} imgs/s/chip={img_per_sec_chip:.1f} "
+        f"concept-updates/s={concept_updates_per_sec:.0f} est.MFU={100 * mfu:.1f}% "
+        f"loss={final:.4f}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "MLLM language_embed_only images/sec/chip fwd+bwd",
+        "value": round(img_per_sec_chip, 2),
+        "unit": "images/sec/chip",
+        "concept_token_updates_per_sec": round(concept_updates_per_sec, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,23 @@
+"""Driver-entry dryrun: multi-chip step compiles and executes on the virtual mesh."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pytest
+
+
+@pytest.mark.parametrize("n", [2, 8])
+def test_dryrun_multichip(n, eight_devices, capsys):
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(n)
+    out = capsys.readouterr().out
+    assert f"dryrun_multichip({n})" in out and "OK" in out
+
+
+def test_dryrun_single_device(eight_devices, capsys):
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(1)
+    assert "OK" in capsys.readouterr().out
