@@ -58,9 +58,11 @@ class VisionTrainingConfig:
     wandb_project: Optional[str]
     wandb_run_name: Optional[str]
 
-    # Framework extension (absent in the reference; defaults off so
-    # reference YAMLs run unchanged): orbax checkpoint + resume.
+    # Framework extensions (absent in the reference; defaults off so
+    # reference YAMLs run unchanged): orbax checkpoint + resume, and the
+    # uint8 host->device pipeline with on-device normalization.
     resume: bool = False
+    device_normalize: bool = False
 
     @classmethod
     def from_params(cls, params: Optional[dict]) -> "VisionTrainingConfig":
@@ -101,4 +103,5 @@ class VisionTrainingConfig:
             wandb_project=params.get("wandb_project", None),
             wandb_run_name=params.get("wandb_run_name", None),
             resume=bool(params.get("resume", False)),
+            device_normalize=bool(params.get("device_normalize", False)),
         )

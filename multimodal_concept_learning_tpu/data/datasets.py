@@ -76,18 +76,28 @@ class _CsvImageDataset:
         self._native_spec = spec
         return spec
 
-    def get_batch(self, indices, num_threads: int = 8):
+    def get_batch(self, indices, num_threads: int = 8, uint8: bool = False):
         """Load a batch of samples, via the native C++ loader when the
-        transform allows, else per-sample __getitem__."""
+        transform allows, else per-sample __getitem__.
+
+        ``uint8=True`` returns [H, W, 3] uint8 images (decode+resize only)
+        for the device-side-normalization pipeline; normalization params are
+        available as ``self._native_spec['mean'/'std']``.
+        """
         spec = self._native_setup()
         if spec is None:
+            if uint8:
+                raise RuntimeError("uint8 path requires a native-servable transform")
             return [self[int(i)] for i in indices]
         from multimodal_concept_learning_tpu.data import native_loader
 
         paths = [self.dataset[int(i)][0] for i in indices]
-        arr = native_loader.load_batch(
-            paths, spec["size"], spec["mean"], spec["std"], num_threads=num_threads
-        )
+        if uint8:
+            arr = native_loader.load_batch_u8(paths, spec["size"], num_threads=num_threads)
+        else:
+            arr = native_loader.load_batch(
+                paths, spec["size"], spec["mean"], spec["std"], num_threads=num_threads
+            )
         out = []
         for j, i in enumerate(indices):
             _, label_data = self.dataset[int(i)]

@@ -24,10 +24,16 @@ import numpy as np
 
 
 def default_classification_collate(batch):
-    """(img, label_idx) pairs → {images, labels} numpy batch."""
-    images = np.stack([b[0] for b in batch]).astype(np.float32)
+    """(img, label_idx) pairs → {images | images_u8, labels} numpy batch.
+
+    uint8 HWC samples (the device-normalize pipeline) keep their dtype and
+    land under ``images_u8``; float CHW samples under ``images``.
+    """
+    first = batch[0][0]
     labels = np.asarray([b[1] for b in batch], dtype=np.int32)
-    return {"images": images, "labels": labels}
+    if isinstance(first, np.ndarray) and first.dtype == np.uint8:
+        return {"images_u8": np.stack([b[0] for b in batch]), "labels": labels}
+    return {"images": np.stack([b[0] for b in batch]).astype(np.float32), "labels": labels}
 
 
 class BatchLoader:
@@ -54,6 +60,7 @@ class BatchLoader:
         num_workers: int = 4,
         seed: int = 0,
         prefetch_batches: int = 2,
+        uint8_images: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -63,6 +70,7 @@ class BatchLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch_batches = prefetch_batches
+        self.uint8_images = uint8_images
         self._epoch = 0
 
     def __len__(self):
@@ -104,6 +112,16 @@ class BatchLoader:
         error_holder = []
 
         use_native = hasattr(self.dataset, "get_batch")
+        uint8 = self.uint8_images and use_native
+        if uint8 and getattr(self.dataset, "_native_setup", lambda: None)() is None:
+            uint8 = False  # transform not native-servable: fall back to float path
+        norm = None
+        if uint8:
+            spec = self.dataset._native_spec
+            norm = (
+                np.asarray(spec["mean"], np.float32),
+                np.asarray(spec["std"], np.float32),
+            )
 
         def produce():
             try:
@@ -112,11 +130,15 @@ class BatchLoader:
                         if use_native:
                             # dataset-level batch load (C++ fast path when the
                             # transform allows, internal threading)
-                            samples = self.dataset.get_batch(chunk, num_threads=self.num_workers)
+                            samples = self.dataset.get_batch(
+                                chunk, num_threads=self.num_workers, uint8=uint8
+                            )
                         else:
                             samples = list(pool.map(self.dataset.__getitem__, chunk))
                         batch = self.collate_fn(samples)
                         batch["valid"] = valid
+                        if uint8 and "images_u8" in batch:
+                            batch["norm_mean"], batch["norm_std"] = norm
                         out_q.put(batch)
             except Exception as e:  # noqa: BLE001
                 error_holder.append(e)

@@ -1,0 +1,27 @@
+"""Device-side image preprocessing.
+
+The uint8 host→device path: the host ships [B, H, W, 3] uint8 (4x smaller
+than fp32), and the device fuses /255 → -mean → /std → NCHW into the first
+step of the compiled program (XLA folds it into the patch-embed matmul's
+input).  This is the "decode-adjacent normalize fused into the image path"
+from the north star — the decode+resize half lives in native/fastimage.cc.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def device_preprocess(images_u8: jax.Array, mean: jax.Array, std: jax.Array) -> jax.Array:
+    """[B, H, W, 3] uint8 → normalized [B, 3, H, W] float32."""
+    x = images_u8.astype(jnp.float32) * (1.0 / 255.0)
+    x = (x - mean.reshape(1, 1, 1, 3)) / std.reshape(1, 1, 1, 3)
+    return x.transpose(0, 3, 1, 2)
+
+
+def images_from_batch(batch) -> jax.Array:
+    """Resolve the model-input images from either pipeline contract."""
+    if "images_u8" in batch:
+        return device_preprocess(batch["images_u8"], batch["norm_mean"], batch["norm_std"])
+    return batch["images"]

@@ -20,6 +20,7 @@ import optax
 from flax import struct
 
 from multimodal_concept_learning_tpu.ops.losses import cross_entropy_loss
+from multimodal_concept_learning_tpu.ops.preprocess import images_from_batch
 
 
 class TrainState(struct.PyTreeNode):
@@ -47,10 +48,12 @@ def make_classifier_train_step(
     def step(state: TrainState, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
 
+        images = images_from_batch(batch)
+
         def loss_fn(params):
             logits = model.apply(
                 {"params": params},
-                batch["images"],
+                images,
                 deterministic=False,
                 rngs={"dropout": dropout_rng},
             )
@@ -76,7 +79,7 @@ def make_classifier_eval_step(model, label_smoothing: float = 0.0) -> Callable:
     loss/accuracy match un-padded semantics exactly."""
 
     def step(params, batch):
-        logits = model.apply({"params": params}, batch["images"], deterministic=True)
+        logits = model.apply({"params": params}, images_from_batch(batch), deterministic=True)
         valid = batch["valid"]
         loss = cross_entropy_loss(logits, batch["labels"], label_smoothing, valid=valid)
         preds = jnp.argmax(logits, axis=-1)
@@ -92,10 +95,12 @@ def make_mllm_train_step(model, tx: optax.GradientTransformation) -> Callable:
     def step(state: TrainState, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
 
+        images = images_from_batch(batch)
+
         def loss_fn(params):
             out = model.apply(
                 {"params": params},
-                batch["images"],
+                images,
                 batch["input_ids"],
                 batch["attention_mask"],
                 batch["labels"],
@@ -125,7 +130,7 @@ def make_mllm_eval_step(model) -> Callable:
     def step(params, batch):
         out = model.apply(
             {"params": params},
-            batch["images"],
+            images_from_batch(batch),
             batch["input_ids"],
             batch["attention_mask"],
             batch["labels"],

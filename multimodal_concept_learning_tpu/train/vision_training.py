@@ -93,7 +93,12 @@ def run_training(model, train_loader, val_loader, config: VisionTrainingConfig, 
     )
 
     sample = next(iter(train_loader))
-    params = model.init(rng, jax.numpy.asarray(sample["images"][:1]))["params"]
+    if "images_u8" in sample:
+        h, w = sample["images_u8"].shape[1:3]
+        init_images = jax.numpy.zeros((1, 3, h, w), jax.numpy.float32)
+    else:
+        init_images = jax.numpy.asarray(sample["images"][:1])
+    params = model.init(rng, init_images)["params"]
     state = TrainState.create(params, tx)
 
     resume = ResumeManager(config.results_dir, config.resume)
@@ -215,14 +220,15 @@ def main(argv=None):
         num_workers=config.num_workers,
         seed=config.seed,
         prefetch_batches=config.prefetch_factor,
+        uint8_images=config.device_normalize,
     )
     val_loader = BatchLoader(
         val_dataset, batch_size=config.batch_size, num_workers=config.num_workers,
-        prefetch_batches=config.prefetch_factor,
+        prefetch_batches=config.prefetch_factor, uint8_images=config.device_normalize,
     )
     test_loader = BatchLoader(
         test_dataset, batch_size=config.batch_size, num_workers=config.num_workers,
-        prefetch_batches=config.prefetch_factor,
+        prefetch_batches=config.prefetch_factor, uint8_images=config.device_normalize,
     )
 
     print(

@@ -147,6 +147,63 @@ int fi_load_image(const char* path, int th, int tw, const float* mean,
   return 0;
 }
 
+// Load one image as uint8 NHWC (decode + bilinear resize, no normalize).
+int fi_load_image_u8(const char* path, int th, int tw, uint8_t* out) {
+  Decoded img;
+  if (!decode_any(path, &img)) return 1;
+  const float sx = float(img.w) / tw;
+  const float sy = float(img.h) / th;
+  for (int y = 0; y < th; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    if (fy < 0) fy = 0;
+    int y0 = int(fy);
+    int y1 = y0 + 1 < img.h ? y0 + 1 : img.h - 1;
+    float wy = fy - y0;
+    for (int x = 0; x < tw; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      if (fx < 0) fx = 0;
+      int x0 = int(fx);
+      int x1 = x0 + 1 < img.w ? x0 + 1 : img.w - 1;
+      float wx = fx - x0;
+      const uint8_t* p00 = img.pixels.data() + (size_t(y0) * img.w + x0) * 3;
+      const uint8_t* p01 = img.pixels.data() + (size_t(y0) * img.w + x1) * 3;
+      const uint8_t* p10 = img.pixels.data() + (size_t(y1) * img.w + x0) * 3;
+      const uint8_t* p11 = img.pixels.data() + (size_t(y1) * img.w + x1) * 3;
+      uint8_t* dst = out + (size_t(y) * tw + x) * 3;
+      for (int c = 0; c < 3; ++c) {
+        float v = (1 - wy) * ((1 - wx) * p00[c] + wx * p01[c]) +
+                  wy * ((1 - wx) * p10[c] + wx * p11[c]);
+        dst[c] = uint8_t(v + 0.5f);
+      }
+    }
+  }
+  return 0;
+}
+
+// Parallel uint8 NHWC batch load: out[n][th][tw][3]. Returns failures.
+int fi_load_batch_u8(const char** paths, int n, int th, int tw, uint8_t* out,
+                     int num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  const size_t stride = size_t(th) * tw * 3;
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      if (fi_load_image_u8(paths[i], th, tw, out + size_t(i) * stride) != 0) {
+        failures.fetch_add(1);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  int t = num_threads < n ? num_threads : n;
+  threads.reserve(t);
+  for (int i = 0; i < t; ++i) threads.emplace_back(worker);
+  for (auto& th_ : threads) th_.join();
+  return failures.load();
+}
+
 // Load n images in parallel into out[n][3*th*tw]. Returns number of failures.
 int fi_load_batch(const char** paths, int n, int th, int tw, const float* mean,
                   const float* stdv, float* out, int num_threads) {

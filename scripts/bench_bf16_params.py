@@ -1,0 +1,41 @@
+#!/usr/bin/env python
+"""Experiment: does keeping params in bf16 (no per-matmul fp32→bf16 cast)
+move the CLIP bench? Master-weight semantics are ignored here — this is a
+pure bandwidth probe."""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+import bench  # noqa: E402
+
+
+def main():
+    state, batch, scan_steps = bench.build()
+    # cast all params + adam moments to bf16
+    cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
+    )
+    state = jax.tree_util.tree_map(lambda x: x, state)
+    state = state.replace(params=cast(state.params), opt_state=cast(state.opt_state))
+
+    t0 = time.time()
+    state, losses = scan_steps(state, batch)
+    print(f"compile+warmup: {time.time() - t0:.1f}s loss={float(losses[-1]):.4f}", flush=True)
+    t0 = time.time()
+    for _ in range(bench.REPEATS):
+        state, losses = scan_steps(state, batch)
+    final = float(losses[-1])
+    dt = time.time() - t0
+    ips = bench.BATCH * bench.INNER * bench.REPEATS / dt
+    print(f"bf16 params: {ips:.0f} imgs/s (loss={final:.4f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

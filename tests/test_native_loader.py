@@ -117,3 +117,56 @@ def test_dataset_get_batch_uses_native(tmp_path):
     for (a, la), (b, lb) in zip(native_batch, pil_batch):
         assert la == lb
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_uint8_pipeline_end_to_end(tmp_path):
+    """uint8 host path + device_preprocess == float path numerically."""
+    import jax.numpy as jnp
+
+    from multimodal_concept_learning_tpu.configs import ColorDatasetConfig, VisionTrainingConfig
+    from multimodal_concept_learning_tpu.data import BatchLoader, ColorDataset, generate_color_dataset
+    from multimodal_concept_learning_tpu.data.transforms import create_transforms
+    from multimodal_concept_learning_tpu.ops.preprocess import images_from_batch
+
+    cfg = ColorDatasetConfig.from_params(
+        {"dataset_name": "t8", "image_size": 32, "colors": [[255, 0, 0], [0, 0, 255]],
+         "radius_range": [4, 8], "n_images_per_color": 6, "data_dir": str(tmp_path), "seed": 0}
+    )
+    d = generate_color_dataset(cfg, verbose=False)
+    vcfg = VisionTrainingConfig.from_params(
+        {"train_transforms": ["ToTensor", "Normalize"], "val_transforms": ["ToTensor", "Normalize"],
+         "image_size": 32, "dataset_name": "color"}
+    )
+    t = create_transforms(vcfg, is_train=False)
+    ds = ColorDataset(d + "/train_mapping.csv", d, transform=t, verbose=False)
+
+    float_batch = next(iter(BatchLoader(ds, batch_size=4, shuffle=False)))
+    u8_batch = next(iter(BatchLoader(ds, batch_size=4, shuffle=False, uint8_images=True)))
+
+    assert "images_u8" in u8_batch and u8_batch["images_u8"].dtype == np.uint8
+    assert u8_batch["images_u8"].shape == (4, 32, 32, 3)
+    out = np.asarray(images_from_batch(
+        {k: jnp.asarray(v) for k, v in u8_batch.items() if k != "valid"}
+    ))
+    np.testing.assert_allclose(out, float_batch["images"], atol=1e-5)
+    np.testing.assert_array_equal(u8_batch["labels"], float_batch["labels"])
+
+
+def test_uint8_falls_back_when_not_servable(tmp_path):
+    from multimodal_concept_learning_tpu.configs import ColorDatasetConfig, VisionTrainingConfig
+    from multimodal_concept_learning_tpu.data import BatchLoader, ColorDataset, generate_color_dataset
+    from multimodal_concept_learning_tpu.data.transforms import create_transforms
+
+    cfg = ColorDatasetConfig.from_params(
+        {"dataset_name": "t9", "image_size": 16, "colors": [[255, 0, 0]], "radius_range": [3, 5],
+         "n_images_per_color": 4, "data_dir": str(tmp_path), "seed": 0}
+    )
+    d = generate_color_dataset(cfg, verbose=False)
+    vcfg = VisionTrainingConfig.from_params(
+        {"train_transforms": ["RandomHorizontalFlip", "ToTensor"],
+         "val_transforms": ["RandomHorizontalFlip", "ToTensor"], "image_size": 16}
+    )
+    t = create_transforms(vcfg, is_train=False)
+    ds = ColorDataset(d + "/train_mapping.csv", d, transform=t, verbose=False)
+    batch = next(iter(BatchLoader(ds, batch_size=2, uint8_images=True)))
+    assert "images" in batch  # silently fell back to the float path
