@@ -89,9 +89,11 @@ class MultimodalTrainingConfig:
     num_processes: Optional[int]
     split_batches: bool
 
-    # Framework extension (absent in the reference; defaults off so
-    # reference YAMLs run unchanged): orbax checkpoint + resume.
+    # Framework extensions (absent in the reference; defaults off so
+    # reference YAMLs run unchanged): orbax checkpoint + resume, and the
+    # uint8 host->device pipeline with on-device normalization.
     resume: bool = False
+    device_normalize: bool = False
 
     @classmethod
     def from_params(cls, params: Optional[dict]) -> "MultimodalTrainingConfig":
@@ -171,4 +173,5 @@ class MultimodalTrainingConfig:
             num_processes=params.get("num_processes", None),
             split_batches=bool(params.get("split_batches", True)),
             resume=bool(params.get("resume", False)),
+            device_normalize=bool(params.get("device_normalize", False)),
         )

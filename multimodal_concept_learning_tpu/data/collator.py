@@ -173,12 +173,18 @@ class MultimodalCollator:
                 # to the pad-masked input ids over the text region.
                 labels[i, V : V + n] = seq[:n]
 
-        return {
-            "images": np.stack(images).astype(np.float32),
+        out = {
             "input_ids": input_ids,
             "attention_mask": attention_mask,
             "labels": labels,
         }
+        stacked = np.stack(images)
+        if stacked.dtype == np.uint8:
+            # uint8 HWC device-normalize pipeline (see ops/preprocess.py)
+            out["images_u8"] = stacked
+        else:
+            out["images"] = stacked.astype(np.float32)
+        return out
 
 
 def _find_subsequence(haystack: Sequence[int], needle: Sequence[int]) -> Optional[int]:

@@ -1,0 +1,106 @@
+"""Grain-backed input pipeline (alternative to the built-in BatchLoader).
+
+The north star names Grain/tf.data as the DataLoader replacement; this module
+adapts the framework's map-style datasets + collators onto
+``grain.python.DataLoader`` so users who standardize on Grain (multi-process
+workers, deterministic global shuffling, checkpointable iterators,
+ShardByJaxProcess for multi-host) get the same batch contract the trainers
+consume.  The built-in BatchLoader remains the default: it integrates the
+native C++ decode fast path and fixed-shape final-batch padding.
+
+Usage:
+    loader = GrainLoader(dataset, batch_size=64, shuffle=True, seed=0,
+                         collate_fn=collator, num_workers=4)
+    for batch in loader:  # dict with images/input_ids/.../valid
+        ...
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+
+class _SampleSource:
+    """RandomAccessDataSource view over a framework dataset."""
+
+    def __init__(self, dataset):
+        self._dataset = dataset
+
+    def __len__(self):
+        return len(self._dataset)
+
+    def __getitem__(self, idx):
+        return self._dataset[int(idx)]
+
+
+class GrainLoader:
+    """Epoch-based batch iterator over grain.python.DataLoader."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        collate_fn: Optional[Callable] = None,
+        drop_last: bool = False,
+        num_workers: int = 0,
+        seed: int = 0,
+    ):
+        from multimodal_concept_learning_tpu.data.pipeline import (
+            default_classification_collate,
+        )
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.collate_fn = collate_fn or default_classification_collate
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        import grain.python as gp
+
+        sampler = gp.IndexSampler(
+            num_records=len(self.dataset),
+            shard_options=gp.NoSharding(),
+            shuffle=self.shuffle,
+            num_epochs=1,
+            seed=self.seed + self._epoch,
+        )
+        loader = gp.DataLoader(
+            data_source=_SampleSource(self.dataset),
+            sampler=sampler,
+            operations=[],
+            worker_count=self.num_workers,
+        )
+
+        buf = []
+        for sample in loader:
+            buf.append(sample)
+            if len(buf) == self.batch_size:
+                yield self._finalize(buf, full=True)
+                buf = []
+        if buf and not self.drop_last:
+            yield self._finalize(buf, full=False)
+
+    def _finalize(self, samples, full: bool):
+        n = len(samples)
+        if not full:
+            # pad by repetition to keep fixed shapes; mask via `valid`
+            samples = samples + [samples[i % n] for i in range(self.batch_size - n)]
+        batch = self.collate_fn(samples)
+        valid = np.zeros(self.batch_size, bool)
+        valid[:n] = True
+        batch["valid"] = valid
+        return batch

@@ -389,6 +389,7 @@ def main(argv=None):
         collate_fn=collator,
         num_workers=config.num_workers,
         prefetch_batches=config.prefetch_factor,
+        uint8_images=config.device_normalize,
     )
     train_loader = BatchLoader(
         train_dataset, batch_size=config.batch_size, shuffle=True, drop_last=True,

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Experiment: explicit remat of tower blocks at batch 512.
+
+XLA auto-remat at batch 512 lost 25% vs batch 128; explicit jax.checkpoint
+with the dots-saveable policy may do better by keeping matmul outputs and
+recomputing only elementwise chains.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+from multimodal_concept_learning_tpu.models import CLIPConfig, CLIPModel  # noqa: E402
+from multimodal_concept_learning_tpu.models.clip import contrastive_loss  # noqa: E402
+
+BATCH, INNER, IMAGE, CTX, VOCAB = 512, 10, 224, 77, 49408
+
+
+def main():
+    cfg = CLIPConfig.create(vocab_size=VOCAB, vision_preset="vit-b-32", image_size=IMAGE,
+                            context_length=CTX)
+    model = CLIPModel(cfg)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(BATCH, 3, IMAGE, IMAGE)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, VOCAB, size=(BATCH, CTX)).astype(np.int32))
+    mask = jnp.ones((BATCH, CTX), jnp.int32)
+    params = jax.jit(model.init)(jax.random.key(0), images[:1], ids[:1], mask[:1])["params"]
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4, weight_decay=0.2))
+    state = (params, jax.jit(tx.init)(params))
+
+    policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+
+    apply_ckpt = jax.checkpoint(
+        lambda p, x, i, m: model.apply({"params": p}, x, i, m), policy=policy
+    )
+
+    def one(carry, x, i, m):
+        p, s = carry
+        def loss_fn(pp):
+            img, txt, scale = apply_ckpt(pp, x, i, m)
+            return contrastive_loss(img, txt, scale)
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return (optax.apply_updates(p, updates), s), loss
+
+    @jax.jit
+    def scan_fn(carry, x, i, m):
+        return jax.lax.scan(lambda c, _: one(c, x, i, m), carry, None, length=INNER)
+
+    t0 = time.time()
+    state, losses = scan_fn(state, images, ids, mask)
+    print(f"compile+warmup: {time.time() - t0:.1f}s loss={float(losses[-1]):.4f}", flush=True)
+    t0 = time.time()
+    for _ in range(3):
+        state, losses = scan_fn(state, images, ids, mask)
+    final = float(losses[-1])
+    dt = time.time() - t0
+    print(f"remat@{BATCH}: {BATCH * INNER * 3 / dt:.0f} imgs/s (loss={final:.4f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
