@@ -73,7 +73,12 @@ def _flash_ok(q, k) -> bool:
         return False
     from multimodal_concept_learning_tpu.ops.flash_attention import flash_supported
 
-    return flash_supported(q.shape, k.shape)
+    # Measured on v5e: at short sequences (<=256) XLA's fused dense attention
+    # beats the Pallas kernel (246us vs 460us at [32,256,4,256]) because the
+    # [T, T] intermediates still fit registers/VMEM; the flash path wins when
+    # the probability matrix would otherwise round-trip HBM.  Auto-dispatch
+    # only at T >= 1024; callers can force with use_flash=True.
+    return k.shape[1] >= 1024 and flash_supported(q.shape, k.shape)
 
 
 def make_attention_bias(

@@ -44,8 +44,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, l_ref, *, scale):
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(p, v, preferred_element_type=jnp.float32) / l
     o_ref[0] = o.astype(o_ref.dtype)
-    # logsumexp per row, saved for the backward pass
-    l_ref[0] = (m + jnp.log(l))[:, 0]
+    # logsumexp per row, saved for the backward pass.  Stored broadcast over
+    # the 128-lane dim ([BQ, 128]) so every access in fwd/bwd kernels is a
+    # plain 2-D tile slice (Mosaic rejects cross-tile reshapes).
+    lse = m + jnp.log(l)  # [BQ, 1]
+    l_ref[0] = jnp.broadcast_to(lse, (lse.shape[0], 128))
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref, lse_ref, dq_ref, *, scale):
@@ -54,7 +57,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref, lse_ref, dq_ref, *,
     v = v_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
     o = o_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
+    lse = lse_ref[0][:, 0:1]  # [BQ, 1]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     if bias_ref is not None:
@@ -74,7 +77,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref, lse_ref, dk_ref, d
     v = v_ref[0].astype(jnp.float32)  # [BK, D]
     do = do_ref[0].astype(jnp.float32)  # [T, D]
     o = o_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]  # [T, 1]
+    lse = lse_ref[0][:, 0:1]  # [T, 1]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale  # [T, BK]
     if bias_ref is not None:
@@ -140,11 +143,11 @@ def _flash_fwd_impl(q, k, v, bias):
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, BQ, d), lambda bhi, i: (bhi, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ), lambda bhi, i: (bhi, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 128), lambda bhi, i: (bhi, i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, tq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tq, 128), jnp.float32),
         ),
     )(*args)
     o4 = o.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
@@ -190,7 +193,7 @@ def _flash_bwd(res, g):
     dq_in_specs += [
         pl.BlockSpec((1, BQ, d), lambda bhi, i: (bhi, i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, BQ, d), lambda bhi, i: (bhi, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, BQ), lambda bhi, i: (bhi, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BQ, 128), lambda bhi, i: (bhi, i, 0), memory_space=pltpu.VMEM),
     ]
     dq_args += [dof, of, lse]
 
@@ -225,7 +228,7 @@ def _flash_bwd(res, g):
     dkv_in_specs += [
         pl.BlockSpec((1, tq, d), lambda bhi, j: (bhi, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tq, d), lambda bhi, j: (bhi, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tq), lambda bhi, j: (bhi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tq, 128), lambda bhi, j: (bhi, 0, 0), memory_space=pltpu.VMEM),
     ]
     dkv_args += [dof, of, lse]
 
