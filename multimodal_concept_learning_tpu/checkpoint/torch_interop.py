@@ -212,8 +212,16 @@ def mllm_params_to_torch(params, patch_size: int = 16, num_heads: int = 12) -> D
                 arr.T if rel == "kernel" else arr
             )
         elif tower == "language_model":
-            name, tensor = _lm_entry_to_torch(rel, arr)
-            sd[f"language_model.{name}"] = tensor
+            if rel.startswith("layers_scan/block/"):
+                # scanned layout: leading layer axis splits into per-layer
+                # reference names (model.layers.{i}.*)
+                sub = rel[len("layers_scan/block/") :]
+                for i in range(arr.shape[0]):
+                    name, tensor = _lm_entry_to_torch(f"layer_{i}/{sub}", arr[i])
+                    sd[f"language_model.{name}"] = tensor
+            else:
+                name, tensor = _lm_entry_to_torch(rel, arr)
+                sd[f"language_model.{name}"] = tensor
         else:
             raise KeyError(f"Unknown MLLM tower: {tower}")
     return sd
@@ -240,12 +248,26 @@ def mllm_params_from_torch(sd: Dict[str, np.ndarray], params_template, patch_siz
             arr = sd.get(torch_key)
             out[key] = (arr.T if rel == "kernel" else arr) if arr is not None else tmpl
         elif tower == "language_model":
-            name, _ = _lm_entry_to_torch(rel, tmpl)
-            torch_key = f"language_model.{name}"
-            if torch_key in sd:
-                out[key] = _lm_entry_from_torch(rel, sd[torch_key], tmpl)
+            if rel.startswith("layers_scan/block/"):
+                sub = rel[len("layers_scan/block/") :]
+                per_layer = []
+                for i in range(tmpl.shape[0]):
+                    name, _ = _lm_entry_to_torch(f"layer_{i}/{sub}", tmpl[i])
+                    torch_key = f"language_model.{name}"
+                    if torch_key in sd:
+                        per_layer.append(
+                            _lm_entry_from_torch(f"layer_{i}/{sub}", sd[torch_key], tmpl[i])
+                        )
+                    else:
+                        per_layer.append(np.asarray(tmpl[i]))
+                out[key] = np.stack(per_layer)
             else:
-                out[key] = tmpl
+                name, _ = _lm_entry_to_torch(rel, tmpl)
+                torch_key = f"language_model.{name}"
+                if torch_key in sd:
+                    out[key] = _lm_entry_from_torch(rel, sd[torch_key], tmpl)
+                else:
+                    out[key] = tmpl
         else:
             out[key] = tmpl
     tree = unflatten_params(out)

@@ -39,6 +39,11 @@ class LMConfig:
     rms_norm_eps: float = 1e-6
     tie_lm_head: bool = True
     final_logit_softcap: Optional[float] = None
+    # Stack layers under nn.scan: one block's HLO instead of num_layers
+    # copies.  Cuts compile time / serialized-program size ~num_layers x —
+    # decisive on remote-compile infrastructures — at identical math.
+    # Param layout gains a leading layer axis (handled by checkpoint interop).
+    scan_layers: bool = False
     dtype: Any = jnp.bfloat16
 
     @classmethod
@@ -137,6 +142,16 @@ class LMBlock(nn.Module):
         return x + h
 
 
+class _ScanLMBlock(nn.Module):
+    """nn.scan-compatible wrapper: (carry x, broadcast bias/positions) → (x, None)."""
+
+    config: LMConfig
+
+    @nn.compact
+    def __call__(self, x, bias, positions):
+        return LMBlock(self.config, name="block")(x, bias, positions), None
+
+
 class CausalLM(nn.Module):
     """Decoder-only LM exposing embed / hidden-states / logits entry points.
 
@@ -160,7 +175,16 @@ class CausalLM(nn.Module):
             param_dtype=jnp.float32,
             name="embed_tokens",
         )
-        self.layers = [LMBlock(cfg, name=f"layer_{i}") for i in range(cfg.num_layers)]
+        if cfg.scan_layers:
+            self.layers_scan = nn.scan(
+                _ScanLMBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=cfg.num_layers,
+            )(cfg, name="layers_scan")
+        else:
+            self.layers = [LMBlock(cfg, name=f"layer_{i}") for i in range(cfg.num_layers)]
         self.final_norm = RMSNorm(cfg.rms_norm_eps, name="norm")
         if not cfg.tie_lm_head:
             self.lm_head_dense = nn.Dense(
@@ -187,8 +211,11 @@ class CausalLM(nn.Module):
         else:
             positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
         x = inputs_embeds.astype(cfg.dtype)
-        for layer in self.layers:
-            x = layer(x, bias, positions, deterministic=deterministic)
+        if cfg.scan_layers:
+            x, _ = self.layers_scan(x, bias, positions)
+        else:
+            for layer in self.layers:
+                x = layer(x, bias, positions, deterministic=deterministic)
         return self.final_norm(x)
 
     def lm_head(self, hidden: jax.Array) -> jax.Array:

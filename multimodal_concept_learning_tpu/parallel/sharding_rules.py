@@ -36,31 +36,44 @@ def _maybe(spec_dims, shape, mesh: Mesh, model_axis: str):
     return P(*out)
 
 
+def _spec_dims(keys, shape) -> Optional[list]:
+    """Axis-role list (model-axis placeholder as 'M') for a param, or None."""
+    if "embed_tokens" in keys and "embedding" in keys:
+        return ["M", None]
+    if any(k in keys for k in ("gate_proj", "up_proj")):
+        return [None, "M"]
+    if "down_proj" in keys:
+        return ["M", None]
+    if any(k in keys for k in ("q_proj", "k_proj", "v_proj")):
+        return [None, "M", None]
+    if "o_proj" in keys:
+        return ["M", None, None]
+    # ViT MLP (named intermediate/output inside layer_i)
+    if "intermediate" in keys and keys[-1] == "kernel":
+        return [None, "M"]
+    if "intermediate" in keys and keys[-1] == "bias":
+        return ["M"]
+    if "output" in keys and "attention" not in keys and keys[-1] == "kernel" and len(shape) == 2:
+        return ["M", None]
+    return None
+
+
 def mllm_param_spec(path, x, mesh: Mesh, model_axis: str = "model") -> P:
     """PartitionSpec for one MLLM/CLIP/ViT parameter."""
     if model_axis not in mesh.axis_names or mesh.shape[model_axis] == 1:
         return P()
     keys = _keys(path)
     shape = x.shape
-
-    if "embed_tokens" in keys and "embedding" in keys:
-        return _maybe([model_axis, None], shape, mesh, model_axis)
-    if any(k in keys for k in ("gate_proj", "up_proj")):
-        return _maybe([None, model_axis], shape, mesh, model_axis)
-    if "down_proj" in keys:
-        return _maybe([model_axis, None], shape, mesh, model_axis)
-    if any(k in keys for k in ("q_proj", "k_proj", "v_proj")):
-        return _maybe([None, model_axis, None], shape, mesh, model_axis)
-    if "o_proj" in keys:
-        return _maybe([model_axis, None, None], shape, mesh, model_axis)
-    # ViT MLP (named intermediate/output inside layer_i)
-    if "intermediate" in keys and keys[-1] == "kernel":
-        return _maybe([None, model_axis], shape, mesh, model_axis)
-    if "intermediate" in keys and keys[-1] == "bias":
-        return _maybe([model_axis], shape, mesh, model_axis)
-    if "output" in keys and "attention" not in keys and keys[-1] == "kernel" and len(shape) == 2:
-        return _maybe([model_axis, None], shape, mesh, model_axis)
-    return P()
+    # scanned-layer params carry a leading layer axis (replicated)
+    scanned = "layers_scan" in keys
+    inner_shape = shape[1:] if scanned else shape
+    dims = _spec_dims(keys, inner_shape)
+    if dims is None:
+        return P()
+    dims = [model_axis if d == "M" else None for d in dims]
+    if scanned:
+        dims = [None] + dims
+    return _maybe(dims, shape, mesh, model_axis)
 
 
 def shard_params(params, mesh: Mesh, model_axis: str = "model"):

@@ -206,3 +206,40 @@ def test_clip_forward_and_loss():
     np.testing.assert_allclose(np.linalg.norm(np.asarray(img), axis=-1), 1.0, rtol=1e-5)
     loss = contrastive_loss(img, txt, scale)
     assert np.isfinite(float(loss))
+
+
+def test_scan_layers_lm_equivalence():
+    """scan_layers=True computes the same function (given equal params) and
+    round-trips through the reference-named torch state dict."""
+    import jax
+    from multimodal_concept_learning_tpu.checkpoint import (
+        mllm_params_from_torch,
+        mllm_params_to_torch,
+    )
+
+    cfg_loop = dataclasses.replace(LMConfig.preset("nano", vocab_size=128), dtype=jnp.float32)
+    cfg_scan = dataclasses.replace(cfg_loop, scan_layers=True)
+    ids = jnp.arange(16, dtype=jnp.int32).reshape(1, 16) % 120
+
+    m_loop = CausalLM(cfg_loop)
+    m_scan = CausalLM(cfg_scan)
+    p_loop = m_loop.init(jax.random.key(0), ids)
+    p_scan = m_scan.init(jax.random.key(1), ids)
+
+    # transfer loop-layout weights into scan layout via a fake MLLM-style dict
+    def as_mllm(tree):
+        return {"params": {"language_model": tree["params"]}}
+
+    sd = mllm_params_to_torch(as_mllm(p_loop))
+    p_scan2 = mllm_params_from_torch(sd, as_mllm(p_scan))
+    out_scan = m_scan.apply({"params": p_scan2["params"]["language_model"]}, ids)
+    out_loop = m_loop.apply(p_loop, ids)
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_loop), atol=2e-5)
+
+    # scanned params have a leading layer axis
+    k = p_scan["params"]["layers_scan"]["block"]["self_attn"]["q_proj"]["kernel"]
+    assert k.shape[0] == cfg_scan.num_layers
+
+    # and the exported torch dict uses per-layer reference names
+    sd2 = mllm_params_to_torch(as_mllm(p_scan))
+    assert "language_model.model.layers.1.self_attn.q_proj.weight" in sd2
