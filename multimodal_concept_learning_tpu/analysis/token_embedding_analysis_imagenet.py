@@ -22,14 +22,13 @@ import argparse
 import json
 import os
 from collections import Counter
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List, Optional
 
 import matplotlib
 
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
-from matplotlib import cm
 from matplotlib.lines import Line2D
 
 from multimodal_concept_learning_tpu.analysis.projection import Projector

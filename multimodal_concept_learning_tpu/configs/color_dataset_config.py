@@ -8,7 +8,7 @@ experiments/datasets/color/ parse unchanged.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 
 @dataclass

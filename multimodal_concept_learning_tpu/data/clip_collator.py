@@ -8,7 +8,7 @@ and padded to the fixed context length so the jitted step never recompiles.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import numpy as np
 

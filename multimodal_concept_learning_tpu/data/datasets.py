@@ -18,7 +18,6 @@ import csv
 import os
 from typing import Callable, List, Optional, Tuple
 
-import numpy as np
 from PIL import Image
 
 

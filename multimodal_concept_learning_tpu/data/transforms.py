@@ -16,7 +16,7 @@ reference used the global ``random`` state seeded by set_seed).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Union
+from typing import Any, Dict, Union
 
 import numpy as np
 from PIL import Image, ImageEnhance, ImageOps

@@ -20,7 +20,6 @@ Reproduces the reference's optimizer semantics functionally:
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Optional
 
 import jax

@@ -12,7 +12,7 @@ so updates happen in place in HBM.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ import os
 import time
 
 import jax
-import numpy as np
 import yaml
 
 from multimodal_concept_learning_tpu.checkpoint import (

@@ -1,8 +1,6 @@
 """Flash-attention kernel correctness vs the dense jnp reference (interpret
 mode on CPU; the same kernels compile for TPU via Mosaic)."""
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,11 +10,9 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from multimodal_concept_learning_tpu.models import LMConfig, MLLM, MLLMConfig, ViTConfig
 from multimodal_concept_learning_tpu.parallel import (
-    batch_sharding,
     build_optimizer,
     make_mllm_train_step,
     make_classifier_train_step,

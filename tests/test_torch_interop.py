@@ -11,7 +11,6 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from multimodal_concept_learning_tpu.checkpoint import (
     load_torch_state_dict,
