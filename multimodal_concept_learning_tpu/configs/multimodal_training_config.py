@@ -94,6 +94,7 @@ class MultimodalTrainingConfig:
     # uint8 host->device pipeline with on-device normalization.
     resume: bool = False
     device_normalize: bool = False
+    scan_lm_layers: bool = False  # nn.scan-stacked LM layers (faster compiles)
 
     @classmethod
     def from_params(cls, params: Optional[dict]) -> "MultimodalTrainingConfig":
@@ -174,4 +175,5 @@ class MultimodalTrainingConfig:
             split_batches=bool(params.get("split_batches", True)),
             resume=bool(params.get("resume", False)),
             device_normalize=bool(params.get("device_normalize", False)),
+            scan_lm_layers=bool(params.get("scan_lm_layers", False)),
         )

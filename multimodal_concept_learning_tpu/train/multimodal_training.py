@@ -114,6 +114,7 @@ def init_model_and_tokenizer(config: MultimodalTrainingConfig, rng):
         lm_preset=resolve_lm_preset(config.language_model_name),
         num_vision_tokens=config.num_vision_tokens,
         image_size=config.image_size,
+        scan_lm_layers=config.scan_lm_layers,
     )
     model = MLLM(model_config)
 
