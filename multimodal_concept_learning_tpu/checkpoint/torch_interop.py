@@ -87,72 +87,95 @@ def unflatten_params(flat: Dict[str, np.ndarray]):
 # ViT tower (flax names under vision prefix -> HF ViTModel names)
 # ---------------------------------------------------------------------------
 
-_VIT_ATTN = {"query": "query", "key": "key", "value": "value"}
-
-
-def _vit_entry_to_torch(rel: str, arr: np.ndarray, patch_size: int, num_heads: int):
-    """Map one flax ViT param (path relative to the tower) to (torch_name, tensor)."""
+def _vit_export(rel: str, arr: np.ndarray, patch_size: int):
+    """Map one flax ViT param (path relative to the tower) to a list of
+    (torch_name, tensor) pairs — the fused qkv projection exports as HF's
+    three separate query/key/value entries."""
     parts = rel.split("/")
     if rel == "cls_token":
-        return "embeddings.cls_token", arr
+        return [("embeddings.cls_token", arr)]
     if rel == "position_embeddings":
-        return "embeddings.position_embeddings", arr
+        return [("embeddings.position_embeddings", arr)]
     if parts[0] == "patch_embed":
         if parts[1] == "kernel":
             in_dim, hidden = arr.shape
             c = in_dim // (patch_size * patch_size)
             w = arr.reshape(patch_size, patch_size, c, hidden).transpose(3, 2, 0, 1)
-            return "embeddings.patch_embeddings.projection.weight", w
-        return "embeddings.patch_embeddings.projection.bias", arr
+            return [("embeddings.patch_embeddings.projection.weight", w)]
+        return [("embeddings.patch_embeddings.projection.bias", arr)]
     if parts[0] == "layernorm":
-        name = "layernorm.weight" if parts[1] == "scale" else "layernorm.bias"
-        return name, arr
+        return [(f"layernorm.{'weight' if parts[1] == 'scale' else 'bias'}", arr)]
     if parts[0].startswith("layer_"):
         i = parts[0].split("_")[1]
         base = f"encoder.layer.{i}"
         if parts[1] == "attention":
             proj = parts[2]
-            if proj in _VIT_ATTN:
+            if proj in ("query", "key", "value"):
                 if parts[3] == "kernel":  # (H, heads, hd)
                     h = arr.shape[0]
-                    w = arr.reshape(h, -1).T
-                    return f"{base}.attention.attention.{_VIT_ATTN[proj]}.weight", w
-                return f"{base}.attention.attention.{_VIT_ATTN[proj]}.bias", arr.reshape(-1)
+                    return [(f"{base}.attention.attention.{proj}.weight", arr.reshape(h, -1).T)]
+                return [(f"{base}.attention.attention.{proj}.bias", arr.reshape(-1))]
+            if proj == "qkv":
+                names = ("query", "key", "value")
+                if parts[3] == "kernel":  # (H, 3, heads, hd)
+                    h = arr.shape[0]
+                    return [
+                        (f"{base}.attention.attention.{nm}.weight",
+                         arr[:, j].reshape(h, -1).T)
+                        for j, nm in enumerate(names)
+                    ]
+                # bias (3, heads, hd)
+                return [
+                    (f"{base}.attention.attention.{nm}.bias", arr[j].reshape(-1))
+                    for j, nm in enumerate(names)
+                ]
             if proj == "output":
                 if parts[3] == "kernel":  # (heads, hd, H)
                     h = arr.shape[-1]
-                    w = arr.reshape(-1, h).T
-                    return f"{base}.attention.output.dense.weight", w
-                return f"{base}.attention.output.dense.bias", arr
+                    return [(f"{base}.attention.output.dense.weight", arr.reshape(-1, h).T)]
+                return [(f"{base}.attention.output.dense.bias", arr)]
         if parts[1] in ("layernorm_before", "layernorm_after"):
             suffix = "weight" if parts[2] == "scale" else "bias"
-            return f"{base}.{parts[1]}.{suffix}", arr
-        if parts[1] == "intermediate":
+            return [(f"{base}.{parts[1]}.{suffix}", arr)]
+        if parts[1] in ("intermediate", "output"):
             if parts[2] == "kernel":
-                return f"{base}.intermediate.dense.weight", arr.T
-            return f"{base}.intermediate.dense.bias", arr
-        if parts[1] == "output":
-            if parts[2] == "kernel":
-                return f"{base}.output.dense.weight", arr.T
-            return f"{base}.output.dense.bias", arr
+                return [(f"{base}.{parts[1]}.dense.weight", arr.T)]
+            return [(f"{base}.{parts[1]}.dense.bias", arr)]
     raise KeyError(f"Unmapped ViT param: {rel}")
 
 
-def _vit_entry_from_torch(rel: str, torch_arr: np.ndarray, template: np.ndarray, patch_size: int):
-    """Inverse of _vit_entry_to_torch for one param (template gives flax shape)."""
+def _vit_import(rel: str, template: np.ndarray, lookup, patch_size: int):
+    """Inverse of _vit_export: build the flax param from torch entries.
+    ``lookup(torch_name)`` returns the tensor or None; missing entries keep
+    the template's values."""
     parts = rel.split("/")
+    if parts[0].startswith("layer_") and parts[1] == "attention" and parts[2] == "qkv":
+        i = parts[0].split("_")[1]
+        base = f"encoder.layer.{i}.attention.attention"
+        names = ("query", "key", "value")
+        pieces = []
+        for j, nm in enumerate(names):
+            suffix = "weight" if parts[3] == "kernel" else "bias"
+            t = lookup(f"{base}.{nm}.{suffix}")
+            if t is None:
+                pieces.append(np.asarray(template[:, j] if parts[3] == "kernel" else template[j]))
+            elif parts[3] == "kernel":
+                h = t.shape[1]
+                pieces.append(t.T.reshape(template.shape[0], *template.shape[2:]))
+            else:
+                pieces.append(t.reshape(template.shape[1:]))
+        return np.stack(pieces, axis=1 if parts[3] == "kernel" else 0)
+
+    entries = _vit_export(rel, np.asarray(template), patch_size)
+    torch_arr = lookup(entries[0][0])
+    if torch_arr is None:
+        return np.asarray(template)
     if rel in ("cls_token", "position_embeddings"):
         return torch_arr.reshape(template.shape)
-    if parts[0] == "patch_embed":
-        if parts[1] == "kernel":
-            h = torch_arr.shape[0]
-            return torch_arr.transpose(2, 3, 1, 0).reshape(-1, h).reshape(template.shape)
-        return torch_arr.reshape(template.shape)
+    if parts[0] == "patch_embed" and parts[1] == "kernel":
+        h = torch_arr.shape[0]
+        return torch_arr.transpose(2, 3, 1, 0).reshape(-1, h).reshape(template.shape)
     if parts[-1] == "kernel":
-        if parts[1] == "attention" and parts[2] in _VIT_ATTN:
-            return torch_arr.T.reshape(template.shape)
-        if parts[1] == "attention" and parts[2] == "output":
-            return torch_arr.T.reshape(template.shape)
         return torch_arr.T.reshape(template.shape)
     return torch_arr.reshape(template.shape)
 
@@ -205,8 +228,8 @@ def mllm_params_to_torch(params, patch_size: int = 16, num_heads: int = 12) -> D
     for key, arr in flat.items():
         tower, rel = key.split("/", 1)
         if tower == "vision_model":
-            name, tensor = _vit_entry_to_torch(rel, arr, patch_size, num_heads)
-            sd[f"vision_model.{name}"] = tensor
+            for name, tensor in _vit_export(rel, arr, patch_size):
+                sd[f"vision_model.{name}"] = tensor
         elif tower == "projector":
             sd["projector.weight" if rel == "kernel" else "projector.bias"] = (
                 arr.T if rel == "kernel" else arr
@@ -237,12 +260,7 @@ def mllm_params_from_torch(sd: Dict[str, np.ndarray], params_template, patch_siz
     for key, tmpl in flat_template.items():
         tower, rel = key.split("/", 1)
         if tower == "vision_model":
-            name, _ = _vit_entry_to_torch(rel, tmpl, patch_size, 0)
-            torch_key = f"vision_model.{name}"
-            if torch_key in sd:
-                out[key] = _vit_entry_from_torch(rel, sd[torch_key], tmpl, patch_size)
-            else:
-                out[key] = tmpl
+            out[key] = _vit_import(rel, tmpl, lambda n: sd.get(f"vision_model.{n}"), patch_size)
         elif tower == "projector":
             torch_key = "projector.weight" if rel == "kernel" else "projector.bias"
             arr = sd.get(torch_key)
@@ -284,8 +302,8 @@ def vit_classifier_params_to_torch(params, patch_size: int) -> Dict[str, np.ndar
     for key, arr in flat.items():
         head, rel = key.split("/", 1)
         if head == "vit":
-            name, tensor = _vit_entry_to_torch(rel, arr, patch_size, 0)
-            sd[f"vit.{name}"] = tensor
+            for name, tensor in _vit_export(rel, arr, patch_size):
+                sd[f"vit.{name}"] = tensor
         elif head == "classifier":
             sd["classifier.weight" if rel == "kernel" else "classifier.bias"] = (
                 arr.T if rel == "kernel" else arr
@@ -302,16 +320,10 @@ def vit_classifier_params_from_torch(sd: Dict[str, np.ndarray], params_template,
     for key, tmpl in flat_template.items():
         head, rel = key.split("/", 1)
         if head == "vit":
-            name, _ = _vit_entry_to_torch(rel, tmpl, patch_size, 0)
-            torch_key = f"vit.{name}"
             # the reference saves the DDP-wrapped dict for vision best_model
             # ("module." prefix, SURVEY.md quirk; vision_training.py:170)
-            if torch_key not in sd and f"module.{torch_key}" in sd:
-                torch_key = f"module.{torch_key}"
-            if torch_key in sd:
-                out[key] = _vit_entry_from_torch(rel, sd[torch_key], tmpl, patch_size)
-            else:
-                out[key] = tmpl
+            lookup = lambda n: sd.get(f"vit.{n}", sd.get(f"module.vit.{n}"))  # noqa: E731
+            out[key] = _vit_import(rel, tmpl, lookup, patch_size)
         elif head == "classifier":
             torch_key = "classifier.weight" if rel == "kernel" else "classifier.bias"
             if torch_key not in sd and f"module.{torch_key}" in sd:

@@ -131,26 +131,24 @@ def init_model_and_tokenizer(config: MultimodalTrainingConfig, rng):
     if config.vision_path:
         from multimodal_concept_learning_tpu.checkpoint import load_torch_state_dict
         from multimodal_concept_learning_tpu.checkpoint.torch_interop import (
-            _vit_entry_from_torch,
-            _vit_entry_to_torch,
+            _vit_import,
             flatten_params,
             unflatten_params,
         )
 
         sd = load_torch_state_dict(config.vision_path)
-        tower = variables["params"]["vision_model"]
-        flat = flatten_params(tower)
-        loaded = {}
-        for key, tmpl in flat.items():
-            name, _ = _vit_entry_to_torch(key, tmpl, model_config.vision.patch_size, 0)
+
+        def lookup(name):
             for cand in (f"vit.{name}", f"module.vit.{name}", f"vision_model.{name}", name):
                 if cand in sd:
-                    loaded[key] = _vit_entry_from_torch(
-                        key, sd[cand], tmpl, model_config.vision.patch_size
-                    )
-                    break
-            else:
-                loaded[key] = tmpl
+                    return sd[cand]
+            return None
+
+        tower = variables["params"]["vision_model"]
+        loaded = {
+            key: _vit_import(key, tmpl, lookup, model_config.vision.patch_size)
+            for key, tmpl in flatten_params(tower).items()
+        }
         variables["params"]["vision_model"] = jax.tree_util.tree_map(
             jax.numpy.asarray, unflatten_params(loaded)
         )
