@@ -1,0 +1,99 @@
+"""Vision-tower warm start: a vision-trainer checkpoint loads into the MLLM
+(reference: MLLM(vision_path=...) loads ViTModel weights, mllm.py:32-33)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from multimodal_concept_learning_tpu.configs import ColorDatasetConfig
+from multimodal_concept_learning_tpu.data import generate_color_dataset
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("warmstart")
+    config = ColorDatasetConfig.from_params(
+        {
+            "dataset_name": "tiny",
+            "image_size": 32,
+            "colors": [[255, 0, 0], [0, 255, 0]],
+            "radius_range": [4, 10],
+            "n_images_per_color": 12,
+            "data_dir": str(root),
+            "seed": 0,
+        }
+    )
+    dataset_dir = generate_color_dataset(config, verbose=False)
+    labels_path = root / "labels_mapping.json"
+    labels_path.write_text(json.dumps({"r255g0b0": "red", "r0g255b0": "<ood 1>"}))
+    return str(root), dataset_dir, str(labels_path)
+
+
+def test_vision_path_warmstart(setup, tmp_path, capsys):
+    from multimodal_concept_learning_tpu.train.multimodal_training import (
+        init_model_and_tokenizer,
+    )
+    from multimodal_concept_learning_tpu.train.vision_training import main as vis_main
+    from multimodal_concept_learning_tpu.configs import MultimodalTrainingConfig
+    from multimodal_concept_learning_tpu.checkpoint import load_torch_state_dict
+    import jax
+
+    root, dataset_dir, labels_path = setup
+    vis_results = str(tmp_path / "vis")
+    cfg = {
+        "model_name": "vit",
+        "hidden_size": 64,
+        "intermediate_size": 128,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 4,
+        "patch_size": 8,
+        "image_size": 32,
+        "num_labels": 2,
+        "data_dir": dataset_dir,
+        "dataset_name": "color",
+        "mapping_path": dataset_dir,
+        "epochs": 1,
+        "learning_rate": 1e-3,
+        "batch_size": 4,
+        "effective_batch_size": 4,
+        "num_workers": 1,
+        "results_dir": vis_results,
+        "seed": 0,
+        "disable_wandb": True,
+        "train_transforms": ["ToTensor"],
+        "val_transforms": ["ToTensor"],
+    }
+    cfg_path = tmp_path / "vis.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    vis_main(["--config_path", str(cfg_path)])
+    best = os.path.join(vis_results, "models", "best_model.pt")
+    assert os.path.exists(best)
+
+    mm_config = MultimodalTrainingConfig.from_params(
+        {
+            "labels_mapping_path": labels_path,
+            "vision_model_name": "vit-t-8",
+            "language_model_name": "nano",
+            "num_vision_tokens": 17,
+            "image_size": 32,
+            "vision_path": best,
+        }
+    )
+    rng = jax.random.key(0)
+    model, tokenizer, params, labels_mapping, n_ood = init_model_and_tokenizer(mm_config, rng)
+    out = capsys.readouterr().out
+    assert f"Loaded vision tower weights from {best}" in out
+    assert n_ood == 1
+
+    # tower weights must equal the checkpoint's (vit.* keys), not random init
+    sd = load_torch_state_dict(best)
+    cls = np.asarray(params["vision_model"]["cls_token"])
+    np.testing.assert_allclose(cls, sd["vit.embeddings.cls_token"], atol=1e-6)
+    q = np.asarray(params["vision_model"]["layer_0"]["attention"]["query"]["kernel"])
+    np.testing.assert_allclose(
+        q.reshape(64, -1), sd["vit.encoder.layer.0.attention.attention.query.weight"].T,
+        atol=1e-6,
+    )
