@@ -21,3 +21,57 @@ def test_dryrun_single_device(eight_devices, capsys):
 
     g.dryrun_multichip(1)
     assert "OK" in capsys.readouterr().out
+
+
+def _run_dryrun_in_env(env_overrides, n=8):
+    """Invoke dryrun_multichip(n) in a fresh process with a doctored env,
+    reproducing how the driver calls it (direct import, ambient environment)."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env.pop("_MCL_DRYRUN_INLINE", None)
+    env.pop("XLA_FLAGS", None)
+    env.update(env_overrides)
+    code = f"import __graft_entry__; __graft_entry__.dryrun_multichip({n})"
+    return subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+
+
+def test_dryrun_ambient_axon_env():
+    """The exact failure mode of MULTICHIP_r01: the driver imports
+    dryrun_multichip with JAX_PLATFORMS pinned to the TPU backend and no
+    host-platform device-count flag.  The dryrun must force its own CPU mesh
+    (the parent must not touch the pinned backend)."""
+    proc = _run_dryrun_in_env({"JAX_PLATFORMS": "axon"})
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout
+
+
+def test_dryrun_jax_already_initialized_without_device_flag():
+    """Caller already initialized jax on a 1-device CPU backend (no
+    xla_force_host_platform_device_count): dryrun must detect the shortfall
+    and re-exec with the full virtual mesh."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env.pop("_MCL_DRYRUN_INLINE", None)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import jax; assert len(jax.devices()) < 8, 'env unexpectedly has 8 devices'; "
+        "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout
