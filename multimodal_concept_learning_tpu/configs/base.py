@@ -1,0 +1,61 @@
+"""Shared YAML→dataclass machinery for every experiment config.
+
+The reference builds each config with a hand-written ladder of
+``cls(field=params.get("field", default), ...)`` calls (e.g.
+src/multimodal/multimodal_training_config.py:81-172).  Here the dataclass
+field declarations are the single source of truth: defaults live on the
+fields themselves and ``YamlConfig.from_params`` generically
+
+  1. keeps only keys that name a declared field (unknown YAML keys are
+     ignored, as in the reference),
+  2. coerces supplied values by the field's annotation (``int``/``float``/
+     ``bool`` get their constructor applied, mirroring the reference's
+     explicit casts; ``Optional``/container annotations pass through), and
+  3. applies any per-field ``metadata={"coerce": fn}`` hook for structured
+     values (color triples, ratio lists, ranges).
+
+The YAML surface — key names, defaults, cast behavior — is unchanged, so
+reference experiment files parse identically (pinned by tests).
+"""
+
+from __future__ import annotations
+
+import typing
+from dataclasses import fields
+
+_CASTS = {int: int, float: float, bool: bool}
+
+
+class YamlConfig:
+    """Mixin giving any dataclass a generic ``from_params`` classmethod."""
+
+    @classmethod
+    def from_params(cls, params: typing.Optional[dict]):
+        supplied = dict(params or {})
+        hints = typing.get_type_hints(cls)
+        kwargs = {}
+        for f in fields(cls):
+            if f.name not in supplied:
+                continue  # the field declaration's default applies
+            value = supplied[f.name]
+            shape = f.metadata.get("coerce")
+            if shape is not None:
+                value = shape(value)
+            elif value is not None:
+                cast = _CASTS.get(hints.get(f.name))
+                if cast is not None:
+                    value = cast(value)
+            kwargs[f.name] = value
+        return cls(**kwargs)
+
+
+def as_tuple(value):
+    return tuple(value)
+
+
+def as_list(value):
+    return list(value)
+
+
+def as_rgb_list(value):
+    return [tuple(rgb) for rgb in value]

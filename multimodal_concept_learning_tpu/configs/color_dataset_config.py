@@ -1,46 +1,40 @@
 """Color dataset generation config.
 
-Field set and defaults match the reference dataclass
+YAML key set and defaults match the reference schema
 (src/datasets/color/color_dataset_config.py:4-40) so existing YAMLs under
-experiments/datasets/color/ parse unchanged.
+experiments/datasets/color/ parse unchanged; construction goes through the
+generic declaration-driven ``YamlConfig.from_params`` (configs/base.py).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+from multimodal_concept_learning_tpu.configs.base import YamlConfig, as_list, as_rgb_list, as_tuple
 
 
 @dataclass
-class ColorDatasetConfig:
+class ColorDatasetConfig(YamlConfig):
     """Configuration for generating synthetic color-circle datasets."""
 
-    dataset_name: str
-    image_size: int
-    colors: List[Tuple[int, int, int]]
-    radius_range: Tuple[int, int]
-    n_images_per_color: int
+    dataset_name: str = "color_dataset"
+    image_size: int = 224
+    colors: List[Tuple[int, int, int]] = field(
+        default_factory=lambda: [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        metadata={"coerce": as_rgb_list},
+    )
+    radius_range: Tuple[int, int] = field(
+        default=(10, 50), metadata={"coerce": as_tuple}
+    )
+    n_images_per_color: int = 100
 
-    min_intensity: float
-    max_intensity: float
+    min_intensity: float = 0.3
+    max_intensity: float = 0.95
 
-    train_val_test_split: List[float]
+    train_val_test_split: List[float] = field(
+        default_factory=lambda: [0.7, 0.15, 0.15], metadata={"coerce": as_list}
+    )
 
-    data_dir: str
-    seed: int
-
-    @classmethod
-    def from_params(cls, params: Optional[dict]) -> "ColorDatasetConfig":
-        params = params or {}
-        return cls(
-            dataset_name=params.get("dataset_name", "color_dataset"),
-            image_size=params.get("image_size", 224),
-            colors=[tuple(c) for c in params.get("colors", [(255, 0, 0), (0, 255, 0), (0, 0, 255)])],
-            radius_range=tuple(params.get("radius_range", (10, 50))),
-            n_images_per_color=params.get("n_images_per_color", 100),
-            min_intensity=params.get("min_intensity", 0.3),
-            max_intensity=params.get("max_intensity", 0.95),
-            train_val_test_split=list(params.get("train_val_test_split", [0.7, 0.15, 0.15])),
-            data_dir=params.get("data_dir", "/tmp/data/multimodal_concept_learning/"),
-            seed=int(params.get("seed", 42)),
-        )
+    data_dir: str = "/tmp/data/multimodal_concept_learning/"
+    seed: int = 42

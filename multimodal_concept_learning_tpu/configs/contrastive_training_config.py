@@ -3,90 +3,65 @@
 The reference has no contrastive trainer; this config backs the benchmark
 flagship workload (BASELINE.json: "multimodal: CLIP-style ViT-B/32 + text
 encoder contrastive training on concept image-caption pairs").  It follows
-the same from_params/YAML conventions as the reference configs.
+the same declaration-driven ``from_params``/YAML conventions as the other
+configs (configs/base.py).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Union
+
+from multimodal_concept_learning_tpu.configs.base import YamlConfig
 
 
 @dataclass
-class ContrastiveTrainingConfig:
+class ContrastiveTrainingConfig(YamlConfig):
     """Configuration for CLIP-style contrastive training."""
 
     # Dataset parameters
-    mapping_path: str
-    image_root: str
-    caption_template: str
-    dataset_name: str
+    mapping_path: str = "/tmp/data/color/train_mapping.csv"
+    image_root: str = "/tmp/data/color"
+    caption_template: str = "a photo of a {class_name} circle"
+    dataset_name: str = "color_contrastive"
 
     # Model parameters (image tower)
-    vision_model_name: str  # preset name, e.g. "vit-b-32", "vit-b-16", "vit-l-14"
-    image_size: int
+    vision_model_name: str = "vit-b-32"  # preset name: vit-b-32 / vit-b-16 / vit-l-14
+    image_size: int = 224
     # Model parameters (text tower)
-    text_width: int
-    text_layers: int
-    text_heads: int
-    context_length: int
-    embed_dim: int
+    text_width: int = 512
+    text_layers: int = 12
+    text_heads: int = 8
+    context_length: int = 77
+    embed_dim: int = 512
 
     # Training parameters
-    epochs: int
-    batch_size: int
-    effective_batch_size: int
-    learning_rate: float
-    weight_decay: float
-    max_grad_norm: float
-    warmup_steps: int
-    seed: int
+    epochs: int = 10
+    batch_size: int = 256
+    effective_batch_size: int = 256
+    learning_rate: float = 5e-4
+    weight_decay: float = 0.2
+    max_grad_norm: float = 1.0
+    warmup_steps: int = 200
+    seed: int = 42
 
-    train_transforms: List[Union[str, Dict]]
-    val_transforms: List[Union[str, Dict]]
-    transform_params: Dict[str, Dict]
-    normalize_mean: Optional[List[float]]
-    normalize_std: Optional[List[float]]
+    train_transforms: List[Union[str, Dict]] = field(
+        default_factory=lambda: ["ToTensor", "Normalize"]
+    )
+    val_transforms: List[Union[str, Dict]] = field(
+        default_factory=lambda: ["ToTensor", "Normalize"]
+    )
+    transform_params: Dict[str, Dict] = field(default_factory=dict)
+    normalize_mean: Optional[List[float]] = field(
+        default_factory=lambda: [0.48145466, 0.4578275, 0.40821073]
+    )
+    normalize_std: Optional[List[float]] = field(
+        default_factory=lambda: [0.26862954, 0.26130258, 0.27577711]
+    )
 
-    results_dir: str
-    run_name: str
-    use_wandb: bool
-    wandb_project: str
-    wandb_run_name: Optional[str]
-    disable_tqdm: bool
-
-    @classmethod
-    def from_params(cls, params: Optional[dict]) -> "ContrastiveTrainingConfig":
-        params = params or {}
-        return cls(
-            mapping_path=params.get("mapping_path", "/tmp/data/color/train_mapping.csv"),
-            image_root=params.get("image_root", "/tmp/data/color"),
-            caption_template=params.get("caption_template", "a photo of a {class_name} circle"),
-            dataset_name=params.get("dataset_name", "color_contrastive"),
-            vision_model_name=params.get("vision_model_name", "vit-b-32"),
-            image_size=int(params.get("image_size", 224)),
-            text_width=int(params.get("text_width", 512)),
-            text_layers=int(params.get("text_layers", 12)),
-            text_heads=int(params.get("text_heads", 8)),
-            context_length=int(params.get("context_length", 77)),
-            embed_dim=int(params.get("embed_dim", 512)),
-            epochs=int(params.get("epochs", 10)),
-            batch_size=int(params.get("batch_size", 256)),
-            effective_batch_size=int(params.get("effective_batch_size", 256)),
-            learning_rate=float(params.get("learning_rate", 5e-4)),
-            weight_decay=float(params.get("weight_decay", 0.2)),
-            max_grad_norm=float(params.get("max_grad_norm", 1.0)),
-            warmup_steps=int(params.get("warmup_steps", 200)),
-            seed=int(params.get("seed", 42)),
-            train_transforms=params.get("train_transforms", ["ToTensor", "Normalize"]),
-            val_transforms=params.get("val_transforms", ["ToTensor", "Normalize"]),
-            transform_params=params.get("transform_params", {}),
-            normalize_mean=params.get("normalize_mean", [0.48145466, 0.4578275, 0.40821073]),
-            normalize_std=params.get("normalize_std", [0.26862954, 0.26130258, 0.27577711]),
-            results_dir=params.get("results_dir", "/tmp/results/contrastive"),
-            run_name=params.get("run_name", "clip_concepts"),
-            use_wandb=bool(params.get("use_wandb", False)),
-            wandb_project=params.get("wandb_project", "multimodal-concept-learning"),
-            wandb_run_name=params.get("wandb_run_name", None),
-            disable_tqdm=bool(params.get("disable_tqdm", True)),
-        )
+    results_dir: str = "/tmp/results/contrastive"
+    run_name: str = "clip_concepts"
+    use_wandb: bool = False
+    wandb_project: str = "multimodal-concept-learning"
+    wandb_run_name: Optional[str] = None
+    disable_tqdm: bool = True

@@ -1,51 +1,35 @@
 """ImageNet dataset-mapping config.
 
-Field set and defaults match the reference dataclass
-(src/datasets/imagenet/imagenet_dataset_config.py:5-45).
+YAML key set and defaults match the reference schema
+(src/datasets/imagenet/imagenet_dataset_config.py:5-45); construction goes
+through the generic declaration-driven ``YamlConfig.from_params``
+(configs/base.py).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import List, Optional
+from dataclasses import dataclass, field
+from typing import List
+
+from multimodal_concept_learning_tpu.configs.base import YamlConfig, as_list
 
 
 @dataclass
-class ImageNetDatasetConfig:
+class ImageNetDatasetConfig(YamlConfig):
     """Configuration for creating ImageNet dataset mapping CSVs."""
 
-    data_dir: str
-    train_dir: str
-    val_dir: str
-    val_ground_truth_file: str
+    data_dir: str = "/tmp/data"
+    train_dir: str = "train"
+    val_dir: str = "val"
+    val_ground_truth_file: str = "ILSVRC2012_validation_ground_truth.txt"
 
-    output_dir: str
-    dataset_name: str
+    output_dir: str = "/tmp/output"
+    dataset_name: str = "imagenet_dataset"
 
-    target_synsets: List[str]
+    target_synsets: List[str] = field(default_factory=list, metadata={"coerce": as_list})
 
-    per_class_train: int
-    per_class_val: int
-    per_class_test: int
-    allow_shortfall: bool
-    seed: int
-
-    @classmethod
-    def from_params(cls, params: Optional[dict]) -> "ImageNetDatasetConfig":
-        params = params or {}
-        return cls(
-            data_dir=params.get("data_dir", "/tmp/data"),
-            train_dir=params.get("train_dir", "train"),
-            val_dir=params.get("val_dir", "val"),
-            val_ground_truth_file=params.get(
-                "val_ground_truth_file", "ILSVRC2012_validation_ground_truth.txt"
-            ),
-            output_dir=params.get("output_dir", "/tmp/output"),
-            dataset_name=params.get("dataset_name", "imagenet_dataset"),
-            target_synsets=list(params.get("target_synsets", [])),
-            per_class_train=int(params.get("per_class_train", 3000)),
-            per_class_val=int(params.get("per_class_val", 50)),
-            per_class_test=int(params.get("per_class_test", 50)),
-            allow_shortfall=bool(params.get("allow_shortfall", False)),
-            seed=int(params.get("seed", 42)),
-        )
+    per_class_train: int = 3000
+    per_class_val: int = 50
+    per_class_test: int = 50
+    allow_shortfall: bool = False
+    seed: int = 42

@@ -1,93 +1,119 @@
 """Multimodal training config.
 
-Field set / YAML keys / defaults match the reference dataclass
-(src/multimodal/multimodal_training_config.py:5-172).  Torch/CUDA-conditional
-defaults become fixed TPU-appropriate values: ``torch_dtype``→"bfloat16",
-``device``→"tpu", ``mixed_precision``→"bf16".  Cluster-specific path defaults
-are replaced by /tmp placeholders; real runs always set them via YAML.
+YAML key set and defaults match the reference schema
+(src/multimodal/multimodal_training_config.py:5-172); construction goes
+through the generic declaration-driven ``YamlConfig.from_params``
+(configs/base.py).  Torch/CUDA-conditional defaults become fixed
+TPU-appropriate values: ``torch_dtype``→"bfloat16", ``device``→"tpu",
+``mixed_precision``→"bf16".  Cluster-specific path defaults are replaced by
+/tmp placeholders; real runs always set them via YAML.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Union
+
+from multimodal_concept_learning_tpu.configs.base import YamlConfig
+
+_DEFAULT_TRAIN_TRANSFORMS = [
+    {"name": "Resize", "size": [256, 256]},
+    {"name": "RandomResizedCrop", "size": 224, "scale": [0.8, 1.0]},
+    "RandomHorizontalFlip",
+    {"name": "ColorJitter", "brightness": 0.2, "contrast": 0.2, "saturation": 0.2, "hue": 0.1},
+    "ToTensor",
+    "Normalize",
+]
+_DEFAULT_VAL_TRANSFORMS = [
+    {"name": "Resize", "size": [224, 224]},
+    "ToTensor",
+    "Normalize",
+]
 
 
 @dataclass
-class MultimodalTrainingConfig:
+class MultimodalTrainingConfig(YamlConfig):
     """Configuration for multimodal training experiment."""
 
     # Dataset parameters
-    mapping_path: str
-    extra_mapping_path: Optional[str]
-    image_root: str
-    ood_labels_path: str
-    labels_mapping_path: str
-    prompt_template: str
-    val_split: float
-    dataset_name: str
+    mapping_path: str = "/tmp/data/color/train_mapping.csv"
+    extra_mapping_path: Optional[str] = None
+    image_root: str = "/tmp/data/color"
+    ood_labels_path: str = "/tmp/data/ood_synsets.txt"
+    labels_mapping_path: str = "/tmp/data/labels_mapping.json"
+    prompt_template: str = "Is a {class_name} in the image?"
+    val_split: float = 0.1
+    dataset_name: str = "imagenet_multimodal"
 
     # Model parameters
-    vision_model_name: str
-    language_model_name: str
-    vision_path: Optional[str]
-    num_vision_tokens: int
-    num_labels: int
-    trainable_params_setting: str
-    use_fast_tokenizer: bool
-    attn_implementation: str
-    torch_dtype: Optional[str]
+    vision_model_name: str = "google/vit-base-patch16-224-in21k"
+    language_model_name: str = "google/gemma-3-1b-it"
+    vision_path: Optional[str] = None
+    num_vision_tokens: int = 197
+    num_labels: int = 100
+    trainable_params_setting: str = "language_embed_only"
+    use_fast_tokenizer: bool = True
+    attn_implementation: str = "eager"
+    torch_dtype: Optional[str] = "bfloat16"
 
     # Training parameters
-    epochs: int
-    batch_size: int
-    effective_batch_size: int
-    learning_rate: float
-    weight_decay: float
-    max_grad_norm: float
-    lr_scheduler_type: Optional[str]
-    warmup_steps: int
-    optimizer_type: str
-    gradient_accumulation_steps: int
+    epochs: int = 25
+    batch_size: int = 4
+    effective_batch_size: int = 256
+    learning_rate: float = 5e-4
+    weight_decay: float = 1e-4
+    max_grad_norm: float = 1.0
+    lr_scheduler_type: Optional[str] = None
+    warmup_steps: int = 0
+    optimizer_type: str = "adamw"
+    gradient_accumulation_steps: int = 1
 
     # Training settings
-    seed: int
-    device: str
-    mixed_precision: Optional[str]
-    disable_tqdm: bool
-    supervision_type: str
+    seed: int = 42
+    device: str = "tpu"
+    mixed_precision: Optional[str] = "bf16"
+    disable_tqdm: bool = True
+    supervision_type: str = "answer_only"
 
     # Data loading
-    num_workers: int
-    prefetch_factor: int
-    pin_memory: bool
-    persistent_workers: bool
-    image_size: int
-    train_transforms: List[Union[str, Dict]]
-    val_transforms: List[Union[str, Dict]]
-    transform_params: Dict[str, Dict]
-    normalize_mean: Optional[List[float]]
-    normalize_std: Optional[List[float]]
+    num_workers: int = 4
+    prefetch_factor: int = 2
+    pin_memory: bool = True
+    persistent_workers: bool = True
+    image_size: int = 224
+    train_transforms: List[Union[str, Dict]] = field(
+        default_factory=lambda: list(_DEFAULT_TRAIN_TRANSFORMS)
+    )
+    val_transforms: List[Union[str, Dict]] = field(
+        default_factory=lambda: list(_DEFAULT_VAL_TRANSFORMS)
+    )
+    transform_params: Dict[str, Dict] = field(default_factory=dict)
+    normalize_mean: Optional[List[float]] = field(
+        default_factory=lambda: [0.485, 0.456, 0.406]
+    )
+    normalize_std: Optional[List[float]] = field(
+        default_factory=lambda: [0.229, 0.224, 0.225]
+    )
 
     # Saving and logging
-    results_dir: str
-    run_name: str
-    save_every_epoch: bool
-    save_best_only: bool
+    results_dir: str = "/tmp/results/multimodal"
+    run_name: str = "mllm_imagenet100_ood"
+    save_every_epoch: bool = False
+    save_best_only: bool = True
 
     # Evaluation
-    eval_steps: Optional[int]
-    eval_strategy: str
+    eval_steps: Optional[int] = None
+    eval_strategy: str = "epoch"
 
     # Weights & Biases
-    use_wandb: bool
-    wandb_project: str
-    wandb_run_name: Optional[str]
+    use_wandb: bool = False
+    wandb_project: str = "multimodal-concept-learning"
+    wandb_run_name: Optional[str] = None
 
     # Distributed training
-    use_accelerate: bool
-    num_processes: Optional[int]
-    split_batches: bool
+    use_accelerate: bool = True
+    num_processes: Optional[int] = None
+    split_batches: bool = True
 
     # Framework extensions (absent in the reference; defaults off so
     # reference YAMLs run unchanged): orbax checkpoint + resume, and the
@@ -95,85 +121,3 @@ class MultimodalTrainingConfig:
     resume: bool = False
     device_normalize: bool = False
     scan_lm_layers: bool = False  # nn.scan-stacked LM layers (faster compiles)
-
-    @classmethod
-    def from_params(cls, params: Optional[dict]) -> "MultimodalTrainingConfig":
-        params = params or {}
-        return cls(
-            mapping_path=params.get("mapping_path", "/tmp/data/color/train_mapping.csv"),
-            extra_mapping_path=params.get("extra_mapping_path", None),
-            image_root=params.get("image_root", "/tmp/data/color"),
-            ood_labels_path=params.get("ood_labels_path", "/tmp/data/ood_synsets.txt"),
-            labels_mapping_path=params.get("labels_mapping_path", "/tmp/data/labels_mapping.json"),
-            prompt_template=params.get("prompt_template", "Is a {class_name} in the image?"),
-            val_split=float(params.get("val_split", 0.1)),
-            dataset_name=params.get("dataset_name", "imagenet_multimodal"),
-            vision_model_name=params.get("vision_model_name", "google/vit-base-patch16-224-in21k"),
-            language_model_name=params.get("language_model_name", "google/gemma-3-1b-it"),
-            vision_path=params.get("vision_path", None),
-            num_vision_tokens=int(params.get("num_vision_tokens", 197)),
-            num_labels=int(params.get("num_labels", 100)),
-            trainable_params_setting=params.get("trainable_params_setting", "language_embed_only"),
-            use_fast_tokenizer=bool(params.get("use_fast_tokenizer", True)),
-            attn_implementation=params.get("attn_implementation", "eager"),
-            torch_dtype=params.get("torch_dtype", "bfloat16"),
-            epochs=int(params.get("epochs", 25)),
-            batch_size=int(params.get("batch_size", 4)),
-            effective_batch_size=int(params.get("effective_batch_size", 256)),
-            learning_rate=float(params.get("learning_rate", 5e-4)),
-            weight_decay=float(params.get("weight_decay", 1e-4)),
-            max_grad_norm=float(params.get("max_grad_norm", 1.0)),
-            lr_scheduler_type=params.get("lr_scheduler_type", None),
-            warmup_steps=int(params.get("warmup_steps", 0)),
-            optimizer_type=params.get("optimizer_type", "adamw"),
-            gradient_accumulation_steps=int(params.get("gradient_accumulation_steps", 1)),
-            seed=int(params.get("seed", 42)),
-            device=params.get("device", "tpu"),
-            mixed_precision=params.get("mixed_precision", "bf16"),
-            disable_tqdm=bool(params.get("disable_tqdm", True)),
-            supervision_type=params.get("supervision_type", "answer_only"),
-            num_workers=int(params.get("num_workers", 4)),
-            prefetch_factor=int(params.get("prefetch_factor", 2)),
-            pin_memory=bool(params.get("pin_memory", True)),
-            persistent_workers=bool(params.get("persistent_workers", True)),
-            image_size=int(params.get("image_size", 224)),
-            train_transforms=params.get(
-                "train_transforms",
-                [
-                    {"name": "Resize", "size": [256, 256]},
-                    {"name": "RandomResizedCrop", "size": 224, "scale": [0.8, 1.0]},
-                    "RandomHorizontalFlip",
-                    {
-                        "name": "ColorJitter",
-                        "brightness": 0.2,
-                        "contrast": 0.2,
-                        "saturation": 0.2,
-                        "hue": 0.1,
-                    },
-                    "ToTensor",
-                    "Normalize",
-                ],
-            ),
-            val_transforms=params.get(
-                "val_transforms",
-                [{"name": "Resize", "size": [224, 224]}, "ToTensor", "Normalize"],
-            ),
-            transform_params=params.get("transform_params", {}),
-            normalize_mean=params.get("normalize_mean", [0.485, 0.456, 0.406]),
-            normalize_std=params.get("normalize_std", [0.229, 0.224, 0.225]),
-            results_dir=params.get("results_dir", "/tmp/results/multimodal"),
-            run_name=params.get("run_name", "mllm_imagenet100_ood"),
-            save_every_epoch=bool(params.get("save_every_epoch", False)),
-            save_best_only=bool(params.get("save_best_only", True)),
-            eval_steps=params.get("eval_steps", None),
-            eval_strategy=params.get("eval_strategy", "epoch"),
-            use_wandb=bool(params.get("use_wandb", False)),
-            wandb_project=params.get("wandb_project", "multimodal-concept-learning"),
-            wandb_run_name=params.get("wandb_run_name", None),
-            use_accelerate=bool(params.get("use_accelerate", True)),
-            num_processes=params.get("num_processes", None),
-            split_batches=bool(params.get("split_batches", True)),
-            resume=bool(params.get("resume", False)),
-            device_normalize=bool(params.get("device_normalize", False)),
-            scan_lm_layers=bool(params.get("scan_lm_layers", False)),
-        )

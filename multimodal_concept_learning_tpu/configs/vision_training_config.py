@@ -1,8 +1,10 @@
 """Vision training config.
 
-Field set / YAML keys / defaults match the reference dataclass
-(src/vision/vision_training_config.py:5-83).  ``device`` is accepted for YAML
-compatibility; the TPU runtime ignores it (JAX picks the platform).
+YAML key set and defaults match the reference schema
+(src/vision/vision_training_config.py:5-83); construction goes through the
+generic declaration-driven ``YamlConfig.from_params`` (configs/base.py).
+``device`` is accepted for YAML compatibility; the TPU runtime ignores it
+(JAX picks the platform).
 
 Note: the reference passes ``attention_dropout_prob`` into HF's ``ViTConfig``
 where the real field is ``attention_probs_dropout_prob``, so that knob was
@@ -11,97 +13,63 @@ silently ignored upstream (SURVEY.md quirk list).  Here it is honored.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Union
+
+from multimodal_concept_learning_tpu.configs.base import YamlConfig
 
 
 @dataclass
-class VisionTrainingConfig:
+class VisionTrainingConfig(YamlConfig):
     """Configuration for the vision training experiment."""
 
     # Model architecture parameters
-    model_name: str
-    hidden_size: int
-    intermediate_size: int
-    num_hidden_layers: int
-    num_labels: int
-    patch_size: int
-    hidden_dropout_prob: float
-    attention_dropout_prob: float
-    num_attention_heads: int
+    model_name: str = "vit"
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 12
+    num_labels: int = 100
+    patch_size: int = 16
+    hidden_dropout_prob: float = 0.1
+    attention_dropout_prob: float = 0.1
+    num_attention_heads: int = 8
 
     # Dataset parameters
-    data_dir: str
-    dataset_name: str
-    mapping_path: Optional[str]
+    data_dir: str = "/tmp/data"
+    dataset_name: str = "color"
+    mapping_path: Optional[str] = None
 
     # Training parameters
-    epochs: int
-    learning_rate: float
-    batch_size: int
-    effective_batch_size: int
-    weight_decay: float
-    image_size: int
-    label_smoothing: float
-    num_workers: int
-    prefetch_factor: int
-    train_transforms: List[Union[str, Dict]]
-    val_transforms: List[Union[str, Dict]]
-    transform_params: Dict[str, Dict]
+    epochs: int = 300
+    learning_rate: float = 1e-4
+    batch_size: int = 128
+    effective_batch_size: int = 4096
+    weight_decay: float = 0.1
+    image_size: int = 224
+    label_smoothing: float = 0.0
+    num_workers: int = 8
+    prefetch_factor: int = 2
+    train_transforms: List[Union[str, Dict]] = field(
+        default_factory=lambda: [
+            "RandomResizedCrop", "RandomHorizontalFlip", "ToTensor", "Normalize",
+        ]
+    )
+    val_transforms: List[Union[str, Dict]] = field(
+        default_factory=lambda: ["Resize", "ToTensor", "Normalize"]
+    )
+    transform_params: Dict[str, Dict] = field(default_factory=dict)
 
     # Additional parameters
-    seed: int
-    device: str
-    results_dir: str
-    disable_tqdm: bool
-    disable_wandb: bool
-    wandb_project: Optional[str]
-    wandb_run_name: Optional[str]
+    seed: int = 42
+    device: str = "tpu"
+    results_dir: str = "/tmp/results"
+    disable_tqdm: bool = True
+    disable_wandb: bool = False
+    wandb_project: Optional[str] = None
+    wandb_run_name: Optional[str] = None
 
     # Framework extensions (absent in the reference; defaults off so
     # reference YAMLs run unchanged): orbax checkpoint + resume, and the
     # uint8 host->device pipeline with on-device normalization.
     resume: bool = False
     device_normalize: bool = False
-
-    @classmethod
-    def from_params(cls, params: Optional[dict]) -> "VisionTrainingConfig":
-        params = params or {}
-        return cls(
-            model_name=params.get("model_name", "vit"),
-            hidden_size=int(params.get("hidden_size", 768)),
-            intermediate_size=int(params.get("intermediate_size", 3072)),
-            num_hidden_layers=int(params.get("num_hidden_layers", 12)),
-            num_labels=int(params.get("num_labels", 100)),
-            patch_size=int(params.get("patch_size", 16)),
-            hidden_dropout_prob=float(params.get("hidden_dropout_prob", 0.1)),
-            attention_dropout_prob=float(params.get("attention_dropout_prob", 0.1)),
-            num_attention_heads=int(params.get("num_attention_heads", 8)),
-            data_dir=params.get("data_dir", "/tmp/data"),
-            dataset_name=params.get("dataset_name", "color"),
-            mapping_path=params.get("mapping_path"),
-            epochs=int(params.get("epochs", 300)),
-            learning_rate=float(params.get("learning_rate", 1e-4)),
-            batch_size=int(params.get("batch_size", 128)),
-            effective_batch_size=int(params.get("effective_batch_size", 4096)),
-            weight_decay=float(params.get("weight_decay", 0.1)),
-            image_size=int(params.get("image_size", 224)),
-            label_smoothing=float(params.get("label_smoothing", 0.0)),
-            num_workers=int(params.get("num_workers", 8)),
-            prefetch_factor=int(params.get("prefetch_factor", 2)),
-            results_dir=params.get("results_dir", "/tmp/results"),
-            seed=int(params.get("seed", 42)),
-            device=params.get("device", "tpu"),
-            disable_tqdm=bool(params.get("disable_tqdm", True)),
-            disable_wandb=bool(params.get("disable_wandb", False)),
-            train_transforms=params.get(
-                "train_transforms",
-                ["RandomResizedCrop", "RandomHorizontalFlip", "ToTensor", "Normalize"],
-            ),
-            val_transforms=params.get("val_transforms", ["Resize", "ToTensor", "Normalize"]),
-            transform_params=params.get("transform_params", {}),
-            wandb_project=params.get("wandb_project", None),
-            wandb_run_name=params.get("wandb_run_name", None),
-            resume=bool(params.get("resume", False)),
-            device_normalize=bool(params.get("device_normalize", False)),
-        )

@@ -28,27 +28,21 @@ from multimodal_concept_learning_tpu.configs import ColorDatasetConfig
 
 
 def compute_split_counts(num_items: int, ratios: List[float]) -> List[int]:
-    """Largest-remainder split counts (parity: create_color_dataset.py:14-35)."""
-    if num_items == 0:
-        return [0] * len(ratios)
+    """Largest-remainder apportionment of ``num_items`` across split ratios.
 
-    raw_counts = [num_items * ratio for ratio in ratios]
-    counts = [int(count) for count in raw_counts]
-    remainder = num_items - sum(counts)
-
-    if remainder > 0:
-        sorted_indices = sorted(
-            range(len(ratios)),
-            key=lambda idx: (raw_counts[idx] - counts[idx], -idx),
-            reverse=True,
-        )
-        idx = 0
-        while remainder > 0:
-            counts[sorted_indices[idx % len(sorted_indices)]] += 1
-            remainder -= 1
-            idx += 1
-
-    return counts
+    Each split gets the floor of its exact quota; the leftover items (at most
+    ``len(ratios) - 1``) go one each to the splits with the largest fractional
+    quotas, earlier splits winning ties.  Output-identical to the reference's
+    rounding (create_color_dataset.py:14-35), pinned by tests/test_data.py.
+    """
+    quotas = np.asarray(ratios, dtype=np.float64) * num_items
+    counts = np.floor(quotas).astype(np.int64)
+    shortfall = num_items - int(counts.sum())
+    if shortfall > 0:
+        # stable sort on -fraction: descending fraction, ascending index on ties
+        by_fraction = np.argsort(counts - quotas, kind="stable")
+        counts[by_fraction[:shortfall]] += 1
+    return counts.tolist()
 
 
 def _scale_color(rgb: Tuple[int, int, int], factor: float) -> Tuple[int, int, int]:

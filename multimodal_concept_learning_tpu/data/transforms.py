@@ -15,6 +15,7 @@ reference used the global ``random`` state seeded by set_seed).
 
 from __future__ import annotations
 
+import inspect
 import math
 from typing import Any, Dict, Union
 
@@ -26,27 +27,8 @@ _TransformSpec = Union[str, Dict[str, Any]]
 _BILINEAR = Image.BILINEAR
 
 
-def _ensure_tuple(value):
-    if isinstance(value, list):
-        return tuple(value)
-    return value
-
-
-def _resolve_mean_std(config, params: Dict[str, Any]):
-    """Dataset-aware mean/std defaults (parity: src/utils.py:32-45)."""
-    mean = params.get("mean", getattr(config, "normalize_mean", None))
-    std = params.get("std", getattr(config, "normalize_std", None))
-
-    if mean is None or std is None:
-        dataset_name = getattr(config, "dataset_name", None)
-        if dataset_name in {"imagenet", "imagenet100", "imagenet_multimodal"}:
-            mean = [0.485, 0.456, 0.406]
-            std = [0.229, 0.224, 0.225]
-        else:
-            mean = [0.5, 0.5, 0.5]
-            std = [0.5, 0.5, 0.5]
-
-    return mean, std
+def _as_tuple(value):
+    return tuple(value) if isinstance(value, (list, tuple)) else value
 
 
 # ---------------------------------------------------------------------------
@@ -372,130 +354,97 @@ class Compose:
 
 
 # ---------------------------------------------------------------------------
-# Factory registry (parity: src/utils.py:134-188)
+# Registry: one table of transform classes; construction is generic.
+#
+# The per-transform defaults live on the class __init__ signatures above (one
+# source of truth), so building a transform is just "filter the YAML params to
+# the constructor's keywords".  Two transforms additionally pull values out of
+# the training config when the YAML doesn't name them: the size-taking ones
+# fall back to config.image_size, and Normalize resolves dataset-aware
+# mean/std statistics.  Same behavioral surface as the reference factory table
+# (src/utils.py:134-188) with the spec format and transform names unchanged.
 # ---------------------------------------------------------------------------
 
-
-def _build_resize(config, params):
-    size = _ensure_tuple(params.get("size"))
-    if size is None:
-        size = getattr(config, "image_size", 224)
-    return Resize(size)
-
-
-def _build_random_resized_crop(config, params):
-    size = params.get("size")
-    if size is None:
-        size = getattr(config, "image_size", 224)
-    kwargs = {"size": size}
-    if params.get("scale") is not None:
-        kwargs["scale"] = tuple(params["scale"])
-    if params.get("ratio") is not None:
-        kwargs["ratio"] = tuple(params["ratio"])
-    return RandomResizedCrop(**kwargs)
-
-
-def _build_random_horizontal_flip(_config, params):
-    return RandomHorizontalFlip(p=params.get("p", 0.5))
-
-
-def _build_color_jitter(_config, params):
-    defaults = {"brightness": 0.4, "contrast": 0.4, "saturation": 0.4, "hue": 0.1}
-    defaults.update(params)
-    return ColorJitter(
-        brightness=defaults.get("brightness"),
-        contrast=defaults.get("contrast"),
-        saturation=defaults.get("saturation"),
-        hue=defaults.get("hue"),
+_TRANSFORM_CLASSES = {
+    cls.__name__: cls
+    for cls in (
+        Resize, RandomResizedCrop, RandomHorizontalFlip, ColorJitter,
+        RandomRotation, RandomAffine, RandomPerspective, RandomErasing,
+        RandAugment, ToTensor, Normalize,
     )
-
-
-def _build_random_rotation(_config, params):
-    return RandomRotation(degrees=params.get("degrees", 15))
-
-
-def _build_random_affine(_config, params):
-    return RandomAffine(
-        degrees=params.get("degrees", 0),
-        translate=params.get("translate", (0.1, 0.1)),
-        scale=params.get("scale", (0.9, 1.1)),
-        shear=params.get("shear", 0),
-    )
-
-
-def _build_random_perspective(_config, params):
-    return RandomPerspective(
-        distortion_scale=params.get("distortion_scale", 0.2), p=params.get("p", 0.5)
-    )
-
-
-def _build_random_erasing(_config, params):
-    return RandomErasing(
-        p=params.get("p", 0.25),
-        scale=params.get("scale", (0.02, 0.33)),
-        ratio=params.get("ratio", (0.3, 3.3)),
-    )
-
-
-def _build_rand_augment(_config, params):
-    return RandAugment(num_ops=params.get("num_ops", 2), magnitude=params.get("magnitude", 10))
-
-
-def _build_to_tensor(_config, _params):
-    return ToTensor()
-
-
-def _build_normalize(config, params):
-    mean, std = _resolve_mean_std(config, params)
-    return Normalize(mean=mean, std=std)
-
-
-_TRANSFORM_FACTORIES = {
-    "Resize": _build_resize,
-    "RandomResizedCrop": _build_random_resized_crop,
-    "RandomHorizontalFlip": _build_random_horizontal_flip,
-    "ColorJitter": _build_color_jitter,
-    "RandomRotation": _build_random_rotation,
-    "RandomAffine": _build_random_affine,
-    "RandomPerspective": _build_random_perspective,
-    "RandomErasing": _build_random_erasing,
-    "RandAugment": _build_rand_augment,
-    "ToTensor": _build_to_tensor,
-    "Normalize": _build_normalize,
 }
+
+# Per-dataset normalization statistics; anything unlisted normalizes to the
+# symmetric [-1, 1] convention.
+_NORM_STATS_BY_DATASET = {
+    name: ([0.485, 0.456, 0.406], [0.229, 0.224, 0.225])
+    for name in ("imagenet", "imagenet100", "imagenet_multimodal")
+}
+_NORM_STATS_FALLBACK = ([0.5, 0.5, 0.5], [0.5, 0.5, 0.5])
+
+_SIZE_FROM_CONFIG = ("Resize", "RandomResizedCrop")
+
+
+def _fill_config_defaults(name: str, config, kwargs: Dict[str, Any]) -> None:
+    """Inject config-derived values for params the YAML spec left out."""
+    if name in _SIZE_FROM_CONFIG and "size" not in kwargs:
+        kwargs["size"] = getattr(config, "image_size", 224)
+    if name == "Normalize":
+        mean = kwargs.get("mean", getattr(config, "normalize_mean", None))
+        std = kwargs.get("std", getattr(config, "normalize_std", None))
+        if mean is None or std is None:
+            # either stat missing → take BOTH from the dataset table (the
+            # reference resolves them as a pair, never mixed)
+            mean, std = _NORM_STATS_BY_DATASET.get(
+                getattr(config, "dataset_name", None), _NORM_STATS_FALLBACK
+            )
+        kwargs["mean"], kwargs["std"] = mean, std
+
+
+def _instantiate(name: str, config, params: Dict[str, Any]):
+    cls = _TRANSFORM_CLASSES.get(name)
+    if cls is None:
+        raise ValueError(f"Unknown transform: {name}")
+    accepted = inspect.signature(cls.__init__).parameters
+    kwargs = {
+        k: _as_tuple(v) for k, v in params.items() if k in accepted and v is not None
+    }
+    _fill_config_defaults(name, config, kwargs)
+    return cls(**kwargs)
+
+
+def _parse_spec(entry: _TransformSpec):
+    """Normalize one YAML entry to (name, params)."""
+    if isinstance(entry, str):
+        return entry, {}
+    if isinstance(entry, dict):
+        if not entry.get("name"):
+            raise ValueError("Transform dict entries must include a 'name' key.")
+        return entry["name"], {k: v for k, v in entry.items() if k != "name"}
+    raise TypeError(
+        "Transform entries must be either strings or dictionaries with a 'name' key."
+    )
 
 
 def create_transforms(config, is_train: bool = True, seed: int = 0) -> Compose:
-    """Build a composed transform from config specs (parity: src/utils.py:149-188)."""
-    transform_entries = getattr(
-        config, "train_transforms" if is_train else "val_transforms", None
-    )
-    if not transform_entries:
+    """Build a composed transform pipeline from the config's spec list.
+
+    Same YAML surface as the reference factory (src/utils.py:149-188): entries
+    come from ``train_transforms``/``val_transforms`` (strings or dicts with a
+    ``name`` key), per-name overrides from ``transform_params``, inline dict
+    keys win over ``transform_params`` entries.
+    """
+    spec_attr = "train_transforms" if is_train else "val_transforms"
+    entries = getattr(config, spec_attr, None)
+    if not entries:
         raise ValueError("Transform list is empty or undefined in config.")
 
-    transform_params = getattr(config, "transform_params", {}) or {}
+    shared_overrides = getattr(config, "transform_params", {}) or {}
 
-    transforms_to_apply = []
-    for entry in transform_entries:
-        if isinstance(entry, dict):
-            name = entry.get("name")
-            if not name:
-                raise ValueError("Transform dict entries must include a 'name' key.")
-            entry_params = {k: v for k, v in entry.items() if k != "name"}
-        elif isinstance(entry, str):
-            name = entry
-            entry_params = {}
-        else:
-            raise TypeError(
-                "Transform entries must be either strings or dictionaries with a 'name' key."
-            )
+    built = []
+    for entry in entries:
+        name, inline_params = _parse_spec(entry)
+        merged = {**shared_overrides.get(name, {}), **inline_params}
+        built.append(_instantiate(name, config, merged))
 
-        factory = _TRANSFORM_FACTORIES.get(name)
-        if factory is None:
-            raise ValueError(f"Unknown transform: {name}")
-
-        params = dict(transform_params.get(name, {}))
-        params.update(entry_params)
-        transforms_to_apply.append(factory(config, params))
-
-    return Compose(transforms_to_apply, seed=seed)
+    return Compose(built, seed=seed)
