@@ -20,6 +20,7 @@ from multimodal_concept_learning_tpu.checkpoint.torch_interop import (
 from multimodal_concept_learning_tpu.checkpoint.orbax_io import (
     restore_checkpoint,
     save_checkpoint,
+    wait_for_checkpoints,
 )
 
 __all__ = [
@@ -31,4 +32,5 @@ __all__ = [
     "vit_classifier_params_from_torch",
     "save_checkpoint",
     "restore_checkpoint",
+    "wait_for_checkpoints",
 ]

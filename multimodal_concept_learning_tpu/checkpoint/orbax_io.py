@@ -1,9 +1,15 @@
 """Native orbax checkpointing with resume support.
 
 The reference has checkpoint-only persistence, no resume (SURVEY.md §5:
-training always restarts from scratch).  The TPU framework adds real
-resume: full TrainState (params + optimizer state + step) via orbax, written
-asynchronously so the device never waits on host IO.
+training always restarts from scratch).  The TPU framework adds real resume:
+full TrainState (params + optimizer state + step) via orbax.
+
+Saves are genuinely asynchronous: ``save_checkpoint`` hands the live device
+arrays to orbax's async StandardCheckpointer and returns as soon as the
+D2H snapshot is staged — serialization/IO finishes on a background thread
+while the train loop keeps stepping.  At most one save is in flight (a new
+save first drains the previous one); ``restore_checkpoint`` and
+``wait_for_checkpoints`` drain before reading.
 """
 
 from __future__ import annotations
@@ -11,39 +17,58 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
+_ASYNC_CKPT = None
 
 
 def _checkpointer():
-    import orbax.checkpoint as ocp
+    """Process-wide async checkpointer (StandardCheckpointer is async-backed:
+    save() returns after staging; commit happens on a background thread)."""
+    global _ASYNC_CKPT
+    if _ASYNC_CKPT is None:
+        import orbax.checkpoint as ocp
 
-    return ocp.StandardCheckpointer()
+        _ASYNC_CKPT = ocp.StandardCheckpointer()
+    return _ASYNC_CKPT
 
 
-def save_checkpoint(directory: str, state: Any, step: int, keep: int = 3):
-    """Write ``directory/step_{step}`` (blocking finalize, async-safe layout)."""
-    import orbax.checkpoint as ocp
+def save_checkpoint(directory: str, state: Any, step: int, keep: int = 3, wait: bool = False):
+    """Asynchronously write ``directory/step_{step}``.
 
+    Returns once the save is staged; pass ``wait=True`` to block until the
+    checkpoint is durably committed (used by tests and final saves).
+    Old steps beyond ``keep`` are garbage-collected (only ever finalized
+    directories — the in-flight save uses an orbax tmp name until commit).
+    """
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"step_{step}")
     ckpt = _checkpointer()
-    ckpt.save(path, jax.device_get(state), force=True)
-    ckpt.wait_until_finished()
-    _gc_old(directory, keep)
+    ckpt.wait_until_finished()  # at most one in-flight save
+    _gc_old(directory, keep - 1)  # make room; current save not yet visible
+    ckpt.save(path, state, force=True)
+    if wait:
+        ckpt.wait_until_finished()
+
+
+def wait_for_checkpoints():
+    """Drain any in-flight async save (call at shutdown/end of training)."""
+    if _ASYNC_CKPT is not None:
+        _ASYNC_CKPT.wait_until_finished()
 
 
 def restore_checkpoint(directory: str, template: Any, step: Optional[int] = None):
     """Restore latest (or a specific step) into arrays shaped like ``template``.
     Returns (state, step) or (None, None) when no checkpoint exists."""
+    import jax
+
     directory = os.path.abspath(directory)
+    wait_for_checkpoints()
     steps = _list_steps(directory)
     if not steps:
         return None, None
     target = step if step is not None else max(steps)
     path = os.path.join(directory, f"step_{target}")
-    ckpt = _checkpointer()
-    state = ckpt.restore(path, target=jax.device_get(template))
+    state = _checkpointer().restore(path, target=jax.device_get(template))
     return state, target
 
 
@@ -56,7 +81,7 @@ def _list_steps(directory: str):
             try:
                 out.append(int(name.split("_")[1]))
             except ValueError:
-                continue
+                continue  # orbax tmp dirs (step_N.orbax-checkpoint-tmp-*) etc.
     return out
 
 
@@ -64,5 +89,6 @@ def _gc_old(directory: str, keep: int):
     import shutil
 
     steps = sorted(_list_steps(directory))
-    for s in steps[:-keep]:
+    drop = steps[:-keep] if keep > 0 else steps
+    for s in drop:
         shutil.rmtree(os.path.join(directory, f"step_{s}"), ignore_errors=True)

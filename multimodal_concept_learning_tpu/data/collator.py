@@ -44,6 +44,7 @@ class MultimodalCollator:
         max_length: int = 128,
         pad_to: Optional[int] = None,
         seed: int = 0,
+        max_answer_tokens: Optional[int] = 8,
     ):
         self.tokenizer = tokenizer
         self.num_vision_tokens = num_vision_tokens
@@ -53,6 +54,10 @@ class MultimodalCollator:
         )
         self.labels_mapping = labels_mapping
         self.max_length = max_length
+        # Static bound A of the sparse answer loss (MLLMConfig.max_answer_tokens);
+        # used only to warn when the reference's unfound-span quirk produces
+        # more supervised positions than the loss will keep.
+        self.max_answer_tokens = max_answer_tokens
         self.pad_id = tokenizer.pad_token_id
         self.rng = np.random.Generator(np.random.PCG64(seed))
 
@@ -172,6 +177,18 @@ class MultimodalCollator:
                 # Reference quirk (:155-157 with no :171 hit): labels fall back
                 # to the pad-masked input ids over the text region.
                 labels[i, V : V + n] = seq[:n]
+                if self.max_answer_tokens is not None and n > self.max_answer_tokens:
+                    import warnings
+
+                    warnings.warn(
+                        f"answer span not found for a sample; the quirk fallback "
+                        f"supervises {n} text positions but the sparse answer loss "
+                        f"keeps only the first max_answer_tokens="
+                        f"{self.max_answer_tokens} — the loss for this row diverges "
+                        f"from the reference's dense semantics",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
 
         out = {
             "input_ids": input_ids,

@@ -173,6 +173,17 @@ def prefetch_to_device(iterator, sharding=None, size: int = 2):
     def put(batch):
         if sharding is None:
             return jax.device_put(batch)
+        from jax.sharding import NamedSharding
+
+        if isinstance(sharding, NamedSharding):
+            # Per-leaf placement: batch-shaped leaves get the batch sharding,
+            # scalar/constant leaves (norm_mean/norm_std, …) are replicated so
+            # multi-device meshes don't choke on non-divisible leading dims.
+            from multimodal_concept_learning_tpu.parallel.mesh import leaf_sharding
+
+            return jax.device_put(
+                batch, jax.tree_util.tree_map(lambda x: leaf_sharding(x, sharding), batch)
+            )
         return jax.device_put(batch, sharding)
 
     it = iter(iterator)

@@ -49,7 +49,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, l_ref, *, scale):
     l_ref[0] = jnp.broadcast_to(lse, (lse.shape[0], 128))
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref, lse_ref, dq_ref, *, scale):
+def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref, lse_ref, dq_ref, ds_ref=None, *, scale):
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
@@ -65,6 +65,11 @@ def _dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref, lse_ref, dq_ref, *,
                              preferred_element_type=jnp.float32)  # [BQ, T]
     delta = jnp.sum(do * o, axis=-1, keepdims=True)
     ds = p * (dp - delta)
+    if ds_ref is not None:
+        # dS is exactly the bias cotangent (pre-unbroadcast); emitted only
+        # when a bias participates so learnable/input-dependent biases (ALiBi,
+        # relative-position) get real gradients instead of silent zeros.
+        ds_ref[0] = ds.astype(ds_ref.dtype)
     dq_ref[0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
 
 
@@ -195,13 +200,31 @@ def _flash_bwd(res, g):
     ]
     dq_args += [dof, of, lse]
 
-    dqf = pl.pallas_call(
-        dq_kernel,
-        grid=(bh, nq),
-        in_specs=dq_in_specs,
-        out_specs=pl.BlockSpec((1, BQ, d), lambda bhi, i: (bhi, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
-    )(*dq_args)
+    dq_out_spec = pl.BlockSpec((1, BQ, d), lambda bhi, i: (bhi, i, 0), memory_space=pltpu.VMEM)
+    if bf is not None:
+        # Second output: dS = bias cotangent per (bh, q-block).
+        dqf, dsf = pl.pallas_call(
+            dq_kernel,
+            grid=(bh, nq),
+            in_specs=dq_in_specs,
+            out_specs=(
+                dq_out_spec,
+                pl.BlockSpec((1, BQ, tk), lambda bhi, i: (bhi, i, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, tq, tk), jnp.float32),
+            ),
+        )(*dq_args)
+    else:
+        dsf = None
+        dqf = pl.pallas_call(
+            dq_kernel,
+            grid=(bh, nq),
+            in_specs=dq_in_specs,
+            out_specs=dq_out_spec,
+            out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        )(*dq_args)
 
     # dK/dV: one program per (bh, k-block)
     dkv_in_specs = [
@@ -247,7 +270,19 @@ def _flash_bwd(res, g):
     dq = dqf.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
     dk = dkf.reshape(b, h, tk, d).transpose(0, 2, 1, 3)
     dv = dvf.reshape(b, h, tk, d).transpose(0, 2, 1, 3)
-    return dq, dk, dv, None
+    db = None
+    if bias is not None:
+        # Unbroadcast dS [b, h, tq, tk] back to the caller's bias shape:
+        # sum over every axis _prep broadcast (leading pad + size-1 dims).
+        db = dsf.reshape(b, h, tq, tk)
+        pad = 4 - bias.ndim
+        reduce_axes = tuple(
+            ax for ax in range(4) if ax < pad or bias.shape[ax - pad] == 1
+        )
+        if reduce_axes:
+            db = db.sum(axis=reduce_axes, keepdims=True)
+        db = db.reshape(bias.shape).astype(bias.dtype)
+    return dq, dk, dv, db
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -40,7 +40,29 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def leaf_sharding(leaf, sharding: NamedSharding) -> NamedSharding:
+    """Per-leaf placement for a host batch: shard the leading axis when the
+    leaf actually has a divisible batch dimension, replicate otherwise.
+
+    Batches can carry non-batch leaves (e.g. the uint8 pipeline ships
+    ``norm_mean``/``norm_std`` of shape (3,)); blindly applying the batch
+    sharding to those fails on any multi-device mesh ("dimension 0 should be
+    divisible by N").
+    """
+    spec = sharding.spec
+    if not len(spec) or spec[0] is None:
+        return sharding
+    names = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+    shards = int(np.prod([sharding.mesh.shape[n] for n in names]))
+    if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] % shards == 0:
+        return sharding
+    return NamedSharding(sharding.mesh, P())
+
+
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
-    """device_put a host batch with its leading axis sharded over the mesh."""
+    """device_put a host batch with its leading axis sharded over the mesh
+    (non-batch-shaped leaves are replicated, see ``leaf_sharding``)."""
     sharding = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, leaf_sharding(x, sharding)), batch
+    )

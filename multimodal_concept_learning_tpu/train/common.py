@@ -72,6 +72,13 @@ class ResumeManager:
         return restored, epoch + 1, meta
 
     def save(self, state, epoch: int, meta: dict):
+        """Kick off an async checkpoint of ``state`` and persist loop meta.
+
+        Returns immediately (orbax commits on a background thread).  A kill
+        mid-save leaves only an orbax tmp dir, so resume falls back to the
+        previous completed epoch; the meta JSON may then be one epoch ahead,
+        which only affects the remembered best_loss, never correctness.
+        """
         if not self.enabled:
             return
         import json
@@ -81,3 +88,11 @@ class ResumeManager:
         save_checkpoint(self.ckpt_dir, state, epoch)
         with open(self.meta_path, "w") as f:
             json.dump(meta, f)
+
+    def finalize(self):
+        """Drain any in-flight async save (call once after the epoch loop)."""
+        if not self.enabled:
+            return
+        from multimodal_concept_learning_tpu.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()

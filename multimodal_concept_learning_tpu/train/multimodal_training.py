@@ -305,6 +305,7 @@ def run_training(
         logger.print_multimodal_epoch(metrics, config.epochs)
         logger.log(metrics)
         resume.save(state, epoch, {"best_loss": best_loss})
+    resume.finalize()
 
     print(f"Best val loss: {best_loss:.4f}")
 

@@ -159,6 +159,7 @@ def run_training(model, train_loader, val_loader, config: VisionTrainingConfig, 
         logger.print_vision_epoch(metrics, config.epochs)
         logger.log(metrics)
         resume.save(state, epoch, {"best_loss": best_loss})
+    resume.finalize()
 
     print(f"Best val loss: {best_loss:.4f}")
     save_torch_state_dict(

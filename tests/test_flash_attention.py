@@ -66,3 +66,24 @@ def test_flash_supported_gate():
     assert fa.flash_supported((2, 128, 4, 64), (2, 128, 4, 64))
     assert not fa.flash_supported((2, 50, 4, 64), (2, 50, 4, 64))  # ViT-B/32 seq
     assert not fa.flash_supported((2, 128, 4, 48), (2, 128, 4, 48))  # odd head dim
+
+
+def test_flash_bias_gradient_matches_dense():
+    """A differentiable (input-dependent) bias must receive a real cotangent
+    through the flash VJP, including unbroadcast over batch/head dims."""
+    b, t, h, d = 2, 128, 2, 64
+    q, k, v = _rand((b, t, h, d), 3), _rand((b, t, h, d), 4), _rand((b, t, h, d), 5)
+    bias = 0.1 * _rand((1, 1, t, t), 6)  # broadcast over batch and heads
+
+    def loss_flash(bias):
+        return (fa.flash_attention(q, k, v, bias) * 0.01).sum()
+
+    def loss_dense(bias):
+        return (_dense(q, k, v, bias) * 0.01).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_flash)(bias)
+    gd = jax.grad(loss_dense)(bias)
+    assert gf.shape == bias.shape
+    assert float(jnp.abs(gf).max()) > 0.0
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gd), atol=3e-5, rtol=1e-3)

@@ -170,3 +170,41 @@ def test_classifier_step_runs_sharded(eight_devices):
     state, m = step(state, batch, jax.random.key(1))
     assert np.isfinite(float(m["loss"]))
     assert int(m["count"]) == 16
+
+
+def test_prefetch_uint8_batch_on_multi_device_mesh(eight_devices):
+    """The uint8 device-normalize batch carries (3,)-shaped norm constants;
+    prefetch_to_device must replicate those and shard only batch-dim leaves."""
+    from multimodal_concept_learning_tpu.data.pipeline import prefetch_to_device
+    from multimodal_concept_learning_tpu.parallel.mesh import batch_sharding
+
+    mesh = make_mesh(eight_devices)
+    sharding = batch_sharding(mesh)
+    host_batch = {
+        "images_u8": np.zeros((16, 8, 8, 3), np.uint8),
+        "labels": np.arange(16, dtype=np.int32),
+        "valid": np.ones(16, bool),
+        "norm_mean": np.asarray([0.5, 0.5, 0.5], np.float32),
+        "norm_std": np.asarray([0.5, 0.5, 0.5], np.float32),
+    }
+    out = list(prefetch_to_device(iter([host_batch]), sharding))
+    assert len(out) == 1
+    dev = out[0]
+    assert dev["images_u8"].shape == (16, 8, 8, 3)
+    assert dev["norm_mean"].shape == (3,)
+    # batch leaves sharded over data, constants replicated
+    assert dev["norm_mean"].sharding.is_fully_replicated
+    assert not dev["images_u8"].sharding.is_fully_replicated
+
+
+def test_shard_batch_replicates_non_batch_leaves(eight_devices):
+    mesh = make_mesh(eight_devices)
+    batch = {
+        "x": np.zeros((8, 4), np.float32),
+        "c": np.zeros((3,), np.float32),
+        "s": np.zeros((), np.float32),
+    }
+    out = shard_batch(batch, mesh)
+    assert not out["x"].sharding.is_fully_replicated
+    assert out["c"].sharding.is_fully_replicated
+    assert out["s"].sharding.is_fully_replicated

@@ -79,3 +79,74 @@ def test_vision_resume(dataset_dir, tmp_path, capsys):
 
     steps = {d for d in os.listdir(os.path.join(results_dir, "orbax")) if d.startswith("step_")}
     assert "step_3" in steps
+
+
+def test_vision_kill_and_resume(dataset_dir, tmp_path, capsys):
+    """SIGKILL the trainer mid-run (async saves in flight), then resume.
+
+    The process is killed the moment the first committed checkpoint appears —
+    an arbitrary point within a later epoch — so this exercises recovery from
+    a hard interrupt: possibly-torn tmp dirs must be ignored and training must
+    continue from the last *committed* epoch."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    results_dir = str(tmp_path / "results_kill")
+    cfg_path = tmp_path / "kill.yaml"
+    cfg_path.write_text(yaml.safe_dump(_cfg(dataset_dir, results_dir, epochs=500)))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu'; "
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "from multimodal_concept_learning_tpu.train.vision_training import main; "
+        f"main(['--config_path', {str(cfg_path)!r}])"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], env=env, cwd="/root/repo",
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    orbax_dir = os.path.join(results_dir, "orbax")
+    deadline = time.time() + 600
+    try:
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                break
+            committed = [
+                d for d in (os.listdir(orbax_dir) if os.path.isdir(orbax_dir) else [])
+                if d.startswith("step_") and d.split("_")[1].isdigit()
+            ]
+            if committed:
+                proc.send_signal(signal.SIGKILL)
+                proc.wait(timeout=60)
+                break
+            time.sleep(0.05)
+        else:
+            raise AssertionError("no checkpoint appeared within the deadline")
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=60)
+
+    committed = sorted(
+        int(d.split("_")[1])
+        for d in os.listdir(orbax_dir)
+        if d.startswith("step_") and d.split("_")[1].isdigit()
+    )
+    assert committed, "kill happened before any committed checkpoint"
+    last = committed[-1]
+
+    # resume in-process for two more epochs past the last committed one
+    from multimodal_concept_learning_tpu.train.vision_training import main
+
+    capsys.readouterr()
+    cfg2 = tmp_path / "kill_resume.yaml"
+    cfg2.write_text(yaml.safe_dump(_cfg(dataset_dir, results_dir, epochs=last + 3)))
+    main(["--config_path", str(cfg2)])
+    out = capsys.readouterr().out
+    assert f"Resuming from epoch {last} checkpoint" in out
+    assert f"Epoch {last + 3}/{last + 3}" in out
+    assert "Epoch 1/" not in out  # did not restart from scratch
