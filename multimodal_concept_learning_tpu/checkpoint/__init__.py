@@ -22,6 +22,10 @@ from multimodal_concept_learning_tpu.checkpoint.orbax_io import (
     save_checkpoint,
     wait_for_checkpoints,
 )
+from multimodal_concept_learning_tpu.checkpoint.vocab_remap import (
+    remap_embedding_rows,
+    remap_state_dict_vocab,
+)
 
 __all__ = [
     "save_torch_state_dict",
@@ -33,4 +37,6 @@ __all__ = [
     "save_checkpoint",
     "restore_checkpoint",
     "wait_for_checkpoints",
+    "remap_embedding_rows",
+    "remap_state_dict_vocab",
 ]

@@ -18,12 +18,14 @@ Weight-layout conversions: flax Dense kernels are (in, out) = torch
 weight (H, C, p, p) matching ops' patchify pixel ordering; flax LayerNorm
 ``scale`` ↔ torch ``weight``.
 
-Architectural caveat (documented, not hidden): the language model is a
-Gemma-architecture re-implementation, not a weight-level clone of
-google/gemma-3-1b-it (no network access to its weights); layers shared by
-both (embeddings, q/k/v/o, gate/up/down, norms) map name-for-name, and HF
-Gemma-3 extras absent here (q/k-norm, pre/post-feedforward norms) are
-ignored on load.
+The language model maps name-for-name against HF Gemma-3 naming for every
+tensor the architecture has — embeddings, q/k/v/o projections, q/k RMSNorms,
+gate/up/down MLP, and all four block norms (input / post-attention /
+pre-feedforward / post-feedforward) — verified by a forward-parity test that
+imports a randomly initialized HF ``Gemma3TextModel`` checkpoint and matches
+hidden states to <=2e-5 (tests/test_gemma3_parity.py).  Pretrained
+google/gemma-3-1b-it weights cannot be fetched in this offline environment,
+but a real checkpoint file imports losslessly through the same mapping.
 """
 
 from __future__ import annotations
@@ -195,15 +197,22 @@ def _lm_entry_to_torch(rel: str, arr: np.ndarray):
         i = parts[0].split("_")[1]
         base = f"model.layers.{i}"
         if parts[1] == "self_attn":
-            proj = parts[2]  # q_proj / k_proj / v_proj / o_proj
-            if proj == "o_proj":  # (heads, hd, H)
+            sub = parts[2]  # q/k/v/o_proj or q/k_norm
+            if sub in ("q_norm", "k_norm"):  # (head_dim,) RMSNorm weights
+                return f"{base}.self_attn.{sub}.weight", arr
+            if sub == "o_proj":  # (heads, hd, H)
                 h = arr.shape[-1]
                 return f"{base}.self_attn.o_proj.weight", arr.reshape(-1, h).T
             h = arr.shape[0]  # (H, heads, hd)
-            return f"{base}.self_attn.{proj}.weight", arr.reshape(h, -1).T
+            return f"{base}.self_attn.{sub}.weight", arr.reshape(h, -1).T
         if parts[1] in ("gate_proj", "up_proj", "down_proj"):
             return f"{base}.mlp.{parts[1]}.weight", arr.T
-        if parts[1] in ("input_layernorm", "post_attention_layernorm"):
+        if parts[1] in (
+            "input_layernorm",
+            "post_attention_layernorm",
+            "pre_feedforward_layernorm",
+            "post_feedforward_layernorm",
+        ):
             return f"{base}.{parts[1]}.weight", arr
     raise KeyError(f"Unmapped LM param: {rel}")
 
@@ -213,6 +222,48 @@ def _lm_entry_from_torch(rel: str, torch_arr: np.ndarray, template: np.ndarray):
     if parts[-1] == "kernel":
         return torch_arr.T.reshape(template.shape)
     return torch_arr.reshape(template.shape)
+
+
+def lm_params_to_torch(params) -> Dict[str, np.ndarray]:
+    """Bare CausalLM flax params → torch state dict with HF causal-LM naming
+    (``model.embed_tokens.weight``, ``model.layers.{i}.*``, ``model.norm.weight``)."""
+    flat = flatten_params(params.get("params", params))
+    sd: Dict[str, np.ndarray] = {}
+    for rel, arr in flat.items():
+        if rel.startswith("layers_scan/block/"):
+            sub = rel[len("layers_scan/block/") :]
+            for i in range(arr.shape[0]):
+                name, tensor = _lm_entry_to_torch(f"layer_{i}/{sub}", arr[i])
+                sd[name] = tensor
+        else:
+            name, tensor = _lm_entry_to_torch(rel, arr)
+            sd[name] = tensor
+    return sd
+
+
+def lm_params_from_torch(sd: Dict[str, np.ndarray], params_template):
+    """Inverse of ``lm_params_to_torch``; missing keys keep template values."""
+    template = params_template.get("params", params_template)
+    flat_template = flatten_params(template)
+    out: Dict[str, np.ndarray] = {}
+    for rel, tmpl in flat_template.items():
+        if rel.startswith("layers_scan/block/"):
+            sub = rel[len("layers_scan/block/") :]
+            per_layer = []
+            for i in range(tmpl.shape[0]):
+                name, _ = _lm_entry_to_torch(f"layer_{i}/{sub}", tmpl[i])
+                if name in sd:
+                    per_layer.append(_lm_entry_from_torch(f"layer_{i}/{sub}", sd[name], tmpl[i]))
+                else:
+                    per_layer.append(np.asarray(tmpl[i]))
+            out[rel] = np.stack(per_layer)
+        else:
+            name, _ = _lm_entry_to_torch(rel, tmpl)
+            out[rel] = _lm_entry_from_torch(rel, sd[name], tmpl) if name in sd else tmpl
+    tree = unflatten_params(out)
+    if "params" in params_template:
+        return {"params": tree}
+    return tree
 
 
 # ---------------------------------------------------------------------------

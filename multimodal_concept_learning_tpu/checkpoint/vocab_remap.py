@@ -1,0 +1,71 @@
+"""Embedding-row remapping across tokenizer vocabularies.
+
+Interchange boundary (documented in COMPONENTS.md): checkpoint tensors map
+name-for-name against reference checkpoints, but embedding ROWS are only
+row-compatible when both sides used the same tokenizer ids.  The offline
+ConceptTokenizer assigns different ids than Gemma's SentencePiece, so a real
+reference checkpoint (262k-row table) must be remapped by token STRING before
+its embedding/tied-head rows mean the same thing here.
+
+``remap_embedding_rows`` does that: for every token string present in both
+vocabularies, the source row is copied into the destination id's slot;
+destination-only tokens keep their given initialization (the caller's
+template).  When an HF tokenizer cache is present (``load_tokenizer``
+branches to AutoTokenizer) both vocabs can be taken from
+``tokenizer.get_vocab()`` directly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+EMBED_KEY = "language_model.model.embed_tokens.weight"
+
+
+def remap_embedding_rows(
+    src_matrix: np.ndarray,
+    src_vocab: Dict[str, int],
+    dst_vocab: Dict[str, int],
+    dst_template: np.ndarray,
+) -> Tuple[np.ndarray, int]:
+    """Copy rows of ``src_matrix`` into a ``dst_template``-shaped table by
+    matching token strings across vocabularies.
+
+    Returns (new_matrix, num_rows_copied).  Ids out of range on either side
+    are skipped (a truncated/expanded table never indexes out of bounds).
+    """
+    out = np.array(dst_template, copy=True)
+    copied = 0
+    for token, dst_id in dst_vocab.items():
+        src_id = src_vocab.get(token)
+        if src_id is None:
+            continue
+        if 0 <= src_id < src_matrix.shape[0] and 0 <= dst_id < out.shape[0]:
+            out[dst_id] = src_matrix[src_id]
+            copied += 1
+    return out, copied
+
+
+def remap_state_dict_vocab(
+    state_dict: Dict[str, np.ndarray],
+    src_vocab: Dict[str, int],
+    dst_vocab: Dict[str, int],
+    dst_template: np.ndarray,
+    embed_key: str = EMBED_KEY,
+) -> Tuple[Dict[str, np.ndarray], int]:
+    """Remap the embedding table inside a reference-named state dict.
+
+    Everything but ``embed_key`` passes through untouched (Gemma ties the LM
+    head to the embedding, so one tensor carries all vocabulary rows).
+    Returns (new_state_dict, num_rows_copied); raises KeyError when the
+    checkpoint has no embedding table under ``embed_key``.
+    """
+    if embed_key not in state_dict:
+        raise KeyError(f"state dict has no embedding table under {embed_key!r}")
+    out = dict(state_dict)
+    out[embed_key], copied = remap_embedding_rows(
+        state_dict[embed_key], src_vocab, dst_vocab, dst_template
+    )
+    return out, copied

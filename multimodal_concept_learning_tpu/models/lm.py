@@ -5,18 +5,24 @@ attention (src/multimodal/mllm.py:42-45) and only ever uses it as (a) an
 input-embedding table that gets resized for new concept tokens, and (b) a
 loss-producing forward over ``inputs_embeds`` (src/multimodal/mllm.py:108-121).
 This offline environment cannot fetch pretrained weights, so the framework
-ships its own Gemma-architecture LM: RMSNorm (1+w scaling), rotary position
-embeddings, grouped-query attention, GeGLU MLP, embedding scaled by
-sqrt(hidden), and an LM head tied to the input embedding — i.e. the same
-geometry/semantics class so checkpoints map name-for-name (see
-checkpoint/torch_interop.py) and the "gemma3-1b" preset matches the real
-model's shapes (hidden 1152, 26 layers, 4q/1kv heads, head_dim 256).
+ships its own Gemma-architecture LM covering the full Gemma-3 feature set:
+RMSNorm (1+w scaling, fp32 stats), rotary position embeddings with dual
+base frequencies (global layers at ``rope_theta``, sliding layers at
+``rope_local_theta``), grouped-query attention with per-head q/k RMSNorm and
+``query_pre_attn_scalar`` logit scaling, the 5:1 local(sliding-window)/global
+attention layer pattern, sandwich block norms (post-attention +
+pre/post-feedforward), GeGLU MLP, embeddings scaled by sqrt(hidden), and an
+LM head tied to the input embedding.  The "gemma3-1b" preset reproduces the
+real model's architecture (hidden 1152, 26 layers, 4q/1kv heads, head_dim
+256, window 512, pattern 6), verified by a forward-parity test against HF's
+Gemma3TextModel with random weights (tests/test_gemma3_parity.py); weights
+map name-for-name through checkpoint/torch_interop.py.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +45,14 @@ class LMConfig:
     rms_norm_eps: float = 1e-6
     tie_lm_head: bool = True
     final_logit_softcap: Optional[float] = None
+    # Gemma-3 architectural features (all off → Gemma-1-style block, used by
+    # the small test presets; all on in the gemma3-1b preset):
+    use_qk_norm: bool = False          # per-head RMSNorm on q/k before rope
+    sandwich_norms: bool = False       # post-attn + pre/post-feedforward norms
+    sliding_window: Optional[int] = None  # local-attention window size
+    sliding_window_pattern: int = 6    # every Nth layer is global
+    rope_local_theta: float = 10000.0  # rope base for sliding layers
+    query_pre_attn_scalar: Optional[float] = None  # logit scale = this**-0.5
     # Stack layers under nn.scan: one block's HLO instead of num_layers
     # copies.  Cuts compile time / serialized-program size ~num_layers x —
     # decisive on remote-compile infrastructures — at identical math.
@@ -46,12 +60,22 @@ class LMConfig:
     scan_layers: bool = False
     dtype: Any = jnp.bfloat16
 
+    def layer_is_sliding(self, i: int) -> bool:
+        """HF Gemma-3 layer_types: every ``pattern``-th layer is global."""
+        if self.sliding_window is None:
+            return False
+        return (i + 1) % self.sliding_window_pattern != 0
+
     @classmethod
     def preset(cls, name: str, vocab_size: int) -> "LMConfig":
         presets = {
-            # google/gemma-3-1b shape (per its published config)
+            # google/gemma-3-1b architecture (per its published config)
             "gemma3-1b": dict(hidden_size=1152, intermediate_size=6912, num_layers=26,
-                              num_heads=4, num_kv_heads=1, head_dim=256, rope_theta=1_000_000.0),
+                              num_heads=4, num_kv_heads=1, head_dim=256,
+                              rope_theta=1_000_000.0, rope_local_theta=10_000.0,
+                              use_qk_norm=True, sandwich_norms=True,
+                              sliding_window=512, sliding_window_pattern=6,
+                              query_pre_attn_scalar=256.0),
             # small LM for tests / color experiments
             "nano": dict(hidden_size=128, intermediate_size=512, num_layers=2,
                          num_heads=4, num_kv_heads=2, head_dim=32),
@@ -64,7 +88,8 @@ class LMConfig:
 
 
 class RMSNorm(nn.Module):
-    """Gemma RMSNorm: fp32 statistics, output scaled by (1 + weight)."""
+    """Gemma RMSNorm: fp32 statistics AND fp32 (1 + weight) scaling, cast back
+    last (HF PR #29402 semantics: ``(x * w).to(dtype)``, not ``x.to(dtype) * w``)."""
 
     eps: float = 1e-6
 
@@ -78,14 +103,20 @@ class RMSNorm(nn.Module):
         return (x * (1.0 + scale)).astype(dtype)
 
 
-def apply_rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
-    """Rotary embedding over [B, T, H, D] with positions [B, T]."""
-    d = x.shape[-1]
-    half = d // 2
+def rope_tables(positions: jax.Array, head_dim: int, theta: float) -> Tuple[jax.Array, jax.Array]:
+    """(sin, cos) tables [B, T, head_dim//2] for the given base frequency."""
+    half = head_dim // 2
     freq = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
-    angles = positions[:, :, None].astype(jnp.float32) * freq[None, None, :]  # [B, T, half]
-    sin = jnp.sin(angles)[:, :, None, :]
-    cos = jnp.cos(angles)[:, :, None, :]
+    angles = positions[:, :, None].astype(jnp.float32) * freq[None, None, :]
+    return jnp.sin(angles), jnp.cos(angles)
+
+
+def apply_rope(x: jax.Array, rope: Tuple[jax.Array, jax.Array]) -> jax.Array:
+    """Rotary embedding over [B, T, H, D] given precomputed (sin, cos)."""
+    sin, cos = rope
+    half = x.shape[-1] // 2
+    sin = sin[:, :, None, :]
+    cos = cos[:, :, None, :]
     x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     return out.astype(x.dtype)
@@ -95,7 +126,7 @@ class LMAttention(nn.Module):
     config: LMConfig
 
     @nn.compact
-    def __call__(self, x, bias, positions, deterministic: bool = True):
+    def __call__(self, x, bias, rope, deterministic: bool = True):
         cfg = self.config
         proj = lambda heads, name: nn.DenseGeneral(  # noqa: E731
             features=(heads, cfg.head_dim),
@@ -108,10 +139,17 @@ class LMAttention(nn.Module):
         k = proj(cfg.num_kv_heads, "k_proj")(x)
         v = proj(cfg.num_kv_heads, "v_proj")(x)
 
-        q = apply_rope(q, positions, cfg.rope_theta)
-        k = apply_rope(k, positions, cfg.rope_theta)
+        if cfg.use_qk_norm:
+            q = RMSNorm(cfg.rms_norm_eps, name="q_norm")(q)
+            k = RMSNorm(cfg.rms_norm_eps, name="k_norm")(k)
 
-        out = multi_head_attention(q, k, v, bias=bias, deterministic=deterministic)
+        q = apply_rope(q, rope)
+        k = apply_rope(k, rope)
+
+        scale = None
+        if cfg.query_pre_attn_scalar is not None:
+            scale = cfg.query_pre_attn_scalar ** -0.5
+        out = multi_head_attention(q, k, v, bias=bias, scale=scale, deterministic=deterministic)
         return nn.DenseGeneral(
             features=cfg.hidden_size,
             axis=(-2, -1),
@@ -125,31 +163,55 @@ class LMAttention(nn.Module):
 class LMBlock(nn.Module):
     config: LMConfig
 
-    @nn.compact
-    def __call__(self, x, bias, positions, deterministic: bool = True):
+    def _mlp(self, h):
         cfg = self.config
-        h = RMSNorm(cfg.rms_norm_eps, name="input_layernorm")(x)
-        h = LMAttention(cfg, name="self_attn")(h, bias, positions, deterministic=deterministic)
-        x = x + h
-        h = RMSNorm(cfg.rms_norm_eps, name="post_attention_layernorm")(x)
         gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype,
                         kernel_init=nn.initializers.normal(0.02), name="gate_proj")(h)
         up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype,
                       kernel_init=nn.initializers.normal(0.02), name="up_proj")(h)
         h = nn.gelu(gate, approximate=True) * up
-        h = nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
-                     kernel_init=nn.initializers.normal(0.02), name="down_proj")(h)
-        return x + h
+        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
+                        kernel_init=nn.initializers.normal(0.02), name="down_proj")(h)
+
+    @nn.compact
+    def __call__(self, x, bias, rope, deterministic: bool = True):
+        cfg = self.config
+        h = RMSNorm(cfg.rms_norm_eps, name="input_layernorm")(x)
+        h = LMAttention(cfg, name="self_attn")(h, bias, rope, deterministic=deterministic)
+        if cfg.sandwich_norms:
+            # Gemma-2/3 block: post-attn norm wraps the attention OUTPUT
+            # before the residual add; the MLP gets its own pre/post norms.
+            h = RMSNorm(cfg.rms_norm_eps, name="post_attention_layernorm")(h)
+            x = x + h
+            h = RMSNorm(cfg.rms_norm_eps, name="pre_feedforward_layernorm")(x)
+            h = self._mlp(h)
+            h = RMSNorm(cfg.rms_norm_eps, name="post_feedforward_layernorm")(h)
+            return x + h
+        # Gemma-1/llama block: post-attn norm is the pre-MLP norm.
+        x = x + h
+        h = RMSNorm(cfg.rms_norm_eps, name="post_attention_layernorm")(x)
+        return x + self._mlp(h)
 
 
 class _ScanLMBlock(nn.Module):
-    """nn.scan-compatible wrapper: (carry x, broadcast bias/positions) → (x, None)."""
+    """nn.scan-compatible wrapper.
+
+    Carry: x.  Broadcast: the global/sliding bias pair and rope-table pair.
+    Scanned (leading layer axis): the per-layer ``sliding`` flag selecting
+    which bias/rope this layer uses — keeps all layers structurally identical
+    so the whole stack compiles as ONE block.
+    """
 
     config: LMConfig
 
     @nn.compact
-    def __call__(self, x, bias, positions):
-        return LMBlock(self.config, name="block")(x, bias, positions), None
+    def __call__(self, x, bias_global, bias_sliding, rope_global, rope_sliding, sliding_flag):
+        bias = jnp.where(sliding_flag, bias_sliding, bias_global)
+        rope = (
+            jnp.where(sliding_flag, rope_sliding[0], rope_global[0]),
+            jnp.where(sliding_flag, rope_sliding[1], rope_global[1]),
+        )
+        return LMBlock(self.config, name="block")(x, bias, rope), None
 
 
 class CausalLM(nn.Module):
@@ -180,7 +242,7 @@ class CausalLM(nn.Module):
                 _ScanLMBlock,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
-                in_axes=(nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast, 0),
                 length=cfg.num_layers,
             )(cfg, name="layers_scan")
         else:
@@ -205,17 +267,35 @@ class CausalLM(nn.Module):
     ) -> jax.Array:
         cfg = self.config
         b, t, _ = inputs_embeds.shape
-        bias = make_attention_bias(attention_mask, causal=True, q_len=t, k_len=t)
+        bias_global = make_attention_bias(attention_mask, causal=True, q_len=t, k_len=t)
         if attention_mask is not None:
             positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
         else:
             positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+        rope_global = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+        if cfg.sliding_window is not None:
+            bias_sliding = make_attention_bias(
+                attention_mask, causal=True, q_len=t, k_len=t, window=cfg.sliding_window
+            )
+            rope_sliding = rope_tables(positions, cfg.head_dim, cfg.rope_local_theta)
+        else:
+            bias_sliding, rope_sliding = bias_global, rope_global
+
         x = inputs_embeds.astype(cfg.dtype)
         if cfg.scan_layers:
-            x, _ = self.layers_scan(x, bias, positions)
+            flags = jnp.asarray(
+                [cfg.layer_is_sliding(i) for i in range(cfg.num_layers)], dtype=bool
+            )
+            x, _ = self.layers_scan(x, bias_global, bias_sliding, rope_global, rope_sliding, flags)
         else:
-            for layer in self.layers:
-                x = layer(x, bias, positions, deterministic=deterministic)
+            for i, layer in enumerate(self.layers):
+                sliding = cfg.layer_is_sliding(i)
+                x = layer(
+                    x,
+                    bias_sliding if sliding else bias_global,
+                    rope_sliding if sliding else rope_global,
+                    deterministic=deterministic,
+                )
         return self.final_norm(x)
 
     def lm_head(self, hidden: jax.Array) -> jax.Array:

@@ -26,6 +26,7 @@ def multi_head_attention(
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     use_flash: Optional[bool] = None,
+    scale: Optional[float] = None,
 ) -> jax.Array:
     """Scaled dot-product attention over [B, T, H, D] tensors.
 
@@ -35,6 +36,8 @@ def multi_head_attention(
       bias: additive attention bias broadcastable to [B, H, Tq, Tk]
         (use ``make_attention_bias`` to build it from masks).
       use_flash: force/forbid the Pallas kernel; None = auto.
+      scale: logit scale; None = 1/sqrt(head_dim).  Gemma-3 uses
+        query_pre_attn_scalar**-0.5 instead.
     """
     b, tq, hq, d = q.shape
     hk = k.shape[2]
@@ -50,11 +53,15 @@ def multi_head_attention(
         try:
             from multimodal_concept_learning_tpu.ops.flash_attention import flash_attention
 
+            if scale is not None:
+                # fold the non-default scale into q (the kernel applies d^-0.5)
+                q = q * jnp.asarray(scale * d**0.5, q.dtype)
             return flash_attention(q, k, v, bias=bias)
         except ImportError:  # kernel not available on this platform/build
             pass
 
-    scale = d**-0.5
+    if scale is None:
+        scale = d**-0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
     if bias is not None:
         logits = logits + bias
@@ -87,18 +94,28 @@ def make_attention_bias(
     q_len: int,
     k_len: int,
     dtype=jnp.float32,
+    window: Optional[int] = None,
 ) -> Optional[jax.Array]:
-    """Build the additive bias combining padding and causality.
+    """Build the additive bias combining padding, causality, and an optional
+    sliding window.
 
     attention_mask: [B, Tk] with 1 = attend (the collator contract,
     reference imagenet_dataset.py:151-152); None = all attendable.
+    window: sliding-window size W — query q may attend keys k with
+    q - W < k <= q (HF Gemma-3 convention: distance strictly below W).
     """
     bias = None
     if attention_mask is not None:
         pad = (1.0 - attention_mask.astype(dtype)) * _NEG_INF
         bias = pad[:, None, None, :]  # [B, 1, 1, Tk]
-    if causal:
-        causal_mask = jnp.tril(jnp.ones((q_len, k_len), dtype=bool), k_len - q_len)
-        causal_bias = jnp.where(causal_mask, 0.0, _NEG_INF).astype(dtype)[None, None]
-        bias = causal_bias if bias is None else bias + causal_bias
+    if causal or window is not None:
+        qi = jnp.arange(q_len)[:, None] + (k_len - q_len)
+        ki = jnp.arange(k_len)[None, :]
+        ok = jnp.ones((q_len, k_len), dtype=bool)
+        if causal:
+            ok &= ki <= qi
+        if window is not None:
+            ok &= qi - ki < window
+        mask_bias = jnp.where(ok, 0.0, _NEG_INF).astype(dtype)[None, None]
+        bias = mask_bias if bias is None else bias + mask_bias
     return bias

@@ -1,0 +1,125 @@
+"""Forward parity of the flax Gemma-3 LM vs HF transformers' Gemma3TextModel.
+
+A randomly initialized HF Gemma-3 text model (the reference's LM class,
+src/multimodal/mllm.py:42-45) is exported to a torch state dict, imported
+through checkpoint/torch_interop, and must reproduce HF's hidden states to
+<=2e-5 in fp32 — covering q/k RMSNorm, sandwich block norms, the 5:1
+sliding/global layer pattern with dual rope bases, and the
+query_pre_attn_scalar logit scale.  Same pattern as the HF-ViT parity test
+(tests/test_torch_interop.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from multimodal_concept_learning_tpu.checkpoint.torch_interop import (
+    lm_params_from_torch,
+    lm_params_to_torch,
+)
+from multimodal_concept_learning_tpu.models.lm import CausalLM, LMConfig
+
+VOCAB = 256
+
+
+def _configs(scan: bool):
+    hf_cfg = transformers.Gemma3TextConfig(
+        vocab_size=VOCAB,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=7,  # layer 5 is the one full-attention layer
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        sliding_window=8,
+        rope_theta=1_000_000.0,
+        rope_local_base_freq=10_000.0,
+        query_pre_attn_scalar=16,
+        max_position_embeddings=64,
+        attn_implementation="eager",
+    )
+    fl_cfg = LMConfig(
+        vocab_size=VOCAB,
+        hidden_size=64,
+        intermediate_size=128,
+        num_layers=7,
+        num_heads=4,
+        num_kv_heads=2,
+        head_dim=16,
+        rope_theta=1_000_000.0,
+        rope_local_theta=10_000.0,
+        use_qk_norm=True,
+        sandwich_norms=True,
+        sliding_window=8,
+        sliding_window_pattern=6,
+        query_pre_attn_scalar=16.0,
+        scan_layers=scan,
+        dtype=jnp.float32,
+    )
+    return hf_cfg, fl_cfg
+
+
+@pytest.mark.parametrize("scan", [False, True])
+def test_gemma3_forward_parity(scan):
+    from transformers.models.gemma3.modeling_gemma3 import Gemma3TextModel
+
+    hf_cfg, fl_cfg = _configs(scan)
+    torch.manual_seed(0)
+    hf = Gemma3TextModel(hf_cfg).eval().float()
+    # perturb away from HF's tiny default init so the test has signal
+    with torch.no_grad():
+        for p in hf.parameters():
+            p.add_(0.05 * torch.randn_like(p))
+    sd = {f"model.{k}": v.float().numpy() for k, v in hf.state_dict().items()}
+
+    model = CausalLM(fl_cfg)
+    B, T = 2, 24
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, VOCAB, size=(B, T)).astype(np.int32)
+    mask = np.ones((B, T), np.int32)
+    template = model.init(jax.random.key(0), jnp.asarray(ids), jnp.asarray(mask))
+    params = lm_params_from_torch(sd, template)
+
+    # completeness: the export key set must equal HF's state dict exactly —
+    # nothing silently dropped in either direction
+    assert set(lm_params_to_torch(params)) == set(sd)
+
+    h_flax = model.apply(
+        params,
+        jnp.asarray(ids),
+        jnp.asarray(mask),
+        method=lambda m, i, a: m.hidden_states(m.embed(i), a),
+    )
+
+    with torch.no_grad():
+        h_hf = hf(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.ones(B, T, dtype=torch.long),
+        ).last_hidden_state
+
+    np.testing.assert_allclose(
+        np.asarray(h_flax), h_hf.numpy(), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_gemma3_sliding_pattern():
+    _, fl_cfg = _configs(scan=False)
+    assert [fl_cfg.layer_is_sliding(i) for i in range(7)] == [
+        True, True, True, True, True, False, True
+    ]
+
+
+def test_gemma3_1b_preset_architecture():
+    cfg = LMConfig.preset("gemma3-1b", vocab_size=262_144)
+    assert (cfg.hidden_size, cfg.intermediate_size, cfg.num_layers) == (1152, 6912, 26)
+    assert (cfg.num_heads, cfg.num_kv_heads, cfg.head_dim) == (4, 1, 256)
+    assert cfg.use_qk_norm and cfg.sandwich_norms
+    assert cfg.sliding_window == 512 and cfg.sliding_window_pattern == 6
+    assert cfg.rope_theta == 1_000_000.0 and cfg.rope_local_theta == 10_000.0
+    assert cfg.query_pre_attn_scalar == 256.0
+    # 26 layers: every 6th is global
+    assert sum(not cfg.layer_is_sliding(i) for i in range(26)) == 4

@@ -132,3 +132,31 @@ def test_mllm_roundtrip_and_key_names(tmp_path):
     ):
         assert p1 == p2
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, err_msg=str(p1))
+
+
+def test_vocab_remap_reference_checkpoint():
+    """A synthetic 'reference-vocab' checkpoint (different token ids) remaps
+    row-correctly into the framework vocab by token string."""
+    import numpy as np
+
+    from multimodal_concept_learning_tpu.checkpoint import remap_state_dict_vocab
+
+    rng = np.random.default_rng(0)
+    # source: gemma-like vocab where ids differ from ours
+    src_vocab = {"<pad>": 0, "Yes": 7, "No": 3, "red": 11, "<ood 1>": 12, "blue": 5}
+    src_emb = rng.normal(size=(16, 4)).astype(np.float32)
+    sd = {
+        "language_model.model.embed_tokens.weight": src_emb,
+        "projector.weight": rng.normal(size=(4, 4)).astype(np.float32),
+    }
+    dst_vocab = {"<pad>": 0, "No": 1, "Yes": 2, "red": 3, "blue": 4, "<ood 1>": 5, "green": 6}
+    dst_template = np.zeros((8, 4), np.float32)
+
+    out, copied = remap_state_dict_vocab(sd, src_vocab, dst_vocab, dst_template)
+    new_emb = out["language_model.model.embed_tokens.weight"]
+    assert copied == 6
+    np.testing.assert_array_equal(new_emb[2], src_emb[7])   # Yes
+    np.testing.assert_array_equal(new_emb[1], src_emb[3])   # No
+    np.testing.assert_array_equal(new_emb[5], src_emb[12])  # <ood 1>
+    np.testing.assert_array_equal(new_emb[6], 0.0)          # dst-only token keeps template
+    np.testing.assert_array_equal(out["projector.weight"], sd["projector.weight"])
