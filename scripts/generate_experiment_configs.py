@@ -306,7 +306,121 @@ def main():
         },
     )
 
+    generate_imagenet_grid(args)
+
     print("done")
+
+
+def generate_imagenet_grid(args):
+    """Regenerate the ImageNet experiment files around the checked-in data.
+
+    Primary data (WordNet synset selections, the 1000-entry/100-OOD labels
+    mapping) lives as committed files under experiments/ — this reproduces
+    the YAML wrappers (reference experiments/datasets/imagenet/*.yaml,
+    experiments/vision/imagenet/imagenet100_timm_settings.yaml) with
+    repo-relative paths.
+    """
+    imagenet_data = os.path.join(args.root, "datasets", "imagenet")
+    synsets_txt = os.path.join(imagenet_data, "selected_synsets.txt")
+    labels_json = os.path.join(
+        args.root, "multimodal", "imagenet", "imagenet1k_100ood_labels_mapping.json"
+    )
+    if not (os.path.exists(synsets_txt) and os.path.exists(labels_json)):
+        print("imagenet data files missing; skipping imagenet grid")
+        return
+
+    with open(synsets_txt) as f:
+        selected = [line.split()[0] for line in f if line.strip()]
+    with open(labels_json) as f:
+        labels_mapping = json.load(f)
+    all_wnids = sorted(labels_mapping)
+
+    # dataset-mapping configs (reference datasets/imagenet/{imagenet100,
+    # imagenet1k_100ood}.yaml run shapes)
+    common = {
+        "data_dir": os.path.join(args.data_root, "imagenet"),
+        "train_dir": "train",
+        "val_dir": "val",
+        "val_ground_truth_file": "ILSVRC2012_validation_ground_truth.txt",
+        "allow_shortfall": True,
+        "seed": 42,
+    }
+    write_yaml(
+        os.path.join(imagenet_data, "imagenet100.yaml"),
+        {
+            **common,
+            "output_dir": args.data_root,
+            "dataset_name": "imagenet100",
+            "target_synsets": selected,
+            "per_class_train": 2700,
+            "per_class_val": 300,
+            "per_class_test": 100,
+        },
+    )
+    write_yaml(
+        os.path.join(imagenet_data, "imagenet1k_100ood.yaml"),
+        {
+            **common,
+            "output_dir": os.path.join(args.data_root, "imagenet1k"),
+            "dataset_name": "imagenet1k_100ood",
+            "target_synsets": all_wnids,
+            "per_class_train": 200,
+            "per_class_val": 50,
+            "per_class_test": 50,
+        },
+    )
+
+    # vision timm-recipe settings (reference imagenet100_timm_settings.yaml)
+    write_yaml(
+        os.path.join(args.root, "vision", "imagenet", "imagenet100_timm_settings.yaml"),
+        {
+            "model_name": "vit",
+            "hidden_size": 768,
+            "intermediate_size": 3072,
+            "num_hidden_layers": 12,
+            "num_labels": 100,
+            "patch_size": 16,
+            "hidden_dropout_prob": 0.1,
+            "attention_dropout_prob": 0.1,
+            "num_attention_heads": 12,
+            "data_dir": os.path.join(args.data_root, "imagenet"),
+            "dataset_name": "imagenet100",
+            "mapping_path": os.path.join(args.data_root, "imagenet100"),
+            "epochs": 500,
+            "learning_rate": 5.0e-4,
+            "batch_size": 64,
+            "effective_batch_size": 1024,
+            "weight_decay": 1.0e-2,
+            "image_size": 224,
+            "label_smoothing": 0.1,
+            "num_workers": 8,
+            "prefetch_factor": 2,
+            "train_transforms": [
+                {"name": "RandomResizedCrop", "size": 224},
+                "RandomHorizontalFlip",
+                "ColorJitter",
+                "RandomRotation",
+                {"name": "RandAugment", "num_ops": 3, "magnitude": 10},
+                "ToTensor",
+                {"name": "RandomErasing", "p": 0.2},
+                "Normalize",
+            ],
+            "val_transforms": [
+                {"name": "Resize", "size": [224, 224]},
+                "ToTensor",
+                "Normalize",
+            ],
+            "seed": 42,
+            "device": "tpu",
+            "results_dir": os.path.join(
+                args.results_root, "vision", "imagenet", "imagenet100_timm_settings_run"
+            ),
+            "disable_tqdm": True,
+            "disable_wandb": True,
+            "wandb_project": "multimodal-concept-learning",
+            "wandb_run_name": "imagenet100-vit",
+        },
+    )
 
 
 if __name__ == "__main__":

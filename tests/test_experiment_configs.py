@@ -1,0 +1,123 @@
+"""Experiment-grid parity: the ImageNet config files parse and cross-check.
+
+Covers SURVEY C23's ImageNet side: dataset-mapping YAMLs, the 100-class
+selected-synsets list, the 1000-entry/100-OOD labels mapping, and the
+timm-recipe vision + multimodal training YAMLs (reference
+experiments/{datasets,vision,multimodal}/imagenet/*)."""
+
+import json
+import os
+
+import pytest
+import yaml
+
+from multimodal_concept_learning_tpu.configs import (
+    ImageNetDatasetConfig,
+    MultimodalTrainingConfig,
+    VisionTrainingConfig,
+)
+
+ROOT = os.path.join(os.path.dirname(__file__), "..", "experiments")
+
+
+def _load(relpath):
+    with open(os.path.join(ROOT, relpath)) as f:
+        return yaml.safe_load(f)
+
+
+def test_imagenet_dataset_configs_parse():
+    c100 = ImageNetDatasetConfig.from_params(_load("datasets/imagenet/imagenet100.yaml"))
+    assert c100.dataset_name == "imagenet100"
+    assert len(c100.target_synsets) == 100
+    assert (c100.per_class_train, c100.per_class_val, c100.per_class_test) == (2700, 300, 100)
+    assert c100.allow_shortfall
+
+    c1k = ImageNetDatasetConfig.from_params(_load("datasets/imagenet/imagenet1k_100ood.yaml"))
+    assert c1k.dataset_name == "imagenet1k_100ood"
+    assert len(c1k.target_synsets) == 1000
+    assert (c1k.per_class_train, c1k.per_class_val, c1k.per_class_test) == (200, 50, 50)
+
+
+def test_selected_synsets_match_imagenet100_yaml():
+    with open(os.path.join(ROOT, "datasets/imagenet/selected_synsets.txt")) as f:
+        txt_wnids = [line.split()[0] for line in f if line.strip()]
+    assert len(txt_wnids) == 100
+    yaml_wnids = _load("datasets/imagenet/imagenet100.yaml")["target_synsets"]
+    assert set(txt_wnids) == set(yaml_wnids)
+
+
+def test_imagenet1k_labels_mapping():
+    with open(os.path.join(ROOT, "multimodal/imagenet/imagenet1k_100ood_labels_mapping.json")) as f:
+        mapping = json.load(f)
+    assert len(mapping) == 1000
+    ood = [v for v in mapping.values() if v.startswith("<ood")]
+    assert len(ood) == 100
+    # OOD naming convention: <ood_{name}> (create_imagenet1k_configs.py:61)
+    assert all(v.startswith("<ood_") and v.endswith(">") for v in ood)
+    # the mapping covers exactly the 1k dataset config's synsets
+    yaml_wnids = _load("datasets/imagenet/imagenet1k_100ood.yaml")["target_synsets"]
+    assert set(mapping) == set(yaml_wnids)
+
+
+def test_imagenet_training_configs_parse():
+    v = VisionTrainingConfig.from_params(_load("vision/imagenet/imagenet100_timm_settings.yaml"))
+    assert v.dataset_name == "imagenet100" and v.num_labels == 100
+    assert v.label_smoothing == 0.1 and v.effective_batch_size == 1024
+    names = [t if isinstance(t, str) else t["name"] for t in v.train_transforms]
+    assert "RandAugment" in names and "RandomErasing" in names
+
+    m = MultimodalTrainingConfig.from_params(_load("multimodal/imagenet/imagenet1k_timm_vit.yaml"))
+    assert m.num_labels == 1000 and m.num_vision_tokens == 197
+    assert m.trainable_params_setting == "language_embed_only"
+    assert m.lr_scheduler_type == "linear" and m.warmup_steps == 1000
+
+    from multimodal_concept_learning_tpu.train.multimodal_training import resolve_vision_preset
+
+    assert resolve_vision_preset(m.vision_model_name) == "vit-b-16"
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"), reason="reference tree absent")
+def test_reference_imagenet_yamls_parse_unchanged():
+    ref = "/root/reference/experiments"
+    for rel, cls in [
+        ("datasets/imagenet/imagenet100.yaml", ImageNetDatasetConfig),
+        ("datasets/imagenet/imagenet1k_100ood.yaml", ImageNetDatasetConfig),
+        ("vision/imagenet/imagenet100_timm_settings.yaml", VisionTrainingConfig),
+        ("multimodal/imagenet/imagenet1k_timm_vit.yaml", MultimodalTrainingConfig),
+    ]:
+        with open(os.path.join(ref, rel)) as f:
+            cls.from_params(yaml.safe_load(f))
+
+
+def test_generator_reproduces_imagenet_grid(tmp_path):
+    """The generator rebuilds the ImageNet YAML wrappers from the checked-in
+    data files, byte-stable against the committed versions."""
+    import shutil
+    import subprocess
+    import sys
+
+    root = tmp_path / "experiments"
+    (root / "datasets/imagenet").mkdir(parents=True)
+    (root / "multimodal/imagenet").mkdir(parents=True)
+    shutil.copy(
+        os.path.join(ROOT, "datasets/imagenet/selected_synsets.txt"),
+        root / "datasets/imagenet/selected_synsets.txt",
+    )
+    shutil.copy(
+        os.path.join(ROOT, "multimodal/imagenet/imagenet1k_100ood_labels_mapping.json"),
+        root / "multimodal/imagenet/imagenet1k_100ood_labels_mapping.json",
+    )
+    subprocess.run(
+        [sys.executable, "scripts/generate_experiment_configs.py", "--root", str(root)],
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        check=True,
+        capture_output=True,
+    )
+    for rel in (
+        "datasets/imagenet/imagenet100.yaml",
+        "datasets/imagenet/imagenet1k_100ood.yaml",
+        "vision/imagenet/imagenet100_timm_settings.yaml",
+    ):
+        regenerated = yaml.safe_load(open(root / rel))
+        committed = _load(rel)
+        assert regenerated == committed, rel
