@@ -65,3 +65,7 @@ class ContrastiveTrainingConfig(YamlConfig):
     wandb_project: str = "multimodal-concept-learning"
     wandb_run_name: Optional[str] = None
     disable_tqdm: bool = True
+
+    # bf16 parameter storage with fp32 master weights in the optimizer
+    # (framework extension; measured throughput win on v5e)
+    bf16_params: bool = False

@@ -73,3 +73,4 @@ class VisionTrainingConfig(YamlConfig):
     # uint8 host->device pipeline with on-device normalization.
     resume: bool = False
     device_normalize: bool = False
+    bf16_params: bool = False  # bf16 param storage + fp32 master weights

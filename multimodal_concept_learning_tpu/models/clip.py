@@ -133,16 +133,18 @@ class CLIPModel(nn.Module):
             "logit_scale", nn.initializers.constant(jnp.log(1.0 / 0.07)), ()
         )
 
-    def encode_image(self, images) -> jax.Array:
-        feats = self.visual_projection(self.visual(images)[:, 0])
+    def encode_image(self, images, channels_last: bool = False) -> jax.Array:
+        feats = self.visual_projection(
+            self.visual(images, channels_last=channels_last)[:, 0]
+        )
         return _l2_normalize(feats)
 
     def encode_text(self, input_ids, attention_mask=None) -> jax.Array:
         feats = self.text_projection(self.text(input_ids, attention_mask))
         return _l2_normalize(feats)
 
-    def __call__(self, images, input_ids, attention_mask=None):
-        img = self.encode_image(images)
+    def __call__(self, images, input_ids, attention_mask=None, channels_last: bool = False):
+        img = self.encode_image(images, channels_last=channels_last)
         txt = self.encode_text(input_ids, attention_mask)
         scale = jnp.exp(jnp.clip(self.logit_scale, max=jnp.log(100.0)))
         return img, txt, scale

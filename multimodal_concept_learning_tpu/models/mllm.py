@@ -110,11 +110,14 @@ class MLLM(nn.Module):
         deterministic: bool = True,
         dense_loss: bool = False,
         row_valid: Optional[jax.Array] = None,
+        channels_last: bool = False,
     ):
         cfg = self.config
         nvt = cfg.num_vision_tokens
 
-        image_embeds = self.vision_model(images, deterministic=deterministic)
+        image_embeds = self.vision_model(
+            images, deterministic=deterministic, channels_last=channels_last
+        )
         if image_embeds.shape[1] != nvt:
             raise ValueError(
                 f"vision tower produced {image_embeds.shape[1]} tokens, "

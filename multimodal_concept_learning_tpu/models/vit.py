@@ -176,17 +176,40 @@ def patchify(images: jax.Array, patch_size: int) -> jax.Array:
     return x.reshape(b, gh * gw, p * p * c)
 
 
+def patchify_nhwc(images: jax.Array, patch_size: int) -> jax.Array:
+    """[B, H, W, C] (uint8-pipeline native layout) → [B, N, p*p*C].
+
+    Produces the exact feature ordering of ``patchify`` (pixels major,
+    channel minor), so the same patch-embed kernel serves both layouts —
+    but skips the HWC→CHW transpose the NCHW path would force on the
+    host-native images (measured win on the device-normalize pipeline).
+    """
+    b, h, w, c = images.shape
+    p = patch_size
+    gh, gw = h // p, w // p
+    x = images.reshape(b, gh, p, gw, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, gh, gw, p, p, C]
+    return x.reshape(b, gh * gw, p * p * c)
+
+
 class ViTEncoder(nn.Module):
     """Returns last_hidden_state [B, 1+N, H] (parity: ViTModel.last_hidden_state)."""
 
     config: ViTConfig
 
     @nn.compact
-    def __call__(self, images, deterministic: bool = True, interpolate_positions: bool = False):
+    def __call__(
+        self,
+        images,
+        deterministic: bool = True,
+        interpolate_positions: bool = False,
+        channels_last: bool = False,
+    ):
         cfg = self.config
         b = images.shape[0]
 
-        patches = patchify(images.astype(cfg.dtype), cfg.patch_size)
+        cut = patchify_nhwc if channels_last else patchify
+        patches = cut(images.astype(cfg.dtype), cfg.patch_size)
         x = nn.Dense(
             cfg.hidden_size,
             dtype=cfg.dtype,
@@ -221,8 +244,10 @@ class ViTForImageClassification(nn.Module):
     config: ViTConfig
 
     @nn.compact
-    def __call__(self, images, deterministic: bool = True):
-        hidden = ViTEncoder(self.config, name="vit")(images, deterministic=deterministic)
+    def __call__(self, images, deterministic: bool = True, channels_last: bool = False):
+        hidden = ViTEncoder(self.config, name="vit")(
+            images, deterministic=deterministic, channels_last=channels_last
+        )
         logits = nn.Dense(
             self.config.num_labels,
             dtype=jnp.float32,

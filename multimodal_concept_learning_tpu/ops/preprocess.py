@@ -1,10 +1,15 @@
 """Device-side image preprocessing.
 
 The uint8 host→device path: the host ships [B, H, W, 3] uint8 (4x smaller
-than fp32), and the device fuses /255 → -mean → /std → NCHW into the first
-step of the compiled program (XLA folds it into the patch-embed matmul's
-input).  This is the "decode-adjacent normalize fused into the image path"
-from the north star — the decode+resize half lives in native/fastimage.cc.
+than fp32), and the device fuses /255 → -mean → /std into the first step of
+the compiled program (XLA folds it into the patch-embed matmul's input).
+This is the "decode-adjacent normalize fused into the image path" from the
+north star — the decode+resize half lives in native/fastimage.cc.
+
+Layout: the natural output is channels-last ([B, H, W, 3], the decoder's
+layout).  Models consume it directly via their ``channels_last`` path
+(models/vit.patchify_nhwc), skipping the NHWC→NCHW transpose the float
+(collator-contract) path carries.
 """
 
 from __future__ import annotations
@@ -13,15 +18,30 @@ import jax
 import jax.numpy as jnp
 
 
-def device_preprocess(images_u8: jax.Array, mean: jax.Array, std: jax.Array) -> jax.Array:
-    """[B, H, W, 3] uint8 → normalized [B, 3, H, W] float32."""
+def device_preprocess(
+    images_u8: jax.Array, mean: jax.Array, std: jax.Array, channels_last: bool = False
+) -> jax.Array:
+    """[B, H, W, 3] uint8 → normalized float32, NCHW by default (collator
+    contract) or NHWC when ``channels_last``."""
     x = images_u8.astype(jnp.float32) * (1.0 / 255.0)
     x = (x - mean.reshape(1, 1, 1, 3)) / std.reshape(1, 1, 1, 3)
-    return x.transpose(0, 3, 1, 2)
+    return x if channels_last else x.transpose(0, 3, 1, 2)
 
 
-def images_from_batch(batch) -> jax.Array:
-    """Resolve the model-input images from either pipeline contract."""
+def images_from_batch(batch, channels_last: bool = False) -> jax.Array:
+    """Resolve the model-input images from either pipeline contract.
+
+    ``channels_last`` only affects the uint8 path (float batches already
+    carry the collator's NCHW layout); pass the same flag to the model so it
+    patchifies without a layout round-trip.
+    """
     if "images_u8" in batch:
-        return device_preprocess(batch["images_u8"], batch["norm_mean"], batch["norm_std"])
+        return device_preprocess(
+            batch["images_u8"], batch["norm_mean"], batch["norm_std"], channels_last
+        )
     return batch["images"]
+
+
+def batch_channels_last(batch) -> bool:
+    """True when the batch rides the uint8 NHWC fast path."""
+    return "images_u8" in batch

@@ -20,10 +20,54 @@ Reproduces the reference's optimizer semantics functionally:
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import optax
+
+
+class MasterState(NamedTuple):
+    master: object  # fp32 master copy of the (low-precision) params
+    inner: object   # wrapped transformation's state
+
+
+def cast_grads_fp32() -> optax.GradientTransformation:
+    """Upcast incoming gradients to fp32 (so clipping/accumulation/moments
+    never run in bf16)."""
+    import jax.numpy as jnp
+
+    def update(grads, state, params=None):
+        return jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads), state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update)
+
+
+def with_fp32_master(inner: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Run ``inner`` on fp32 master weights while live params stay bf16.
+
+    The standard mixed-precision recipe: compute/storage params are bf16 (half
+    the HBM traffic per step), but optimizer math (moments, weight decay,
+    update) happens against an fp32 master copy held in optimizer state; the
+    emitted update is the bf16 delta ``master.astype(bf16) - param``, so
+    ``optax.apply_updates`` keeps the live tree bf16 and no drift accumulates
+    across steps (measured +5% end-to-end on the CLIP flagship, BASELINE.md).
+    """
+    import jax.numpy as jnp
+
+    def init(params):
+        master = jax.tree_util.tree_map(lambda p: p.astype(jnp.float32), params)
+        return MasterState(master=master, inner=inner.init(master))
+
+    def update(grads, state, params):
+        g32 = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
+        updates, inner_state = inner.update(g32, state.inner, state.master)
+        new_master = optax.apply_updates(state.master, updates)
+        deltas = jax.tree_util.tree_map(
+            lambda m, p: m.astype(p.dtype) - p, new_master, params
+        )
+        return deltas, MasterState(master=new_master, inner=inner_state)
+
+    return optax.GradientTransformation(init, update)
 
 
 def cosine_epoch_schedule(base_lr: float, epochs: int, updates_per_epoch: int) -> Callable:
@@ -66,17 +110,26 @@ def build_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    fp32_master: bool = False,
 ) -> optax.GradientTransformation:
-    """AdamW with clipping/masking/accumulation in reference-equivalent order."""
+    """AdamW with clipping/masking/accumulation in reference-equivalent order.
+
+    ``fp32_master``: for bf16-stored params — AdamW runs on fp32 master
+    weights in optimizer state (see ``with_fp32_master``).
+    """
+    adamw = optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
     core = optax.chain(
         optax.clip_by_global_norm(max_grad_norm) if max_grad_norm else optax.identity(),
-        optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay),
+        with_fp32_master(adamw) if fp32_master else adamw,
     )
     if trainable_mask is not None:
         labels = jax.tree_util.tree_map(lambda m: "train" if m else "freeze", trainable_mask)
         core = optax.multi_transform(
             {"train": core, "freeze": optax.set_to_zero()}, labels
         )
+    if fp32_master:
+        # grads are bf16 when params are; upcast before clipping/accumulation
+        core = optax.chain(cast_grads_fp32(), core)
     if accumulation_steps > 1:
         core = optax.MultiSteps(core, every_k_schedule=accumulation_steps)
     return core

@@ -20,7 +20,7 @@ import optax
 from flax import struct
 
 from multimodal_concept_learning_tpu.ops.losses import cross_entropy_loss
-from multimodal_concept_learning_tpu.ops.preprocess import images_from_batch
+from multimodal_concept_learning_tpu.ops.preprocess import batch_channels_last, images_from_batch
 
 
 class TrainState(struct.PyTreeNode):
@@ -48,13 +48,15 @@ def make_classifier_train_step(
     def step(state: TrainState, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
 
-        images = images_from_batch(batch)
+        nhwc = batch_channels_last(batch)
+        images = images_from_batch(batch, channels_last=nhwc)
 
         def loss_fn(params):
             logits = model.apply(
                 {"params": params},
                 images,
                 deterministic=False,
+                channels_last=nhwc,
                 rngs={"dropout": dropout_rng},
             )
             loss = cross_entropy_loss(logits, batch["labels"], label_smoothing)
@@ -79,7 +81,13 @@ def make_classifier_eval_step(model, label_smoothing: float = 0.0) -> Callable:
     loss/accuracy match un-padded semantics exactly."""
 
     def step(params, batch):
-        logits = model.apply({"params": params}, images_from_batch(batch), deterministic=True)
+        nhwc = batch_channels_last(batch)
+        logits = model.apply(
+            {"params": params},
+            images_from_batch(batch, channels_last=nhwc),
+            deterministic=True,
+            channels_last=nhwc,
+        )
         valid = batch["valid"]
         loss = cross_entropy_loss(logits, batch["labels"], label_smoothing, valid=valid)
         preds = jnp.argmax(logits, axis=-1)
@@ -95,7 +103,8 @@ def make_mllm_train_step(model, tx: optax.GradientTransformation) -> Callable:
     def step(state: TrainState, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
 
-        images = images_from_batch(batch)
+        nhwc = batch_channels_last(batch)
+        images = images_from_batch(batch, channels_last=nhwc)
 
         def loss_fn(params):
             out = model.apply(
@@ -105,6 +114,7 @@ def make_mllm_train_step(model, tx: optax.GradientTransformation) -> Callable:
                 batch["attention_mask"],
                 batch["labels"],
                 deterministic=False,
+                channels_last=nhwc,
                 rngs={"dropout": dropout_rng},
             )
             return out["loss"]
@@ -128,13 +138,15 @@ def make_mllm_eval_step(model) -> Callable:
     """
 
     def step(params, batch):
+        nhwc = batch_channels_last(batch)
         out = model.apply(
             {"params": params},
-            images_from_batch(batch),
+            images_from_batch(batch, channels_last=nhwc),
             batch["input_ids"],
             batch["attention_mask"],
             batch["labels"],
             deterministic=True,
+            channels_last=nhwc,
             row_valid=batch["valid"],
         )
         pred_ids = jnp.argmax(out["logits"], axis=-1)  # [B, A]

@@ -84,6 +84,7 @@ def run_training(model, tokenizer, train_loader, config: ContrastiveTrainingConf
         weight_decay=config.weight_decay,
         max_grad_norm=config.max_grad_norm,
         accumulation_steps=config.effective_batch_size // config.batch_size,
+        fp32_master=config.bf16_params,
     )
 
     sample = next(iter(train_loader))
@@ -93,6 +94,8 @@ def run_training(model, tokenizer, train_loader, config: ContrastiveTrainingConf
         jnp.asarray(sample["input_ids"][:1]),
         jnp.asarray(sample["attention_mask"][:1]),
     )["params"]
+    if config.bf16_params:
+        params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
     state = TrainState.create(params, tx)
     train_step = make_clip_train_step(model, tx)
 

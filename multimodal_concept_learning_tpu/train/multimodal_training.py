@@ -219,7 +219,10 @@ def run_training(
         max_grad_norm=config.max_grad_norm,
         accumulation_steps=accumulation_steps,
         trainable_mask=mask,
+        fp32_master=config.bf16_params,
     )
+    if config.bf16_params:
+        params = jax.tree_util.tree_map(lambda x: x.astype(jax.numpy.bfloat16), params)
     state = TrainState.create(params, tx)
     train_step = make_mllm_train_step(model, tx)
     eval_step = make_mllm_eval_step(model)

@@ -89,6 +89,7 @@ def run_training(model, train_loader, val_loader, config: VisionTrainingConfig, 
         weight_decay=config.weight_decay,
         max_grad_norm=1.0,  # fixed in the reference (vision_training.py:77)
         accumulation_steps=accumulation_steps,
+        fp32_master=config.bf16_params,
     )
 
     sample = next(iter(train_loader))
@@ -98,6 +99,8 @@ def run_training(model, train_loader, val_loader, config: VisionTrainingConfig, 
     else:
         init_images = jax.numpy.asarray(sample["images"][:1])
     params = model.init(rng, init_images)["params"]
+    if config.bf16_params:
+        params = jax.tree_util.tree_map(lambda x: x.astype(jax.numpy.bfloat16), params)
     state = TrainState.create(params, tx)
 
     resume = ResumeManager(config.results_dir, config.resume)

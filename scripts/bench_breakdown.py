@@ -1,0 +1,182 @@
+"""Component-level time breakdown of the CLIP flagship train step.
+
+The axon remote backend exposes no xprof device trace, so the op-level
+breakdown is measured by timing jitted sub-programs (each scanned 10x with a
+carry dependency so XLA cannot hoist the body): full step, image tower
+fwd+bwd, text tower fwd+bwd, bare attention stack, patchify+embed, loss, and
+optimizer update.  Results feed BASELINE.md's perf analysis.
+
+Usage: python scripts/bench_breakdown.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from multimodal_concept_learning_tpu.models import CLIPConfig, CLIPModel
+from multimodal_concept_learning_tpu.models.clip import contrastive_loss
+from multimodal_concept_learning_tpu.ops.attention import multi_head_attention
+
+BATCH, IMAGE_SIZE, CONTEXT, VOCAB = 128, 224, 77, 49408
+INNER, REPEATS = 10, 3
+
+
+def timed(name, fn, *args):
+    """Compile, then time REPEATS scanned calls; fence via scalar fetch."""
+    jfn = jax.jit(fn)
+    out = jfn(*args)
+    float(jnp.asarray(out).ravel()[0])  # warmup + fence
+    t0 = time.time()
+    for _ in range(REPEATS):
+        out = jfn(*args)
+    float(jnp.asarray(out).ravel()[0])
+    dt = (time.time() - t0) / (REPEATS * INNER)
+    print(f"{name:28s} {dt * 1e3:8.2f} ms/step", flush=True)
+    return dt
+
+
+def scan10(body, init_carry):
+    def run(x):
+        def step(c, _):
+            return body(c), None
+
+        c, _ = jax.lax.scan(step, x, None, length=INNER)
+        return jnp.sum(c[0] if isinstance(c, tuple) else c)
+
+    return run
+
+
+def main():
+    config = CLIPConfig.create(vocab_size=VOCAB, vision_preset="vit-b-32",
+                               image_size=IMAGE_SIZE, context_length=CONTEXT)
+    model = CLIPModel(config)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(BATCH, 3, IMAGE_SIZE, IMAGE_SIZE)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, VOCAB, size=(BATCH, CONTEXT)).astype(np.int32))
+    mask = jnp.ones((BATCH, CONTEXT), jnp.int32)
+    params = jax.jit(model.init)(jax.random.key(0), images[:1], ids[:1], mask[:1])["params"]
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4, weight_decay=0.2))
+    opt_state = jax.jit(tx.init)(params)
+
+    # --- full step (matches bench.py math) -------------------------------
+    def full_step(carry):
+        p, o, img = carry
+
+        def loss_fn(p):
+            i, t, s = model.apply({"params": p}, img, ids, mask)
+            return contrastive_loss(i, t, s)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = tx.update(grads, o, p)
+        p = optax.apply_updates(p, updates)
+        return (p, o, img + 1e-30 * loss)
+
+    def run_full(p, o, img):
+        def step(c, _):
+            return full_step(c), None
+
+        (p, o, img), _ = jax.lax.scan(step, (p, o, img), None, length=INNER)
+        return jnp.sum(img[0, 0, 0, :2])
+
+    jfull = jax.jit(run_full)
+    float(jfull(params, opt_state, images))
+    t0 = time.time()
+    for _ in range(REPEATS):
+        out = jfull(params, opt_state, images)
+    float(out)
+    full_ms = (time.time() - t0) / (REPEATS * INNER) * 1e3
+    print(f"{'full train step':28s} {full_ms:8.2f} ms/step", flush=True)
+
+    # --- image tower fwd+bwd ---------------------------------------------
+    def img_fwd_bwd(img):
+        def f(x):
+            feats = model.apply({"params": params}, x, method=CLIPModel.encode_image)
+            return jnp.sum(feats.astype(jnp.float32) ** 2)
+
+        g = jax.grad(f)(img)
+        return img + 1e-30 * g
+
+    timed("image tower fwd+bwd", scan10(img_fwd_bwd, images), images)
+
+    # --- image tower fwd only ---------------------------------------------
+    def img_fwd(img):
+        feats = model.apply({"params": params}, img, method=CLIPModel.encode_image)
+        return img + 1e-30 * jnp.sum(feats.astype(img.dtype))
+
+    timed("image tower fwd", scan10(img_fwd, images), images)
+
+    # --- text tower fwd+bwd (grads wrt params would be realistic; use
+    #     embedding-input trick: differentiate wrt a dummy scale) ----------
+    def txt_fwd_bwd(s):
+        def f(scale):
+            feats = model.apply(
+                {"params": params}, ids, mask, method=lambda m, i, a: m.encode_text(i, a)
+            )
+            return jnp.sum((feats * scale).astype(jnp.float32) ** 2)
+
+        return s + 1e-30 * jax.grad(f)(s)
+
+    timed("text tower fwd(+scale bwd)", scan10(txt_fwd_bwd, jnp.float32(1.0)), jnp.float32(1.0))
+
+    # --- bare ViT attention stack (12 layers of [B, 50, 12, 64]) ----------
+    q0 = jnp.asarray(rng.normal(size=(BATCH, 50, 12, 64)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def attn_stack(q):
+        x = q
+        for _ in range(12):
+            x = multi_head_attention(x, x, x)
+        return x + 1e-30 * q
+
+    timed("12x bare attention (T=50)", scan10(attn_stack, q0), q0)
+
+    # --- patchify + embed --------------------------------------------------
+    from multimodal_concept_learning_tpu.models.vit import patchify
+
+    kernel = params["visual"]["patch_embed"]["kernel"]
+    bias = params["visual"]["patch_embed"]["bias"]
+
+    def patch_embed(img):
+        x = patchify(img.astype(jnp.bfloat16), 32)
+        h = x @ kernel.astype(jnp.bfloat16) + bias.astype(jnp.bfloat16)
+        return img + 1e-30 * jnp.sum(h).astype(img.dtype)
+
+    timed("patchify+embed (NCHW)", scan10(patch_embed, images), images)
+
+    # --- optimizer update only --------------------------------------------
+    grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 1e-6, params)
+
+    def opt_only(carry):
+        p, o = carry
+        updates, o = tx.update(grads, o, p)
+        return (optax.apply_updates(p, updates), o)
+
+    def run_opt(p, o):
+        def step(c, _):
+            return opt_only(c), None
+
+        (p, o), _ = jax.lax.scan(step, (p, o), None, length=INNER)
+        return jnp.sum(p["logit_scale"])
+
+    jopt = jax.jit(run_opt)
+    float(jopt(params, opt_state))
+    t0 = time.time()
+    for _ in range(REPEATS):
+        out = jopt(params, opt_state)
+    float(out)
+    print(f"{'optimizer (clip+adamw) only':28s} {(time.time() - t0) / (REPEATS * INNER) * 1e3:8.2f} ms/step",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Round-2 perf ablations for the CLIP flagship on the real chip.
+
+Variants over the full train step (fwd+bwd+AdamW, batch 128 unless noted):
+  base          fp32 params, float NCHW input (round-1 configuration)
+  master        bf16 params + fp32 master weights in opt state
+  u8nhwc        uint8 NHWC input + on-device normalize + NHWC patchify
+  combo         master + u8nhwc
+  combo256      combo at batch 256 (bf16 params halve HBM pressure)
+
+Usage: python scripts/bench_r2.py [variant ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from multimodal_concept_learning_tpu.models import CLIPConfig, CLIPModel
+from multimodal_concept_learning_tpu.models.clip import contrastive_loss
+from multimodal_concept_learning_tpu.parallel.optimizer import with_fp32_master, cast_grads_fp32
+from multimodal_concept_learning_tpu.parallel.train_step import TrainState
+
+INNER, REPEATS = 10, 3
+IMAGE_SIZE, CONTEXT, VOCAB = 224, 77, 49408
+
+MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
+STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def build(batch: int, bf16_params: bool, u8nhwc: bool):
+    config = CLIPConfig.create(vocab_size=VOCAB, vision_preset="vit-b-32",
+                               image_size=IMAGE_SIZE, context_length=CONTEXT)
+    model = CLIPModel(config)
+    rng = np.random.default_rng(0)
+    input_ids = jnp.asarray(rng.integers(0, VOCAB, size=(batch, CONTEXT)).astype(np.int32))
+    attention_mask = jnp.ones((batch, CONTEXT), jnp.int32)
+
+    if u8nhwc:
+        images = jnp.asarray(rng.integers(0, 256, size=(batch, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.uint8))
+        mean, std = jnp.asarray(MEAN), jnp.asarray(STD)
+    else:
+        images = jnp.asarray(rng.normal(size=(batch, 3, IMAGE_SIZE, IMAGE_SIZE)).astype(np.float32))
+
+    init_img = (jnp.zeros((1, 3, IMAGE_SIZE, IMAGE_SIZE), jnp.float32))
+    params = jax.jit(model.init)(jax.random.key(0), init_img, input_ids[:1], attention_mask[:1])["params"]
+    if bf16_params:
+        params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+        adamw = with_fp32_master(optax.adamw(1e-4, weight_decay=0.2))
+        tx = optax.chain(cast_grads_fp32(), optax.clip_by_global_norm(1.0), adamw)
+    else:
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4, weight_decay=0.2))
+    state = jax.jit(lambda p: TrainState.create(p, tx))(params)
+    batch_d = {"images": images, "input_ids": input_ids, "attention_mask": attention_mask}
+
+    def one_step(state, b):
+        def loss_fn(p):
+            if u8nhwc:
+                x = b["images"].astype(jnp.float32) * (1.0 / 255.0)
+                x = (x - mean.reshape(1, 1, 1, 3)) / std.reshape(1, 1, 1, 3)
+                img, txt, scale = model.apply(
+                    {"params": p}, x, b["input_ids"], b["attention_mask"], channels_last=True)
+            else:
+                img, txt, scale = model.apply(
+                    {"params": p}, b["images"], b["input_ids"], b["attention_mask"])
+            return contrastive_loss(img, txt, scale)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=new_params, opt_state=opt_state), loss
+
+    @jax.jit
+    def scan_steps(state, b):
+        return jax.lax.scan(lambda s, _: one_step(s, b), state, None, length=INNER)
+
+    return state, batch_d, scan_steps
+
+
+VARIANTS = {
+    "base": dict(batch=128, bf16_params=False, u8nhwc=False),
+    "master": dict(batch=128, bf16_params=True, u8nhwc=False),
+    "u8nhwc": dict(batch=128, bf16_params=False, u8nhwc=True),
+    "combo": dict(batch=128, bf16_params=True, u8nhwc=True),
+    "combo256": dict(batch=256, bf16_params=True, u8nhwc=True),
+}
+
+
+def run(name):
+    spec = VARIANTS[name]
+    state, batch_d, scan_steps = build(**spec)
+    t0 = time.time()
+    state, losses = scan_steps(state, batch_d)
+    warm = float(losses[-1])
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(REPEATS):
+        state, losses = scan_steps(state, batch_d)
+    final = float(losses[-1])
+    dt = time.time() - t0
+    ips = spec["batch"] * INNER * REPEATS / dt
+    mfu = ips * 43.5e9 / 197e12
+    print(f"{name:10s} batch={spec['batch']:4d} imgs/s/chip={ips:7.0f} "
+          f"est.MFU={100*mfu:4.1f}% loss={final:.4f} (compile {compile_s:.0f}s, warm loss {warm:.4f})",
+          flush=True)
+    return ips
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(VARIANTS)
+    for n in names:
+        run(n)

@@ -243,3 +243,34 @@ def test_scan_layers_lm_equivalence():
     # and the exported torch dict uses per-layer reference names
     sd2 = mllm_params_to_torch(as_mllm(p_scan))
     assert "language_model.model.layers.1.self_attn.q_proj.weight" in sd2
+
+
+def test_channels_last_path_matches_nchw():
+    """NHWC (uint8-pipeline) and NCHW (collator) layouts produce identical
+    features through patchify and the full encoder."""
+    import numpy as np
+
+    from multimodal_concept_learning_tpu.models.vit import (
+        ViTConfig,
+        ViTForImageClassification,
+        patchify,
+        patchify_nhwc,
+    )
+
+    rng = np.random.default_rng(0)
+    nchw = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    nhwc = np.ascontiguousarray(nchw.transpose(0, 2, 3, 1))
+
+    np.testing.assert_array_equal(
+        np.asarray(patchify(jnp.asarray(nchw), 8)),
+        np.asarray(patchify_nhwc(jnp.asarray(nhwc), 8)),
+    )
+
+    cfg = ViTConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                    num_attention_heads=2, patch_size=8, image_size=32,
+                    num_labels=3, dtype=jnp.float32)
+    model = ViTForImageClassification(cfg)
+    params = model.init(jax.random.key(0), jnp.asarray(nchw))
+    out_nchw = model.apply(params, jnp.asarray(nchw))
+    out_nhwc = model.apply(params, jnp.asarray(nhwc), channels_last=True)
+    np.testing.assert_allclose(np.asarray(out_nchw), np.asarray(out_nhwc), atol=1e-6)

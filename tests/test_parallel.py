@@ -208,3 +208,72 @@ def test_shard_batch_replicates_non_batch_leaves(eight_devices):
     assert not out["x"].sharding.is_fully_replicated
     assert out["c"].sharding.is_fully_replicated
     assert out["s"].sharding.is_fully_replicated
+
+
+def test_fp32_master_matches_fp32_training():
+    """bf16 params + fp32 masters track pure-fp32 AdamW, and accumulate tiny
+    updates that bf16-only storage would round away."""
+    import optax
+
+    from multimodal_concept_learning_tpu.parallel.optimizer import with_fp32_master
+
+    lr = 1e-4
+    p32 = {"w": jnp.ones((8,), jnp.float32)}
+    pbf = {"w": jnp.ones((8,), jnp.bfloat16)}
+
+    tx32 = optax.adamw(lr, weight_decay=0.0)
+    s32 = tx32.init(p32)
+    txm = with_fp32_master(optax.adamw(lr, weight_decay=0.0))
+    sm = txm.init(pbf)
+
+    g = {"w": jnp.full((8,), 1e-3, jnp.float32)}
+    for _ in range(50):
+        u32, s32 = tx32.update(g, s32, p32)
+        p32 = optax.apply_updates(p32, u32)
+        um, sm = txm.update({"w": g["w"].astype(jnp.bfloat16)}, sm, pbf)
+        pbf = optax.apply_updates(pbf, um)
+
+    # master tracks the fp32 run exactly (same math, fp32 state)
+    np.testing.assert_allclose(
+        np.asarray(sm.master["w"]), np.asarray(p32["w"]), rtol=1e-6
+    )
+    # live bf16 params follow to bf16 resolution and actually moved
+    assert float(jnp.abs(pbf["w"].astype(jnp.float32) - p32["w"]).max()) < 2e-2
+    assert float(pbf["w"][0]) != 1.0
+
+
+def test_fp32_master_with_trainable_mask():
+    """bf16 params + fp32 masters compose with multi_transform masking:
+    frozen params stay bit-identical, trainable params move."""
+    cfg = tiny_mllm()
+    model = MLLM(cfg)
+    batch = _batch(cfg, batch=4)
+    init = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.key(0), init["images"], init["input_ids"],
+                        init["attention_mask"], init["labels"])["params"]
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+
+    from multimodal_concept_learning_tpu.models.mllm import trainable_mask
+
+    mask = trainable_mask(params, "language_embed_only")
+    tx = build_optimizer(1e-2, weight_decay=0.0, max_grad_norm=1.0,
+                         trainable_mask=mask, fp32_master=True)
+    state = TrainState.create(params, tx)
+    step = make_mllm_train_step(model, tx)
+    before_frozen = np.asarray(
+        params["vision_model"]["patch_embed"]["kernel"].astype(jnp.float32)
+    )
+    before_embed = np.asarray(
+        params["language_model"]["embed_tokens"]["embedding"].astype(jnp.float32)
+    )
+    state, metrics = step(state, init, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    after_frozen = np.asarray(
+        state.params["vision_model"]["patch_embed"]["kernel"].astype(jnp.float32)
+    )
+    after_embed = np.asarray(
+        state.params["language_model"]["embed_tokens"]["embedding"].astype(jnp.float32)
+    )
+    np.testing.assert_array_equal(before_frozen, after_frozen)
+    assert np.abs(after_embed - before_embed).max() > 0
+    assert state.params["language_model"]["embed_tokens"]["embedding"].dtype == jnp.bfloat16

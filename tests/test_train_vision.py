@@ -90,3 +90,27 @@ def test_vision_training_e2e(dataset_dir, tmp_path, capsys):
     assert "vit.embeddings.cls_token" in sd
     assert "classifier.weight" in sd
     assert sd["classifier.weight"].shape == (4, 64)
+
+
+def test_vision_training_bf16_params(dataset_dir, tmp_path, capsys):
+    """bf16 param storage + fp32 masters: training runs and learns."""
+    import yaml
+
+    from multimodal_concept_learning_tpu.train.vision_training import main
+
+    cfg = {
+        "model_name": "vit", "hidden_size": 32, "intermediate_size": 64,
+        "num_hidden_layers": 1, "num_attention_heads": 2, "patch_size": 16,
+        "image_size": 32, "num_labels": 2, "data_dir": dataset_dir,
+        "dataset_name": "color", "mapping_path": dataset_dir, "epochs": 2,
+        "learning_rate": 1e-3, "batch_size": 4, "effective_batch_size": 4,
+        "weight_decay": 0.0, "num_workers": 1,
+        "results_dir": str(tmp_path / "results_bf16"), "seed": 0,
+        "disable_wandb": True, "train_transforms": ["ToTensor"],
+        "val_transforms": ["ToTensor"], "bf16_params": True,
+    }
+    p = tmp_path / "bf16.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    main(["--config_path", str(p)])
+    out = capsys.readouterr().out
+    assert "Epoch 2/2" in out and "Test Accuracy" in out
