@@ -1,22 +1,32 @@
-"""Benchmark harness: images/sec/chip fwd+bwd on CLIP ViT-B/32 contrastive.
+"""Benchmark harness covering both BASELINE.json metrics.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline",                  ← CLIP flagship
+   "mllm_images_per_sec_per_chip", "concept_token_updates_per_sec",
+   "mllm_vs_baseline"}                                        ← MLLM workload
 
-Workload (BASELINE.json primary metric): CLIP-style ViT-B/32 image tower +
-12-layer/512-wide text tower (context 77, vocab 49408 — OpenAI-CLIP-base
-geometry), symmetric InfoNCE, full training step (fwd + bwd + AdamW update),
-bf16 compute / fp32 params, synthetic device-resident batch.
+Workload 1 (headline): CLIP-style ViT-B/32 image tower + 12-layer/512-wide
+text tower (context 77, vocab 49408 — OpenAI-CLIP-base geometry), symmetric
+InfoNCE, full training step (fwd + bwd + AdamW update), bf16 compute / fp32
+params, synthetic device-resident batch.
 
-Measurement: the step is jit-compiled with donated state and ``inner`` steps
-are fused into one executable via lax.scan so per-dispatch latency (large on
-tunneled dev setups) cannot pollute the number; timing covers ``repeats``
-scanned calls after a warmup call, fenced by block_until_ready.
+Workload 2: the reference's own training shape — MLLM (ViT-B/16 tower +
+Gemma-3-1b-architecture LM, 197 vision tokens + 40 text tokens, 90 OOD
+concept tokens) under ``language_embed_only`` (embedding table + projector
+trainable; frozen towers' backward DCE'd).  concept-token-updates/sec =
+OOD rows receiving an optimizer update per second = ood_rows × steps/sec.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md).  The divisor
-is a documented estimate of the PyTorch reference stack on its actual
-hardware: CLIP ViT-B/32 contrastive fwd+bwd on one RTX 3090 with AMP
-typically lands near 1000 images/sec/GPU (≈14.6 GFLOP/pair at ~20-30% MFU),
-so vs_baseline = value / 1000.0 compares per-chip against per-GPU.
+Measurement: each step is jit-compiled with donated state and ``INNER``
+steps are fused into one executable via lax.scan so per-dispatch latency
+(large on tunneled dev setups) cannot pollute the number; timing covers
+``REPEATS`` scanned calls after a warmup call, fenced by a scalar fetch
+(block_until_ready does not reliably fence on the remote backend).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md).  Divisors are
+documented estimates of the PyTorch reference stack on its actual hardware
+(RTX 3090, AMP): CLIP ViT-B/32 contrastive fwd+bwd ≈ 1000 images/sec/GPU;
+the MLLM shape ≈ 33 images/sec/GPU (≈0.7 TFLOP/img at 30-40% effective MFU
+of 71 bf16 TFLOPs).  Per-chip vs per-GPU.
 """
 
 from __future__ import annotations
@@ -35,11 +45,15 @@ import optax
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from multimodal_concept_learning_tpu.models import CLIPConfig, CLIPModel
+from multimodal_concept_learning_tpu.models import CLIPConfig, CLIPModel, MLLM, MLLMConfig
 from multimodal_concept_learning_tpu.models.clip import contrastive_loss
+from multimodal_concept_learning_tpu.models.mllm import trainable_mask
+from multimodal_concept_learning_tpu.parallel import build_optimizer
 from multimodal_concept_learning_tpu.parallel.train_step import TrainState
+from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer
 
-BASELINE_IMG_PER_SEC_PER_GPU = 1000.0  # documented estimate, see module docstring
+CLIP_BASELINE_IMG_PER_SEC_PER_GPU = 1000.0  # documented estimate, see docstring
+MLLM_BASELINE_IMG_PER_SEC_PER_GPU = 33.0
 
 BATCH = 128
 INNER = 10  # train steps fused per device call
@@ -48,8 +62,13 @@ IMAGE_SIZE = 224
 CONTEXT = 77
 VOCAB = 49408
 
+MLLM_BATCH = 32
+MLLM_TEXT_LEN = 40
+MLLM_OOD = 90
+MLLM_REPEATS = 3
 
-def build():
+
+def build_clip():
     config = CLIPConfig.create(
         vocab_size=VOCAB,
         vision_preset="vit-b-32",
@@ -100,19 +119,15 @@ def build():
     return state, batch, scan_steps
 
 
-def main():
-    n_devices = len(jax.devices())
-    print(f"devices: {jax.devices()}", file=sys.stderr)
-
-    state, batch, scan_steps = build()
+def bench_clip(n_devices: int) -> float:
+    state, batch, scan_steps = build_clip()
 
     # Fencing: on the experimental remote backend block_until_ready does not
-    # reliably wait, so the fence is an actual scalar fetch of the final loss
-    # (device_get forces completion on every backend).
+    # reliably wait, so the fence is an actual scalar fetch of the final loss.
     t0 = time.time()
     state, losses = scan_steps(state, batch)  # compile + warmup
     warm_loss = float(losses[-1])
-    print(f"compile+warmup: {time.time() - t0:.1f}s (loss={warm_loss:.4f})", file=sys.stderr)
+    print(f"[clip] compile+warmup: {time.time() - t0:.1f}s (loss={warm_loss:.4f})", file=sys.stderr)
 
     t0 = time.time()
     for _ in range(REPEATS):
@@ -120,29 +135,112 @@ def main():
     final_loss = float(losses[-1])
     elapsed = time.time() - t0
 
-    total_images = BATCH * INNER * REPEATS
-    img_per_sec = total_images / elapsed
-    img_per_sec_per_chip = img_per_sec / max(1, n_devices)
+    img_per_sec_per_chip = BATCH * INNER * REPEATS / elapsed / max(1, n_devices)
 
     # honesty diagnostics (stderr): achieved MFU on v5e (197 bf16 TFLOP/s peak)
     # ViT-B/32 fwd ~8.7 GFLOP/img + text tower fwd ~5.8 GFLOP/caption, x3 for
     # fwd+bwd ≈ 43.5 GFLOP per image-text pair
-    flop_per_pair = 43.5e9
-    mfu = img_per_sec_per_chip * flop_per_pair / 197e12
+    mfu = img_per_sec_per_chip * 43.5e9 / 197e12
     print(
-        f"steps/s={INNER * REPEATS / elapsed:.2f} imgs/s={img_per_sec:.0f} "
-        f"imgs/s/chip={img_per_sec_per_chip:.0f} est. MFU={100 * mfu:.1f}% "
+        f"[clip] imgs/s/chip={img_per_sec_per_chip:.0f} est. MFU={100 * mfu:.1f}% "
         f"final_loss={final_loss:.4f}",
         file=sys.stderr,
     )
+    return img_per_sec_per_chip
+
+
+def build_mllm():
+    tokenizer = ConceptTokenizer()
+    tokenizer.add_tokens([f"<ood {i}>" for i in range(1, MLLM_OOD + 1)])
+    config = MLLMConfig.create(
+        vocab_size=len(tokenizer), vision_preset="vit-b-16", lm_preset="gemma3-1b",
+        num_vision_tokens=197, image_size=224,
+    )
+    model = MLLM(config)
+
+    rng = np.random.default_rng(0)
+    B, nvt = MLLM_BATCH, 197
+    T = nvt + MLLM_TEXT_LEN
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(B, 3, 224, 224)).astype(np.float32)),
+        "input_ids": jnp.asarray(
+            np.concatenate([np.zeros((B, nvt), np.int32),
+                            rng.integers(4, len(tokenizer) - MLLM_OOD,
+                                         size=(B, MLLM_TEXT_LEN)).astype(np.int32)], axis=1)),
+        "attention_mask": jnp.ones((B, T), jnp.int32),
+        "labels": jnp.full((B, T), -100, jnp.int32).at[:, -2].set(7).at[:, -1].set(8),
+    }
+    params = jax.jit(model.init)(
+        jax.random.key(0), batch["images"], batch["input_ids"], batch["attention_mask"]
+    )["params"]
+    mask = trainable_mask(params, "language_embed_only")
+    tx = build_optimizer(5e-4, weight_decay=1e-4, max_grad_norm=1.0, trainable_mask=mask)
+    state = jax.jit(lambda p: TrainState.create(p, tx))(params)
+
+    def one(s, b):
+        def loss_fn(p):
+            out = model.apply({"params": p}, b["images"], b["input_ids"],
+                              b["attention_mask"], b["labels"])
+            return out["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(s.params)
+        updates, opt_state = tx.update(grads, s.opt_state, s.params)
+        return TrainState(step=s.step + 1, params=optax.apply_updates(s.params, updates),
+                          opt_state=opt_state), loss
+
+    @jax.jit
+    def scan_steps(state, b):
+        return jax.lax.scan(lambda s, _: one(s, b), state, None, length=INNER)
+
+    return state, batch, scan_steps
+
+
+def bench_mllm(n_devices: int):
+    state, batch, scan_steps = build_mllm()
+    t0 = time.time()
+    state, losses = scan_steps(state, batch)
+    print(f"[mllm] compile+warmup: {time.time() - t0:.1f}s (loss={float(losses[-1]):.4f})",
+          file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(MLLM_REPEATS):
+        state, losses = scan_steps(state, batch)
+    final = float(losses[-1])
+    elapsed = time.time() - t0
+
+    steps_per_sec = INNER * MLLM_REPEATS / elapsed
+    img_per_sec_per_chip = MLLM_BATCH * steps_per_sec / max(1, n_devices)
+    concept_updates_per_sec = MLLM_OOD * steps_per_sec
+
+    # fwd FLOPs/img ~ ViT-B/16 35G + LM(26L,1152h,6912i @ 237 tok) 331G;
+    # bwd adds ~LM fwd again (dx chain; frozen-tower dW DCE'd)
+    mfu = img_per_sec_per_chip * 697e9 / 197e12
+    print(
+        f"[mllm] imgs/s/chip={img_per_sec_per_chip:.1f} "
+        f"concept-updates/s={concept_updates_per_sec:.0f} est. MFU={100 * mfu:.1f}% "
+        f"loss={final:.4f}",
+        file=sys.stderr,
+    )
+    return img_per_sec_per_chip, concept_updates_per_sec
+
+
+def main():
+    n_devices = len(jax.devices())
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    clip_ips = bench_clip(n_devices)
+    mllm_ips, concept_ups = bench_mllm(n_devices)
 
     print(
         json.dumps(
             {
                 "metric": "images/sec/chip fwd+bwd (ViT-B/32 contrastive)",
-                "value": round(img_per_sec_per_chip, 2),
+                "value": round(clip_ips, 2),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(img_per_sec_per_chip / BASELINE_IMG_PER_SEC_PER_GPU, 3),
+                "vs_baseline": round(clip_ips / CLIP_BASELINE_IMG_PER_SEC_PER_GPU, 3),
+                "mllm_images_per_sec_per_chip": round(mllm_ips, 2),
+                "concept_token_updates_per_sec": round(concept_ups, 1),
+                "mllm_vs_baseline": round(mllm_ips / MLLM_BASELINE_IMG_PER_SEC_PER_GPU, 3),
             }
         )
     )

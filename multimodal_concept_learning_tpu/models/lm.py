@@ -274,9 +274,14 @@ class CausalLM(nn.Module):
             positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
         rope_global = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
         if cfg.sliding_window is not None:
-            bias_sliding = make_attention_bias(
-                attention_mask, causal=True, q_len=t, k_len=t, window=cfg.sliding_window
-            )
+            # at t <= window the sliding mask degenerates to plain causal —
+            # skip the second [B,1,T,T] bias (every parity workload: T<=237)
+            if t <= cfg.sliding_window:
+                bias_sliding = bias_global
+            else:
+                bias_sliding = make_attention_bias(
+                    attention_mask, causal=True, q_len=t, k_len=t, window=cfg.sliding_window
+                )
             rope_sliding = rope_tables(positions, cfg.head_dim, cfg.rope_local_theta)
         else:
             bias_sliding, rope_sliding = bias_global, rope_global

@@ -42,6 +42,9 @@ class ViTConfig:
     layer_norm_eps: float = 1e-12
     initializer_range: float = 0.02
     dtype: Any = jnp.bfloat16  # computation dtype; params stay fp32
+    # Perf knobs (defaults = HF-ViT-parity numerics):
+    gelu_approximate: bool = False  # tanh GELU (cheaper bwd than exact erf)
+    ln_fp32_stats: bool = True      # LayerNorm statistics dtype
 
     @property
     def num_patches(self) -> int:
@@ -133,8 +136,9 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         cfg = self.config
+        ln_dtype = jnp.float32 if cfg.ln_fp32_stats else cfg.dtype
         ln = lambda name: nn.LayerNorm(  # noqa: E731
-            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name=name
+            epsilon=cfg.layer_norm_eps, dtype=ln_dtype, name=name
         )
         # Pre-LN attention (HF ViT layernorm_before)
         h = ln("layernorm_before")(x).astype(cfg.dtype)
@@ -149,7 +153,7 @@ class ViTBlock(nn.Module):
             kernel_init=nn.initializers.normal(cfg.initializer_range),
             name="intermediate",
         )(h)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=cfg.gelu_approximate)
         h = nn.Dense(
             cfg.hidden_size,
             dtype=cfg.dtype,

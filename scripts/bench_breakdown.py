@@ -3,8 +3,10 @@
 The axon remote backend exposes no xprof device trace, so the op-level
 breakdown is measured by timing jitted sub-programs (each scanned 10x with a
 carry dependency so XLA cannot hoist the body): full step, image tower
-fwd+bwd, text tower fwd+bwd, bare attention stack, patchify+embed, loss, and
-optimizer update.  Results feed BASELINE.md's perf analysis.
+fwd+bwd / fwd, text tower fwd, bare attention stacks, patchify+embed, and
+the optimizer update.  All big arrays are ARGUMENTS (closure constants embed
+into the serialized HLO and trip the remote compiler's 413 limit).
+Results feed BASELINE.md's perf analysis.
 
 Usage: python scripts/bench_breakdown.py
 """
@@ -33,7 +35,6 @@ INNER, REPEATS = 10, 3
 
 
 def timed(name, fn, *args):
-    """Compile, then time REPEATS scanned calls; fence via scalar fetch."""
     jfn = jax.jit(fn)
     out = jfn(*args)
     float(jnp.asarray(out).ravel()[0])  # warmup + fence
@@ -42,19 +43,8 @@ def timed(name, fn, *args):
         out = jfn(*args)
     float(jnp.asarray(out).ravel()[0])
     dt = (time.time() - t0) / (REPEATS * INNER)
-    print(f"{name:28s} {dt * 1e3:8.2f} ms/step", flush=True)
+    print(f"{name:30s} {dt * 1e3:8.2f} ms/step", flush=True)
     return dt
-
-
-def scan10(body, init_carry):
-    def run(x):
-        def step(c, _):
-            return body(c), None
-
-        c, _ = jax.lax.scan(step, x, None, length=INNER)
-        return jnp.sum(c[0] if isinstance(c, tuple) else c)
-
-    return run
 
 
 def main():
@@ -69,113 +59,168 @@ def main():
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4, weight_decay=0.2))
     opt_state = jax.jit(tx.init)(params)
 
-    # --- full step (matches bench.py math) -------------------------------
-    def full_step(carry):
-        p, o, img = carry
-
-        def loss_fn(p):
-            i, t, s = model.apply({"params": p}, img, ids, mask)
-            return contrastive_loss(i, t, s)
-
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        updates, o = tx.update(grads, o, p)
-        p = optax.apply_updates(p, updates)
-        return (p, o, img + 1e-30 * loss)
-
+    # --- full step ----------------------------------------------------------
     def run_full(p, o, img):
-        def step(c, _):
-            return full_step(c), None
+        def one(c, _):
+            p, o, img = c
 
-        (p, o, img), _ = jax.lax.scan(step, (p, o, img), None, length=INNER)
+            def loss_fn(p):
+                i, t, s = model.apply({"params": p}, img, ids, mask)
+                return contrastive_loss(i, t, s)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = tx.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o, img + 1e-30 * loss), None
+
+        (p, o, img), _ = jax.lax.scan(one, (p, o, img), None, length=INNER)
         return jnp.sum(img[0, 0, 0, :2])
 
-    jfull = jax.jit(run_full)
-    float(jfull(params, opt_state, images))
-    t0 = time.time()
-    for _ in range(REPEATS):
-        out = jfull(params, opt_state, images)
-    float(out)
-    full_ms = (time.time() - t0) / (REPEATS * INNER) * 1e3
-    print(f"{'full train step':28s} {full_ms:8.2f} ms/step", flush=True)
+    timed("full train step", run_full, params, opt_state, images)
 
-    # --- image tower fwd+bwd ---------------------------------------------
-    def img_fwd_bwd(img):
-        def f(x):
-            feats = model.apply({"params": params}, x, method=CLIPModel.encode_image)
-            return jnp.sum(feats.astype(jnp.float32) ** 2)
+    # --- image tower fwd+bwd (grads wrt params) ------------------------------
+    def run_img_fwdbwd(p, img):
+        def one(c, _):
+            p, img = c
 
-        g = jax.grad(f)(img)
-        return img + 1e-30 * g
+            def f(p):
+                feats = model.apply({"params": p}, img,
+                                    method=CLIPModel.encode_image)
+                return jnp.sum(feats.astype(jnp.float32) ** 2)
 
-    timed("image tower fwd+bwd", scan10(img_fwd_bwd, images), images)
+            g = jax.grad(f)(p)
+            p = jax.tree_util.tree_map(lambda a, b: a + 1e-30 * b.astype(a.dtype), p, g)
+            return (p, img), None
 
-    # --- image tower fwd only ---------------------------------------------
-    def img_fwd(img):
-        feats = model.apply({"params": params}, img, method=CLIPModel.encode_image)
-        return img + 1e-30 * jnp.sum(feats.astype(img.dtype))
+        (p, img), _ = jax.lax.scan(one, (p, img), None, length=INNER)
+        return jnp.sum(p["logit_scale"])
 
-    timed("image tower fwd", scan10(img_fwd, images), images)
+    timed("image tower fwd+bwd", run_img_fwdbwd, params, images)
 
-    # --- text tower fwd+bwd (grads wrt params would be realistic; use
-    #     embedding-input trick: differentiate wrt a dummy scale) ----------
-    def txt_fwd_bwd(s):
-        def f(scale):
-            feats = model.apply(
-                {"params": params}, ids, mask, method=lambda m, i, a: m.encode_text(i, a)
-            )
-            return jnp.sum((feats * scale).astype(jnp.float32) ** 2)
+    # --- image tower fwd only -------------------------------------------------
+    def run_img_fwd(p, img):
+        def one(c, _):
+            feats = model.apply({"params": p}, c, method=CLIPModel.encode_image)
+            return c + 1e-30 * jnp.sum(feats).astype(c.dtype), None
 
-        return s + 1e-30 * jax.grad(f)(s)
+        img, _ = jax.lax.scan(one, img, None, length=INNER)
+        return jnp.sum(img[0, 0, 0, :2])
 
-    timed("text tower fwd(+scale bwd)", scan10(txt_fwd_bwd, jnp.float32(1.0)), jnp.float32(1.0))
+    timed("image tower fwd", run_img_fwd, params, images)
 
-    # --- bare ViT attention stack (12 layers of [B, 50, 12, 64]) ----------
+    # --- text tower fwd+bwd -----------------------------------------------------
+    def run_txt_fwdbwd(p, carry):
+        def one(c, _):
+            def f(p):
+                feats = model.apply(
+                    {"params": p}, ids, mask,
+                    method=lambda m, i, a: m.encode_text(i, a))
+                return jnp.sum((feats * c).astype(jnp.float32) ** 2)
+
+            g = jax.grad(f)(p)
+            leaf = g["text_projection"]["kernel"]
+            return c + 1e-30 * jnp.sum(leaf).astype(c.dtype), None
+
+        c, _ = jax.lax.scan(one, carry, None, length=INNER)
+        return c
+
+    timed("text tower fwd+bwd", run_txt_fwdbwd, params, jnp.float32(1.0))
+
+    # --- bare ViT attention stack (12 x [B, 50, 12, 64]) ----------------------
     q0 = jnp.asarray(rng.normal(size=(BATCH, 50, 12, 64)).astype(np.float32)).astype(jnp.bfloat16)
 
-    def attn_stack(q):
-        x = q
-        for _ in range(12):
-            x = multi_head_attention(x, x, x)
-        return x + 1e-30 * q
+    def run_attn(q):
+        def one(c, _):
+            x = c
+            for _ in range(12):
+                x = multi_head_attention(x, x, x)
+            return x + 1e-30 * c, None
 
-    timed("12x bare attention (T=50)", scan10(attn_stack, q0), q0)
+        q, _ = jax.lax.scan(one, q, None, length=INNER)
+        return jnp.sum(q[0, 0, 0, :2].astype(jnp.float32))
 
-    # --- patchify + embed --------------------------------------------------
+    timed("12x bare attention (T=50)", run_attn, q0)
+
+    # --- 12x (attention + its 4 projections), isolating the attn sublayer ----
+    wq = jnp.asarray(rng.normal(size=(768, 12, 64)).astype(np.float32)).astype(jnp.bfloat16) * 0.02
+    wo = jnp.asarray(rng.normal(size=(12, 64, 768)).astype(np.float32)).astype(jnp.bfloat16) * 0.02
+    h0 = jnp.asarray(rng.normal(size=(BATCH, 50, 768)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def run_attn_proj(wq, wo, h):
+        def one(c, _):
+            x = c
+            for _ in range(12):
+                q = jnp.einsum("bth,hnd->btnd", x, wq)
+                k = jnp.einsum("bth,hnd->btnd", x, wq)
+                v = jnp.einsum("bth,hnd->btnd", x, wq)
+                a = multi_head_attention(q, k, v)
+                x = x + jnp.einsum("btnd,ndh->bth", a, wo)
+            return x, None
+
+        h, _ = jax.lax.scan(one, h, None, length=INNER)
+        return jnp.sum(h[0, 0, :2].astype(jnp.float32))
+
+    timed("12x attn sublayer (qkv+o)", run_attn_proj, wq, wo, h0)
+
+    # --- 12x MLP sublayer ------------------------------------------------------
+    w1 = jnp.asarray(rng.normal(size=(768, 3072)).astype(np.float32)).astype(jnp.bfloat16) * 0.02
+    w2 = jnp.asarray(rng.normal(size=(3072, 768)).astype(np.float32)).astype(jnp.bfloat16) * 0.02
+
+    def run_mlp(w1, w2, h):
+        def one(c, _):
+            x = c
+            for _ in range(12):
+                x = x + jax.nn.gelu(x @ w1, approximate=False) @ w2
+            return x, None
+
+        h, _ = jax.lax.scan(one, h, None, length=INNER)
+        return jnp.sum(h[0, 0, :2].astype(jnp.float32))
+
+    timed("12x MLP sublayer", run_mlp, w1, w2, h0)
+
+    # --- 26x LayerNorm (fp32 stats) --------------------------------------------
+    def run_ln(h):
+        def one(c, _):
+            x = c
+            for _ in range(26):
+                m = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
+                v = jnp.var(x.astype(jnp.float32), axis=-1, keepdims=True)
+                x = ((x.astype(jnp.float32) - m) * jax.lax.rsqrt(v + 1e-5)).astype(x.dtype)
+            return x, None
+
+        h, _ = jax.lax.scan(one, h, None, length=INNER)
+        return jnp.sum(h[0, 0, :2].astype(jnp.float32))
+
+    timed("26x LayerNorm [128,50,768]", run_ln, h0)
+
+    # --- patchify + embed ------------------------------------------------------
     from multimodal_concept_learning_tpu.models.vit import patchify
 
     kernel = params["visual"]["patch_embed"]["kernel"]
     bias = params["visual"]["patch_embed"]["bias"]
 
-    def patch_embed(img):
-        x = patchify(img.astype(jnp.bfloat16), 32)
-        h = x @ kernel.astype(jnp.bfloat16) + bias.astype(jnp.bfloat16)
-        return img + 1e-30 * jnp.sum(h).astype(img.dtype)
+    def run_patch(img, k, b):
+        def one(c, _):
+            x = patchify(c.astype(jnp.bfloat16), 32)
+            h = x @ k.astype(jnp.bfloat16) + b.astype(jnp.bfloat16)
+            return c + 1e-30 * jnp.sum(h).astype(c.dtype), None
 
-    timed("patchify+embed (NCHW)", scan10(patch_embed, images), images)
+        img, _ = jax.lax.scan(one, img, None, length=INNER)
+        return jnp.sum(img[0, 0, 0, :2])
 
-    # --- optimizer update only --------------------------------------------
-    grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 1e-6, params)
+    timed("patchify+embed (NCHW)", run_patch, images, kernel, bias)
 
-    def opt_only(carry):
-        p, o = carry
-        updates, o = tx.update(grads, o, p)
-        return (optax.apply_updates(p, updates), o)
+    # --- optimizer update only ---------------------------------------------------
+    def run_opt(p, o, g):
+        def one(c, _):
+            p, o = c
+            updates, o = tx.update(g, o, p)
+            return (optax.apply_updates(p, updates), o), None
 
-    def run_opt(p, o):
-        def step(c, _):
-            return opt_only(c), None
-
-        (p, o), _ = jax.lax.scan(step, (p, o), None, length=INNER)
+        (p, o), _ = jax.lax.scan(one, (p, o), None, length=INNER)
         return jnp.sum(p["logit_scale"])
 
-    jopt = jax.jit(run_opt)
-    float(jopt(params, opt_state))
-    t0 = time.time()
-    for _ in range(REPEATS):
-        out = jopt(params, opt_state)
-    float(out)
-    print(f"{'optimizer (clip+adamw) only':28s} {(time.time() - t0) / (REPEATS * INNER) * 1e3:8.2f} ms/step",
-          flush=True)
+    grads = jax.tree_util.tree_map(lambda x: jnp.full_like(x, 1e-6), params)
+    timed("optimizer (clip+adamw) only", run_opt, params, opt_state, grads)
 
 
 if __name__ == "__main__":

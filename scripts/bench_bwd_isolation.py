@@ -1,0 +1,87 @@
+"""Backward-pass efficiency per sublayer (CLIP flagship shapes)."""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from multimodal_concept_learning_tpu.ops.attention import multi_head_attention
+
+INNER, REPEATS = 10, 3
+PEAK = 197e12
+
+
+def timed(name, fn, flops, *args):
+    jfn = jax.jit(fn)
+    out = jfn(*args)
+    float(jnp.asarray(out).ravel()[0])
+    t0 = time.time()
+    for _ in range(REPEATS):
+        out = jfn(*args)
+    float(jnp.asarray(out).ravel()[0])
+    dt = (time.time() - t0) / (REPEATS * INNER)
+    print(f"{name:36s} {dt * 1e3:8.2f} ms  eff-MFU={100 * flops / dt / PEAK:5.1f}%", flush=True)
+
+
+rng = np.random.default_rng(0)
+h0 = jnp.asarray(rng.normal(size=(128, 50, 768)).astype(np.float32)).astype(jnp.bfloat16)
+w1 = jnp.asarray(rng.normal(size=(768, 3072)).astype(np.float32)).astype(jnp.bfloat16) * 0.02
+w2 = jnp.asarray(rng.normal(size=(3072, 768)).astype(np.float32)).astype(jnp.bfloat16) * 0.02
+wq = jnp.asarray(rng.normal(size=(768, 12, 64)).astype(np.float32)).astype(jnp.bfloat16) * 0.02
+wo = jnp.asarray(rng.normal(size=(12, 64, 768)).astype(np.float32)).astype(jnp.bfloat16) * 0.02
+
+MLP_F = 12 * 2 * (128 * 50 * 768 * 3072 * 2)          # fwd flops of 12 MLP sublayers
+ATT_F = 12 * (4 * 128 * 50 * 768 * 768 * 2 + 4 * 128 * 12 * 50 * 50 * 64 * 2)
+
+
+def mlp_stack(h, w1, w2):
+    x = h
+    for _ in range(12):
+        x = x + jax.nn.gelu(x @ w1, approximate=True) @ w2
+    return x
+
+
+def attn_stack(h, wq, wo):
+    x = h
+    for _ in range(12):
+        q = jnp.einsum("bth,hnd->btnd", x, wq)
+        k = jnp.einsum("bth,hnd->btnd", x, wq)
+        v = jnp.einsum("bth,hnd->btnd", x, wq)
+        a = multi_head_attention(q, k, v)
+        x = x + jnp.einsum("btnd,ndh->bth", a, wo)
+    return x
+
+
+def fwdbwd(stack, n_w):
+    def run(h, *ws):
+        def one(c, _):
+            h, ws = c[0], c[1:]
+
+            def f(args):
+                return jnp.sum(stack(args[0], *args[1:]).astype(jnp.float32) ** 2)
+
+            g = jax.grad(f)((h,) + ws)
+            h = h + 1e-30 * g[0]
+            ws = tuple(w + 1e-30 * gw for w, gw in zip(ws, g[1:]))
+            return (h,) + ws, None
+
+        c, _ = jax.lax.scan(one, (h,) + ws, None, length=INNER)
+        return jnp.sum(c[0][0, 0, :2].astype(jnp.float32))
+
+    return run
+
+
+timed("12x MLP fwd", lambda h, a, b: jnp.sum(
+    jax.lax.scan(lambda c, _: (c + 1e-30 * jnp.sum(mlp_stack(c, a, b)).astype(c.dtype), None),
+                 h, None, length=INNER)[0][0, 0, :2].astype(jnp.float32)), MLP_F, h0, w1, w2)
+timed("12x MLP fwd+bwd", fwdbwd(mlp_stack, 2), 3 * MLP_F, h0, w1, w2)
+timed("12x attn fwd", lambda h, a, b: jnp.sum(
+    jax.lax.scan(lambda c, _: (c + 1e-30 * jnp.sum(attn_stack(c, a, b)).astype(c.dtype), None),
+                 h, None, length=INNER)[0][0, 0, :2].astype(jnp.float32)), ATT_F, h0, wq, wo)
+timed("12x attn fwd+bwd", fwdbwd(attn_stack, 2), 3 * ATT_F, h0, wq, wo)

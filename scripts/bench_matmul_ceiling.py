@@ -1,0 +1,117 @@
+"""Raw-matmul MFU at the CLIP flagship's exact shapes + fwd/bwd isolation.
+
+All arrays are arguments (never closure constants); every scan body is
+carry-dependent so XLA cannot hoist it.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from multimodal_concept_learning_tpu.models import CLIPConfig, CLIPModel
+from multimodal_concept_learning_tpu.models.clip import contrastive_loss
+
+INNER, REPEATS = 10, 3
+PEAK = 197e12
+
+
+def timed(name, fn, flops, *args):
+    jfn = jax.jit(fn)
+    out = jfn(*args)
+    float(jnp.asarray(out).ravel()[0])
+    t0 = time.time()
+    for _ in range(REPEATS):
+        out = jfn(*args)
+    float(jnp.asarray(out).ravel()[0])
+    dt = (time.time() - t0) / (REPEATS * INNER)
+    mfu = flops / dt / PEAK if flops else 0.0
+    print(f"{name:34s} {dt * 1e3:8.2f} ms  MFU={100 * mfu:5.1f}%", flush=True)
+    return dt
+
+
+def mm(m, k, n, reps, dtype=jnp.bfloat16):
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32)).astype(dtype)
+    w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32)).astype(dtype) * 0.02
+
+    def run(a, w):
+        def one(c, _):
+            x = c
+            for _ in range(reps):
+                y = x @ w
+                # fold back to [m, k] so the chain continues (cheap slice)
+                x = x + 1e-30 * jnp.sum(y).astype(x.dtype)
+            return x, None
+
+        a, _ = jax.lax.scan(one, a, None, length=INNER)
+        return jnp.sum(a[0, :2].astype(jnp.float32))
+
+    flops = 2 * m * k * n * reps
+    timed(f"[{m},{k}]x[{k},{n}] x{reps}", run, flops, a, w)
+
+
+def main():
+    # raw matmul ceilings at the flagship's shapes
+    mm(6400, 768, 768, 12)     # qkv/o projections (per-proj shape)
+    mm(6400, 768, 3072, 12)    # MLP up
+    mm(6400, 3072, 768, 12)    # MLP down
+    mm(9856, 768, 768, 12)     # text tower equivalent M=128*77
+    mm(6400, 768, 2304, 12)    # fused qkv width
+
+    # fwd+bwd isolation for the full CLIP step (no optimizer)
+    config = CLIPConfig.create(vocab_size=49408, vision_preset="vit-b-32",
+                               image_size=224, context_length=77)
+    model = CLIPModel(config)
+    rng = np.random.default_rng(0)
+    B = 128
+    images = jnp.asarray(rng.normal(size=(B, 3, 224, 224)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 49408, size=(B, 77)).astype(np.int32))
+    mask = jnp.ones((B, 77), jnp.int32)
+    params = jax.jit(model.init)(jax.random.key(0), images[:1], ids[:1], mask[:1])["params"]
+
+    def run_fwdbwd(p, img):
+        def one(c, _):
+            p, img = c
+
+            def loss_fn(p):
+                i, t, s = model.apply({"params": p}, img, ids, mask)
+                return contrastive_loss(i, t, s)
+
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            # keep ALL grads live by feeding them back into the params
+            p = jax.tree_util.tree_map(lambda a, b: a + 1e-30 * b.astype(a.dtype), p, g)
+            return (p, img), None
+
+        (p, img), _ = jax.lax.scan(one, (p, img), None, length=INNER)
+        return jnp.sum(p["visual"]["patch_embed"]["bias"][:2])
+
+    timed("CLIP fwd+bwd (no optimizer)", run_fwdbwd, 43.5e9 * B * 0, params, images)
+
+    def run_fwd(p, img):
+        def one(c, _):
+            img = c
+            i, t, s = model.apply({"params": p}, img, ids, mask)
+            loss = contrastive_loss(i, t, s)
+            return img + 1e-30 * loss, None
+
+        img, _ = jax.lax.scan(one, img, None, length=INNER)
+        return jnp.sum(img[0, 0, 0, :2])
+
+    # NOTE: p loop-invariant here, but img carries the loss so the whole fwd
+    # is live each iteration (loss depends on img which changes)
+    timed("CLIP fwd only (loss)", run_fwd, 0, params, images)
+
+
+if __name__ == "__main__":
+    main()

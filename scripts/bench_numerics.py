@@ -1,0 +1,75 @@
+"""End-to-end CLIP step with relaxed-numerics variants (perf knobs).
+
+base        : erf GELU + fp32 LN stats (HF parity numerics)
+gelu_tanh   : tanh GELU in the ViT MLP
+ln_bf16     : LayerNorm statistics in bf16
+both        : both knobs
+"""
+import dataclasses
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from multimodal_concept_learning_tpu.models import CLIPConfig, CLIPModel
+from multimodal_concept_learning_tpu.models.clip import contrastive_loss
+from multimodal_concept_learning_tpu.parallel.train_step import TrainState
+
+BATCH, INNER, REPEATS = 128, 10, 3
+
+
+def run(name, gelu_tanh, ln_bf16):
+    config = CLIPConfig.create(vocab_size=49408, vision_preset="vit-b-32",
+                               image_size=224, context_length=77)
+    config = dataclasses.replace(
+        config,
+        vision=dataclasses.replace(
+            config.vision, gelu_approximate=gelu_tanh, ln_fp32_stats=not ln_bf16
+        ),
+    )
+    model = CLIPModel(config)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(BATCH, 3, 224, 224)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 49408, size=(BATCH, 77)).astype(np.int32))
+    mask = jnp.ones((BATCH, 77), jnp.int32)
+    params = jax.jit(model.init)(jax.random.key(0), images[:1], ids[:1], mask[:1])["params"]
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4, weight_decay=0.2))
+    state = jax.jit(lambda p: TrainState.create(p, tx))(params)
+    batch = {"images": images, "input_ids": ids, "attention_mask": mask}
+
+    def one(s, b):
+        def loss_fn(p):
+            i, t, sc = model.apply({"params": p}, b["images"], b["input_ids"], b["attention_mask"])
+            return contrastive_loss(i, t, sc)
+        loss, grads = jax.value_and_grad(loss_fn)(s.params)
+        updates, opt_state = tx.update(grads, s.opt_state, s.params)
+        return TrainState(step=s.step + 1, params=optax.apply_updates(s.params, updates),
+                          opt_state=opt_state), loss
+
+    @jax.jit
+    def scan_steps(s, b):
+        return jax.lax.scan(lambda c, _: one(c, b), s, None, length=INNER)
+
+    state, losses = scan_steps(state, batch)
+    float(losses[-1])
+    t0 = time.time()
+    for _ in range(REPEATS):
+        state, losses = scan_steps(state, batch)
+    final = float(losses[-1])
+    ips = BATCH * INNER * REPEATS / (time.time() - t0)
+    print(f"{name:12s} imgs/s/chip={ips:7.0f} est.MFU={100*ips*43.5e9/197e12:4.1f}% loss={final:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    run("base", False, False)
+    run("gelu_tanh", True, False)
+    run("ln_bf16", False, True)
+    run("both", True, True)
