@@ -48,7 +48,13 @@ class CLIPConfig:
         context_length: int = 77,
         embed_dim: int = 512,
     ) -> "CLIPConfig":
-        vision = dataclasses.replace(ViTConfig.preset(vision_preset), image_size=image_size)
+        # tanh GELU in the image tower: the CLIP family is a framework
+        # addition with no HF-ViT parity constraint (OpenAI CLIP itself uses
+        # QuickGELU, not erf), and the erf backward costs 2.3% end-to-end on
+        # v5e (BASELINE.md round-2 ablations).
+        vision = dataclasses.replace(
+            ViTConfig.preset(vision_preset), image_size=image_size, gelu_approximate=True
+        )
         return cls(
             vision=vision,
             vocab_size=vocab_size,

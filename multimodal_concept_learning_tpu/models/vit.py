@@ -45,6 +45,10 @@ class ViTConfig:
     # Perf knobs (defaults = HF-ViT-parity numerics):
     gelu_approximate: bool = False  # tanh GELU (cheaper bwd than exact erf)
     ln_fp32_stats: bool = True      # LayerNorm statistics dtype
+    # Fused Pallas attention sublayer (LN+QKV+attention+O+residual in one
+    # kernel, ops/fused_attention_block.py).  Identical math and param tree;
+    # engaged only on TPU for deterministic dropout-free configs.
+    fused_attention: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -130,6 +134,63 @@ class ViTSelfAttention(nn.Module):
         )(out)
 
 
+class _ParamHolder(nn.Module):
+    """Declares kernel/bias params with the exact names and shapes that the
+    unfused nn.Dense/DenseGeneral path would create, so the fused-kernel path
+    shares the same checkpoint tree."""
+
+    kernel_shape: tuple
+    bias_shape: tuple
+    kernel_init: Any
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, self.kernel_shape)
+        b = self.param("bias", nn.initializers.zeros_init(), self.bias_shape)
+        return k, b
+
+
+class _LNParamHolder(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones_init(), (self.dim,))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.dim,))
+        return s, b
+
+
+class _AttentionParams(nn.Module):
+    """Param container matching ViTSelfAttention's tree (query/key/value/output)."""
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(self):
+        cfg = self.config
+        H, heads = cfg.hidden_size, cfg.num_attention_heads
+        dh = H // heads
+        init = nn.initializers.normal(cfg.initializer_range)
+        kq, bq = _ParamHolder((H, heads, dh), (heads, dh), init, name="query")()
+        kk, bk = _ParamHolder((H, heads, dh), (heads, dh), init, name="key")()
+        kv, bv = _ParamHolder((H, heads, dh), (heads, dh), init, name="value")()
+        ko, bo = _ParamHolder((heads, dh, H), (H,), init, name="output")()
+        return kq, bq, kk, bk, kv, bv, ko, bo
+
+
+def _fused_attention_ok(cfg: ViTConfig, deterministic: bool) -> bool:
+    if not (cfg.fused_attention and deterministic):
+        return False
+    if cfg.hidden_dropout_prob > 0 or cfg.attention_probs_dropout_prob > 0:
+        return False
+    try:
+        import jax
+
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
 class ViTBlock(nn.Module):
     config: ViTConfig
 
@@ -140,11 +201,26 @@ class ViTBlock(nn.Module):
         ln = lambda name: nn.LayerNorm(  # noqa: E731
             epsilon=cfg.layer_norm_eps, dtype=ln_dtype, name=name
         )
-        # Pre-LN attention (HF ViT layernorm_before)
-        h = ln("layernorm_before")(x).astype(cfg.dtype)
-        h = ViTSelfAttention(cfg, name="attention")(h, deterministic=deterministic)
-        h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
-        x = x + h
+        if _fused_attention_ok(cfg, deterministic):
+            from multimodal_concept_learning_tpu.ops.fused_attention_block import (
+                attention_sublayer,
+                pack_qkv,
+            )
+
+            ln_s, ln_b = _LNParamHolder(cfg.hidden_size, name="layernorm_before")()
+            kq, bq, kk, bk, kv, bv, ko, bo = _AttentionParams(cfg, name="attention")()
+            wqkv, bqkv = pack_qkv(kq, bq, kk, bk, kv, bv)
+            wo = ko.reshape(-1, cfg.hidden_size)
+            x = attention_sublayer(
+                x.astype(cfg.dtype), ln_s, ln_b, wqkv, bqkv, wo, bo,
+                heads=cfg.num_attention_heads, ln_eps=cfg.layer_norm_eps,
+            )
+        else:
+            # Pre-LN attention (HF ViT layernorm_before)
+            h = ln("layernorm_before")(x).astype(cfg.dtype)
+            h = ViTSelfAttention(cfg, name="attention")(h, deterministic=deterministic)
+            h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+            x = x + h
         # Pre-LN MLP (HF ViT layernorm_after)
         h = ln("layernorm_after")(x).astype(cfg.dtype)
         h = nn.Dense(

@@ -1,0 +1,327 @@
+"""Fused pre-LN attention sublayer (Pallas TPU).
+
+One kernel computes the whole ViT/CLIP attention sublayer
+    y = x + (softmax(mask(q k^T / sqrt(dh))) v) @ Wo + bo
+      with (q,k,v) = LayerNorm(x) @ Wqkv + bqkv
+removing the intermediates XLA keeps in HBM on the unfused path (LN output,
+head-split q/k/v with their 64-lane layouts, the fp32 probability tensors and
+the [B,T,H,D]<->[B,H,T,T] transposes around them).  Measured on v5e, the
+unfused sublayer runs at ~48% MFU while the surrounding MLP runs at ~88% —
+this kernel attacks exactly that gap (BASELINE.md round-2 analysis).
+
+Layout: tokens of a whole block of samples are flattened to rows
+[R = bblk * t_pad, width]; attention is computed per head over the full
+[R, R] score matrix with a block-diagonal mask (a sample attends only its own
+real tokens).  The extra padded FLOPs are trivial next to the projection
+matmuls, and every matmul in the kernel is a clean 128-lane shape.
+
+Backward: a custom VJP recomputes LN/qkv with XLA (peak-MFU matmuls), runs a
+single Pallas kernel for the attention-core gradient (recomputes the
+probabilities blockwise, emits dqkv), and leaves the dW matmuls to XLA where
+they already run at speed of light.
+
+Sequence lengths are padded to a multiple of 16 (sublane tile); the pad
+tokens are masked out of the softmax and produce exactly zero gradient, so
+outputs equal the unfused path for any T (tests/test_fused_attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _ln_forward(x, scale, bias, eps=1e-12):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xhat = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return xhat * scale.astype(jnp.float32) + bias.astype(jnp.float32), xhat, var
+
+
+def _block_mask(r: int, t_pad: int, t_real: int):
+    """[R, R] bool: query row attends key col iff same sample & col real."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
+    same_sample = (rows // t_pad) == (cols // t_pad)
+    col_real = (cols % t_pad) < t_real
+    return same_sample & col_real
+
+
+def _attention_all_heads(qkv, heads, dh, t_pad, t_real, compute_dtype):
+    """qkv [R, 3*heads*dh] -> attention output [R, heads*dh] (fp32 softmax)."""
+    r = qkv.shape[0]
+    mask = _block_mask(r, t_pad, t_real)
+    scale = dh ** -0.5
+    outs = []
+    hd = heads * dh
+    for h in range(heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, hd + h * dh:hd + (h + 1) * dh]
+        v = qkv[:, 2 * hd + h * dh:2 * hd + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(mask, s, _NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(
+            jnp.dot(p.astype(compute_dtype), v, preferred_element_type=jnp.float32)
+        )
+    return jnp.concatenate(outs, axis=-1)  # [R, heads*dh] fp32
+
+
+def _fwd_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                out_ref, attn_ref, *, heads, dh, t_pad, t_real, ln_eps):
+    bblk = x_ref.shape[0]
+    width = x_ref.shape[-1]
+    r = bblk * t_pad
+    x = x_ref[:].reshape(r, width)
+    cdt = jnp.bfloat16 if x.dtype != jnp.float32 else jnp.float32
+
+    ln, _, _ = _ln_forward(x, lns_ref[0], lnb_ref[0], ln_eps)
+    qkv = jnp.dot(ln.astype(cdt), wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(cdt)
+
+    attn = _attention_all_heads(qkv, heads, dh, t_pad, t_real, cdt).astype(cdt)
+    y = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+    y = y + bo_ref[0].astype(jnp.float32) + x.astype(jnp.float32)
+
+    out_ref[:] = y.astype(out_ref.dtype).reshape(bblk, t_pad, width)
+    attn_ref[:] = attn.astype(attn_ref.dtype).reshape(bblk, t_pad, heads * dh)
+
+
+def _bwd_attn_kernel(qkv_ref, da_ref, dqkv_ref, *, heads, dh, t_pad, t_real):
+    """Attention-core gradient: d(qkv) given d(attention output)."""
+    bblk = qkv_ref.shape[0]
+    r = bblk * t_pad
+    hd = heads * dh
+    qkv = qkv_ref[:].reshape(r, 3 * hd)
+    da = da_ref[:].reshape(r, hd)
+    cdt = qkv.dtype
+    mask = _block_mask(r, t_pad, t_real)
+    scale = dh ** -0.5
+    parts_q, parts_k, parts_v = [], [], []
+    for h in range(heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, hd + h * dh:hd + (h + 1) * dh]
+        v = qkv[:, 2 * hd + h * dh:2 * hd + (h + 1) * dh]
+        dah = da[:, h * dh:(h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(mask, s, _NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+        dp = jax.lax.dot_general(
+            dah, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [R, R]
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # softmax bwd
+        ds16 = ds.astype(cdt)
+        parts_q.append(
+            (jnp.dot(ds16, k, preferred_element_type=jnp.float32) * scale).astype(cdt)
+        )
+        parts_k.append(
+            (jax.lax.dot_general(
+                ds16, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale).astype(cdt)
+        )
+        parts_v.append(
+            jax.lax.dot_general(
+                p.astype(cdt), dah, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)
+        )
+    dqkv = jnp.concatenate(parts_q + parts_k + parts_v, axis=-1)
+    dqkv_ref[:] = dqkv.reshape(bblk, t_pad, 3 * hd)
+
+
+def _pick_bblk(batch: int, t_pad: int, width: int, budget_mib: int = 9) -> int:
+    """Largest sample block keeping the working set well under VMEM.
+
+    The backward kernel holds more live tensors (qkv + da + three [R, R]
+    recompute buffers + dqkv accumulation) so it uses a smaller budget.
+    """
+    for bblk in (16, 8, 4, 2, 1):
+        if batch % bblk:
+            continue
+        r = bblk * t_pad
+        # rough fp32-equivalent working set (bytes): x, ln, qkv, scores, attn
+        work = r * width * 8 + r * 3 * width * 2 + r * r * 4 + r * width * 4
+        if work < budget_mib * 1024 * 1024:
+            return bblk
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_attention_sublayer(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                             heads: int, t_real: int, ln_eps: float = 1e-12):
+    """x [B, T_pad, width] -> x + attn_out @ wo + bo (see module docstring).
+
+    ``wqkv`` [width, 3*width'], ``bqkv`` [3*width'], ``wo`` [width', width],
+    ``bo`` [width] where width' = heads * head_dim.  T_pad must be a multiple
+    of 16; tokens at positions >= t_real are masked out and get zero grads.
+    """
+    y, _ = _fused_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                           heads, t_real, ln_eps)
+    return y
+
+
+def _fused_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads, t_real, ln_eps):
+    b, t_pad, width = x.shape
+    hd3 = wqkv.shape[1]
+    hd = hd3 // 3
+    dh = hd // heads
+    bblk = _pick_bblk(b, t_pad, width)
+    grid = (b // bblk,)
+    cdt = x.dtype
+
+    kernel = functools.partial(
+        _fwd_kernel, heads=heads, dh=dh, t_pad=t_pad, t_real=t_real, ln_eps=ln_eps
+    )
+    row_spec = pl.BlockSpec((bblk, t_pad, width), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),  # noqa: E731
+                                      memory_space=pltpu.VMEM)
+    y, attn = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec,
+            full((1, width)), full((1, width)),
+            full((width, hd3)), full((1, hd3)),
+            full((hd, width)), full((1, width)),
+        ],
+        out_specs=(
+            row_spec,
+            pl.BlockSpec((bblk, t_pad, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, width), cdt),
+            jax.ShapeDtypeStruct((b, t_pad, hd), cdt),
+        ),
+    )(
+        x,
+        ln_scale.reshape(1, width).astype(cdt), ln_bias.reshape(1, width).astype(cdt),
+        wqkv.astype(cdt), bqkv.reshape(1, hd3).astype(cdt),
+        wo.astype(cdt), bo.reshape(1, width).astype(cdt),
+    )
+    return y, attn
+
+
+def _fused_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads, t_real, ln_eps):
+    y, attn = _fused_fwd_impl(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                              heads, t_real, ln_eps)
+    return y, (x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, attn)
+
+
+def _fused_bwd(heads, t_real, ln_eps, res, dy):
+    x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, attn = res
+    b, t_pad, width = x.shape
+    hd3 = wqkv.shape[1]
+    hd = hd3 // 3
+    dh = hd // heads
+    cdt = x.dtype
+    r = b * t_pad
+
+    # ---- XLA recompute (peak-MFU matmuls / fused elementwise) ------------
+    xf = x.reshape(r, width)
+    ln, xhat, var = _ln_forward(xf, ln_scale, ln_bias, ln_eps)
+    ln16 = ln.astype(cdt)
+    qkv = (jnp.dot(ln16, wqkv.astype(cdt), preferred_element_type=jnp.float32)
+           + bqkv.astype(jnp.float32)).astype(cdt)
+
+    dyf = dy.reshape(r, width)
+    dy16 = dyf.astype(cdt)
+    attn2 = attn.reshape(r, hd)
+    # o-proj grads
+    dwo = jnp.dot(attn2.T, dy16, preferred_element_type=jnp.float32)
+    dbo = jnp.sum(dyf.astype(jnp.float32), axis=0)
+    da = jnp.dot(dy16, wo.astype(cdt).T, preferred_element_type=jnp.float32).astype(cdt)
+
+    # ---- Pallas attention-core gradient -----------------------------------
+    bblk = _pick_bblk(b, t_pad, width, budget_mib=4)
+    kernel = functools.partial(
+        _bwd_attn_kernel, heads=heads, dh=dh, t_pad=t_pad, t_real=t_real
+    )
+    dqkv = pl.pallas_call(
+        kernel,
+        grid=(b // bblk,),
+        in_specs=[
+            pl.BlockSpec((bblk, t_pad, hd3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bblk, t_pad, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bblk, t_pad, hd3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, hd3), cdt),
+    )(qkv.reshape(b, t_pad, hd3), da.reshape(b, t_pad, hd))
+    dqkv = dqkv.reshape(r, hd3)
+
+    # ---- qkv-proj + LN backward (XLA) --------------------------------------
+    dwqkv = jnp.dot(ln16.T, dqkv, preferred_element_type=jnp.float32)
+    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=0)
+    dln = jnp.dot(dqkv, wqkv.astype(cdt).T, preferred_element_type=jnp.float32)
+
+    dls = jnp.sum(dln * xhat, axis=0)
+    dlb = jnp.sum(dln, axis=0)
+    dxhat = dln * ln_scale.astype(jnp.float32)
+    inv_std = jax.lax.rsqrt(var + ln_eps)
+    n = width
+    dx_ln = inv_std * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    # (exact LN bwd: dxhat centered and decorrelated against xhat)
+    del n
+    dx = (dyf.astype(jnp.float32) + dx_ln).astype(x.dtype).reshape(b, t_pad, width)
+
+    return (
+        dx,
+        dls.astype(ln_scale.dtype),
+        dlb.astype(ln_bias.dtype),
+        dwqkv.astype(wqkv.dtype),
+        dbqkv.astype(bqkv.dtype),
+        dwo.astype(wo.dtype),
+        dbo.astype(bo.dtype),
+    )
+
+
+fused_attention_sublayer.defvjp(_fused_fwd, _fused_bwd)
+
+
+def attention_sublayer(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, heads: int,
+                       ln_eps: float = 1e-12):
+    """Pad-T wrapper: x [B, T, width] with any T; returns [B, T, width]."""
+    b, t, width = x.shape
+    t_pad = _round_up(t, 16)
+    if t_pad != t:
+        x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+    y = fused_attention_sublayer(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                                 heads, t, ln_eps)
+    return y[:, :t] if t_pad != t else y
+
+
+def pack_qkv(kq, bq, kk, bk, kv, bv) -> Tuple[jax.Array, jax.Array]:
+    """DenseGeneral param tensors (width, heads, dh)/(heads, dh) -> packed
+    [width, 3*heads*dh] weight + [3*heads*dh] bias."""
+    width = kq.shape[0]
+    wqkv = jnp.concatenate(
+        [kq.reshape(width, -1), kk.reshape(width, -1), kv.reshape(width, -1)], axis=1
+    )
+    bqkv = jnp.concatenate([bq.reshape(-1), bk.reshape(-1), bv.reshape(-1)])
+    return wqkv, bqkv

@@ -1,10 +1,4 @@
-"""End-to-end CLIP step with relaxed-numerics variants (perf knobs).
-
-base        : erf GELU + fp32 LN stats (HF parity numerics)
-gelu_tanh   : tanh GELU in the ViT MLP
-ln_bf16     : LayerNorm statistics in bf16
-both        : both knobs
-"""
+"""On-chip benchmark: fused attention sublayer vs unfused XLA path."""
 import dataclasses
 import sys
 import time
@@ -26,20 +20,19 @@ from multimodal_concept_learning_tpu.parallel.train_step import TrainState
 BATCH, INNER, REPEATS = 128, 10, 3
 
 
-def run(name, gelu_tanh, ln_bf16, batch=BATCH):
+def run_e2e(name, fused, gelu_tanh=False):
     config = CLIPConfig.create(vocab_size=49408, vision_preset="vit-b-32",
                                image_size=224, context_length=77)
     config = dataclasses.replace(
         config,
-        vision=dataclasses.replace(
-            config.vision, gelu_approximate=gelu_tanh, ln_fp32_stats=not ln_bf16
-        ),
+        vision=dataclasses.replace(config.vision, fused_attention=fused,
+                                   gelu_approximate=gelu_tanh),
     )
     model = CLIPModel(config)
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.normal(size=(batch, 3, 224, 224)).astype(np.float32))
-    ids = jnp.asarray(rng.integers(0, 49408, size=(batch, 77)).astype(np.int32))
-    mask = jnp.ones((batch, 77), jnp.int32)
+    images = jnp.asarray(rng.normal(size=(BATCH, 3, 224, 224)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 49408, size=(BATCH, 77)).astype(np.int32))
+    mask = jnp.ones((BATCH, 77), jnp.int32)
     params = jax.jit(model.init)(jax.random.key(0), images[:1], ids[:1], mask[:1])["params"]
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4, weight_decay=0.2))
     state = jax.jit(lambda p: TrainState.create(p, tx))(params)
@@ -58,27 +51,25 @@ def run(name, gelu_tanh, ln_bf16, batch=BATCH):
     def scan_steps(s, b):
         return jax.lax.scan(lambda c, _: one(c, b), s, None, length=INNER)
 
+    t0 = time.time()
     state, losses = scan_steps(state, data)
-    float(losses[-1])
+    warm = float(losses[-1])
+    compile_s = time.time() - t0
     t0 = time.time()
     for _ in range(REPEATS):
         state, losses = scan_steps(state, data)
     final = float(losses[-1])
-    ips = batch * INNER * REPEATS / (time.time() - t0)
-    print(f"{name:12s} imgs/s/chip={ips:7.0f} est.MFU={100*ips*43.5e9/197e12:4.1f}% loss={final:.4f}", flush=True)
+    ips = BATCH * INNER * REPEATS / (time.time() - t0)
+    print(f"{name:22s} imgs/s/chip={ips:7.0f} est.MFU={100*ips*43.5e9/197e12:4.1f}% "
+          f"loss={final:.4f} warm={warm:.4f} (compile {compile_s:.0f}s)", flush=True)
+    return ips
 
 
 if __name__ == "__main__":
-    import sys as _sys
-
-    if len(_sys.argv) > 1 and _sys.argv[1] == "batches":
-        for b in (160, 192, 256):
-            run(f"tanh@{b}", True, False, batch=b)
-    else:
-        run("base", False, False)
-        run("gelu_tanh", True, False)
-        run("ln_bf16", False, True)
-        run("both", True, True)
-
-
-
+    which = sys.argv[1:] or ["unfused", "fused", "fused_tanh"]
+    if "unfused" in which:
+        run_e2e("e2e unfused", False)
+    if "fused" in which:
+        run_e2e("e2e fused-attn", True)
+    if "fused_tanh" in which:
+        run_e2e("e2e fused-attn+tanh", True, gelu_tanh=True)
