@@ -49,6 +49,11 @@ class ViTConfig:
     # kernel, ops/fused_attention_block.py).  Identical math and param tree;
     # engaged only on TPU for deterministic dropout-free configs.
     fused_attention: bool = False
+    # Attention tensor layout: "bthd" = DenseGeneral's token-major layout
+    # (round-1 path); "bhtd" = head-major einsum formulation that keeps
+    # q/k/v in the attention einsums' preferred layout (the profiler showed
+    # ~8 ms/step of [B,T,H,D] relayout copies on the token-major path).
+    attention_layout: str = "bthd"
 
     @property
     def num_patches(self) -> int:
@@ -215,6 +220,30 @@ class ViTBlock(nn.Module):
                 x.astype(cfg.dtype), ln_s, ln_b, wqkv, bqkv, wo, bo,
                 heads=cfg.num_attention_heads, ln_eps=cfg.layer_norm_eps,
             )
+        elif (
+            cfg.attention_layout == "bhtd"
+            and cfg.hidden_dropout_prob == 0
+            and cfg.attention_probs_dropout_prob == 0
+        ):
+            # Head-major formulation: q/k/v produced directly as [B, H, T, D]
+            # by a single einsum each, so the attention contractions never
+            # force a relayout of token-major tensors (same math/params).
+            ln_s, ln_b = _LNParamHolder(cfg.hidden_size, name="layernorm_before")()
+            kq, bq, kk, bk, kv, bv, ko, bo = _AttentionParams(cfg, name="attention")()
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+            h = ((xf - mu) * jax.lax.rsqrt(var + cfg.layer_norm_eps)
+                 * ln_s.astype(jnp.float32) + ln_b.astype(jnp.float32)).astype(cfg.dtype)
+            dh = cfg.hidden_size // cfg.num_attention_heads
+            q = jnp.einsum("bth,hnd->bntd", h, kq.astype(cfg.dtype)) + bq[None, :, None, :].astype(cfg.dtype)
+            k = jnp.einsum("bth,hnd->bntd", h, kk.astype(cfg.dtype)) + bk[None, :, None, :].astype(cfg.dtype)
+            v = jnp.einsum("bth,hnd->bntd", h, kv.astype(cfg.dtype)) + bv[None, :, None, :].astype(cfg.dtype)
+            s = jnp.einsum("bntd,bnsd->bnts", q, k, preferred_element_type=jnp.float32) * dh**-0.5
+            p = jax.nn.softmax(s, axis=-1).astype(cfg.dtype)
+            a = jnp.einsum("bnts,bnsd->bntd", p, v)
+            out = jnp.einsum("bntd,ndh->bth", a, ko.astype(cfg.dtype)) + bo.astype(cfg.dtype)
+            x = x + out
         else:
             # Pre-LN attention (HF ViT layernorm_before)
             h = ln("layernorm_before")(x).astype(cfg.dtype)

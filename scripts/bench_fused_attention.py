@@ -20,13 +20,14 @@ from multimodal_concept_learning_tpu.parallel.train_step import TrainState
 BATCH, INNER, REPEATS = 128, 10, 3
 
 
-def run_e2e(name, fused, gelu_tanh=False):
+def run_e2e(name, fused, gelu_tanh=False, layout="bthd"):
     config = CLIPConfig.create(vocab_size=49408, vision_preset="vit-b-32",
                                image_size=224, context_length=77)
     config = dataclasses.replace(
         config,
         vision=dataclasses.replace(config.vision, fused_attention=fused,
-                                   gelu_approximate=gelu_tanh),
+                                   gelu_approximate=gelu_tanh,
+                                   attention_layout=layout),
     )
     model = CLIPModel(config)
     rng = np.random.default_rng(0)
@@ -73,3 +74,7 @@ if __name__ == "__main__":
         run_e2e("e2e fused-attn", True)
     if "fused_tanh" in which:
         run_e2e("e2e fused-attn+tanh", True, gelu_tanh=True)
+    if "bhtd" in which:
+        run_e2e("e2e bhtd", False, layout="bhtd")
+    if "bhtd_tanh" in which:
+        run_e2e("e2e bhtd+tanh", False, gelu_tanh=True, layout="bhtd")

@@ -137,3 +137,28 @@ def test_pad_tokens_get_zero_gradient(force_fused):
     with pltpu.force_tpu_interpret_mode():
         g = jax.grad(f)(x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("t", [50, 77])
+def test_bhtd_layout_matches_bthd(t):
+    """Head-major attention formulation == DenseGeneral token-major path."""
+    cfg_ref = _cfg(False)
+    cfg_bhtd = dataclasses.replace(_cfg(False), attention_layout="bhtd")
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(3, t, cfg_ref.hidden_size)).astype(np.float32))
+    block_ref, block_b = ViTBlock(cfg_ref), ViTBlock(cfg_bhtd)
+    params = block_ref.init(jax.random.key(0), x)
+    assert jax.tree_util.tree_map(lambda a: a.shape, block_b.init(jax.random.key(0), x)) == \
+        jax.tree_util.tree_map(lambda a: a.shape, params)
+    y_ref = block_ref.apply(params, x)
+    y_b = block_b.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_ref), atol=2e-5, rtol=1e-5)
+
+    cot = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    g_ref = jax.grad(lambda p: jnp.sum(block_ref.apply(p, x) * cot))(params)
+    g_b = jax.grad(lambda p: jnp.sum(block_b.apply(p, x) * cot))(params)
+    for (pr, lr), (pb, lb) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref), jax.tree_util.tree_leaves_with_path(g_b)
+    ):
+        assert pr == pb
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(lr), atol=5e-4, rtol=1e-3, err_msg=str(pr))
