@@ -39,6 +39,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--ood", type=int, default=90)
+    parser.add_argument("--bf16_params", action="store_true")
     args = parser.parse_args()
 
     tokenizer = ConceptTokenizer()
@@ -66,8 +67,11 @@ def main():
     params = jax.jit(model.init)(
         jax.random.key(0), batch["images"], batch["input_ids"], batch["attention_mask"]
     )["params"]
+    if args.bf16_params:
+        params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
     mask = trainable_mask(params, "language_embed_only")
-    tx = build_optimizer(5e-4, weight_decay=1e-4, max_grad_norm=1.0, trainable_mask=mask)
+    tx = build_optimizer(5e-4, weight_decay=1e-4, max_grad_norm=1.0, trainable_mask=mask,
+                         fp32_master=args.bf16_params)
     state = jax.jit(lambda p: TrainState.create(p, tx))(params)
 
     import optax
