@@ -58,6 +58,11 @@ class LMConfig:
     # decisive on remote-compile infrastructures — at identical math.
     # Param layout gains a leading layer axis (handled by checkpoint interop).
     scan_layers: bool = False
+    # Explicit per-layer rematerialization: save only layer-boundary
+    # activations (~[B,T,H] per layer) and recompute block internals in the
+    # backward — replaces XLA's auto-remat heuristics with a deterministic
+    # memory/compute trade (identical math).
+    remat_layers: bool = False
     dtype: Any = jnp.bfloat16
 
     def layer_is_sliding(self, i: int) -> bool:
@@ -246,7 +251,8 @@ class CausalLM(nn.Module):
                 length=cfg.num_layers,
             )(cfg, name="layers_scan")
         else:
-            self.layers = [LMBlock(cfg, name=f"layer_{i}") for i in range(cfg.num_layers)]
+            block_cls = nn.remat(LMBlock, prevent_cse=False) if cfg.remat_layers else LMBlock
+            self.layers = [block_cls(cfg, name=f"layer_{i}") for i in range(cfg.num_layers)]
         self.final_norm = RMSNorm(cfg.rms_norm_eps, name="norm")
         if not cfg.tie_lm_head:
             self.lm_head_dense = nn.Dense(
@@ -295,12 +301,14 @@ class CausalLM(nn.Module):
         else:
             for i, layer in enumerate(self.layers):
                 sliding = cfg.layer_is_sliding(i)
-                x = layer(
-                    x,
-                    bias_sliding if sliding else bias_global,
-                    rope_sliding if sliding else rope_global,
-                    deterministic=deterministic,
-                )
+                layer_bias = bias_sliding if sliding else bias_global
+                layer_rope = rope_sliding if sliding else rope_global
+                if cfg.remat_layers:
+                    # remat-wrapped blocks take array args only (the LM has
+                    # no dropout, so the deterministic flag is inert here)
+                    x = layer(x, layer_bias, layer_rope)
+                else:
+                    x = layer(x, layer_bias, layer_rope, deterministic=deterministic)
         return self.final_norm(x)
 
     def lm_head(self, hidden: jax.Array) -> jax.Array:

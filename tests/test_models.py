@@ -274,3 +274,35 @@ def test_channels_last_path_matches_nchw():
     out_nchw = model.apply(params, jnp.asarray(nchw))
     out_nhwc = model.apply(params, jnp.asarray(nhwc), channels_last=True)
     np.testing.assert_allclose(np.asarray(out_nchw), np.asarray(out_nhwc), atol=1e-6)
+
+
+def test_remat_layers_identical_math():
+    """LMConfig.remat_layers trades memory for recompute at identical math."""
+    import dataclasses
+
+    import numpy as np
+
+    from multimodal_concept_learning_tpu.models.lm import CausalLM, LMConfig
+
+    cfg = dataclasses.replace(LMConfig.preset("nano", vocab_size=64), dtype=jnp.float32)
+    cfg_r = dataclasses.replace(cfg, remat_layers=True)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 64, size=(2, 12)).astype(np.int32))
+    mask = jnp.ones((2, 12), jnp.int32)
+    m, mr = CausalLM(cfg), CausalLM(cfg_r)
+    params = m.init(jax.random.key(0), ids, mask)
+    assert jax.tree_util.tree_map(lambda a: a.shape, params) == jax.tree_util.tree_map(
+        lambda a: a.shape, mr.init(jax.random.key(0), ids, mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(m.apply(params, ids, mask)),
+        np.asarray(mr.apply(params, ids, mask)),
+        atol=1e-5,
+    )
+    g = jax.grad(lambda p: jnp.sum(m.apply(p, ids, mask) ** 2))(params)
+    gr = jax.grad(lambda p: jnp.sum(mr.apply(p, ids, mask) ** 2))(params)
+    for (pa, la), (_, lb) in zip(
+        jax.tree_util.tree_leaves_with_path(g), jax.tree_util.tree_leaves_with_path(gr)
+    ):
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la), atol=1e-4, rtol=1e-4,
+                                   err_msg=str(pa))
