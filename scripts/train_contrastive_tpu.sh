@@ -1,0 +1,18 @@
+#!/usr/bin/env bash
+# Launch CLIP-style contrastive training on a TPU VM (framework extension —
+# the reference has no contrastive trainer; this follows the same launcher
+# conventions as train_vision_tpu.sh: one YAML arg, stdout into
+# $RESULTS_DIR/log.out).
+set -euo pipefail
+
+CONFIG_PATH=${1:?usage: train_contrastive_tpu.sh <config.yaml>}
+
+RESULTS_DIR=$(grep -E "^results_dir:" "$CONFIG_PATH" | sed 's/results_dir:[[:space:]]*//; s/"//g')
+mkdir -p "$RESULTS_DIR"
+
+echo "config: $CONFIG_PATH"
+echo "results: $RESULTS_DIR"
+python -c "import jax; print('devices:', jax.devices())"
+
+python -m multimodal_concept_learning_tpu.train.contrastive_training \
+    --config_path "$CONFIG_PATH" 2>&1 | tee "$RESULTS_DIR/log.out"
