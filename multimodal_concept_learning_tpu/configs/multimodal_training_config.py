@@ -121,4 +121,5 @@ class MultimodalTrainingConfig(YamlConfig):
     resume: bool = False
     device_normalize: bool = False
     scan_lm_layers: bool = False  # nn.scan-stacked LM layers (faster compiles)
+    remat_lm_layers: bool = False  # per-layer rematerialization (memory for compute)
     bf16_params: bool = False  # bf16 param storage + fp32 master weights

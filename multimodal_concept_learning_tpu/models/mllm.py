@@ -63,10 +63,13 @@ class MLLMConfig:
         image_size: int = 224,
         max_answer_tokens: int = 8,
         scan_lm_layers: bool = False,
+        remat_lm_layers: bool = False,
     ) -> "MLLMConfig":
         vision = dataclasses.replace(ViTConfig.preset(vision_preset), image_size=image_size)
         lm = dataclasses.replace(
-            LMConfig.preset(lm_preset, vocab_size=vocab_size), scan_layers=scan_lm_layers
+            LMConfig.preset(lm_preset, vocab_size=vocab_size),
+            scan_layers=scan_lm_layers,
+            remat_layers=remat_lm_layers,
         )
         return cls(
             vision=vision,

@@ -10,7 +10,7 @@ every position wastes T/A ≈ 80× of the LM-head FLOPs and HBM traffic.
 ``sparse_answer_cross_entropy`` instead gathers the ≤A supervised positions
 per row (static A keeps shapes jit-stable), computes logits only there, and
 produces the *identical* mean loss and gradients — verified against the
-dense path in tests/test_losses.py.
+dense path in tests/test_models.py (test_mllm_sparse_dense_loss_parity).
 """
 
 from __future__ import annotations

@@ -115,6 +115,7 @@ def init_model_and_tokenizer(config: MultimodalTrainingConfig, rng):
         num_vision_tokens=config.num_vision_tokens,
         image_size=config.image_size,
         scan_lm_layers=config.scan_lm_layers,
+        remat_lm_layers=getattr(config, "remat_lm_layers", False),
     )
     model = MLLM(model_config)
 
