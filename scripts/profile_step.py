@@ -1,0 +1,89 @@
+"""Capture and summarize a device profile of a benchmark train step.
+
+Wraps jax.profiler (which works through the remote axon backend) around one
+scanned train-step call and prints the per-HLO-category time breakdown plus
+the top individual ops — the tool behind BASELINE.md's device-profile tables.
+
+Usage:
+    python scripts/profile_step.py clip [logdir]
+    python scripts/profile_step.py mllm [logdir]
+    python scripts/profile_step.py summarize <logdir>   # re-parse an old trace
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def summarize(logdir: str, steps: int = 10, top: int = 12) -> None:
+    files = sorted(glob.glob(f"{logdir}/plugins/profile/*/*.trace.json.gz"))
+    if not files:
+        print(f"no trace under {logdir}")
+        return
+    data = json.load(gzip.open(files[-1]))
+    events = data.get("traceEvents", [])
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    tpu = {p for p, n in pids.items() if "TPU" in n}
+
+    cats = collections.Counter()
+    ops = collections.Counter()
+    for e in events:
+        if e.get("ph") != "X" or e["pid"] not in tpu:
+            continue
+        args = e.get("args") or {}
+        cat = args.get("hlo_category")
+        if not cat or cat == "while":
+            continue
+        dur = e.get("dur", 0)
+        cats[cat] += dur
+        ops[args.get("long_name", e.get("name", "?"))[:120]] += dur
+
+    total = sum(cats.values())
+    print(f"device time: {total / 1e3:.1f} ms over {steps} steps "
+          f"-> {total / steps / 1e3:.2f} ms/step\n")
+    print(f"{'hlo_category':28s} {'ms/step':>9s} {'share':>7s}")
+    for k, v in cats.most_common():
+        print(f"{k:28s} {v / steps / 1e3:9.3f} {100 * v / total:6.1f}%")
+    print(f"\ntop {top} ops (ms/step):")
+    for name, d in ops.most_common(top):
+        print(f"{d / steps / 1e3:8.3f}  {re.sub(r'%', '', name)}")
+
+
+def capture(workload: str, logdir: str) -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import bench
+
+    build = bench.build_clip if workload == "clip" else bench.build_mllm
+    state, batch, scan_steps = build()
+    state, losses = scan_steps(state, batch)
+    float(losses[-1])  # compile + fence
+
+    from multimodal_concept_learning_tpu.utils.profiling import trace
+
+    with trace(logdir):
+        state, losses = scan_steps(state, batch)
+        float(losses[-1])
+    summarize(logdir, steps=bench.INNER)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "clip"
+    if mode == "summarize":
+        summarize(sys.argv[2])
+    else:
+        capture(mode, sys.argv[2] if len(sys.argv) > 2 else f"/tmp/profile_{mode}")
