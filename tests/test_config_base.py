@@ -1,0 +1,70 @@
+"""YamlConfig.from_params machinery (configs/base.py): annotation-driven
+casts, metadata coerce hooks, unknown-key tolerance, default isolation."""
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import pytest
+
+from multimodal_concept_learning_tpu.configs.base import (
+    YamlConfig,
+    as_list,
+    as_rgb_list,
+    as_tuple,
+)
+
+
+@dataclass
+class _Demo(YamlConfig):
+    count: int = 3
+    rate: float = 0.5
+    flag: bool = False
+    name: str = "x"
+    maybe: Optional[int] = None
+    pair: Tuple[int, int] = field(default=(1, 2), metadata={"coerce": as_tuple})
+    items: List[float] = field(default_factory=lambda: [0.1], metadata={"coerce": as_list})
+    rgbs: List[Tuple[int, int, int]] = field(
+        default_factory=list, metadata={"coerce": as_rgb_list}
+    )
+
+
+def test_scalar_casts():
+    c = _Demo.from_params({"count": "7", "rate": "2", "flag": 1, "name": 5})
+    assert c.count == 7 and isinstance(c.count, int)
+    assert c.rate == 2.0 and isinstance(c.rate, float)
+    assert c.flag is True
+    assert c.name == 5  # str fields pass through (reference behavior: no cast)
+
+
+def test_optional_passthrough():
+    assert _Demo.from_params({"maybe": None}).maybe is None
+    assert _Demo.from_params({"maybe": 4}).maybe == 4
+    assert _Demo.from_params({}).maybe is None
+
+
+def test_coerce_hooks():
+    c = _Demo.from_params({"pair": [9, 10], "items": (1, 2), "rgbs": [[1, 2, 3], (4, 5, 6)]})
+    assert c.pair == (9, 10)
+    assert c.items == [1, 2]
+    assert c.rgbs == [(1, 2, 3), (4, 5, 6)]
+
+
+def test_unknown_keys_ignored():
+    c = _Demo.from_params({"count": 1, "not_a_field": "whatever", "another": 2})
+    assert c.count == 1
+
+
+def test_none_params():
+    assert _Demo.from_params(None) == _Demo()
+
+
+def test_mutable_defaults_isolated():
+    a, b = _Demo.from_params({}), _Demo.from_params({})
+    a.items.append(9.0)
+    assert b.items == [0.1]
+
+
+def test_bool_truthiness_matches_reference():
+    # bool("false") is True — the reference's bool(params.get(...)) quirk
+    assert _Demo.from_params({"flag": "false"}).flag is True
+    assert _Demo.from_params({"flag": 0}).flag is False
