@@ -5,8 +5,8 @@ from multimodal_concept_learning_tpu.models.vit import (
     ViTEncoder,
     ViTForImageClassification,
 )
-from multimodal_concept_learning_tpu.models.lm import LMConfig, CausalLM
-from multimodal_concept_learning_tpu.models.mllm import MLLM, MLLMConfig
+from multimodal_concept_learning_tpu.models.lm import LMConfig, CausalLM, init_kv_cache
+from multimodal_concept_learning_tpu.models.mllm import MLLM, MLLMConfig, greedy_generate
 from multimodal_concept_learning_tpu.models.clip import CLIPConfig, CLIPModel
 
 __all__ = [
@@ -15,8 +15,10 @@ __all__ = [
     "ViTForImageClassification",
     "LMConfig",
     "CausalLM",
+    "init_kv_cache",
     "MLLM",
     "MLLMConfig",
+    "greedy_generate",
     "CLIPConfig",
     "CLIPModel",
 ]

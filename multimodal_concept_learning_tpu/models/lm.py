@@ -63,6 +63,12 @@ class LMConfig:
     # backward — replaces XLA's auto-remat heuristics with a deterministic
     # memory/compute trade (identical math).
     remat_layers: bool = False
+    # Targeted remat of just the GeGLU MLP: the [B,T,intermediate] gate/up
+    # activations are by far the largest saved tensors (~6 GiB at the MLLM
+    # bench shape, measured via compiled memory_analysis) but cost only 2 of
+    # the block's 9 matmuls to recompute.  Cheaper than remat_layers when the
+    # goal is merely to get under HBM so XLA stops auto-rematting.
+    remat_mlp: bool = False
     dtype: Any = jnp.bfloat16
 
     def layer_is_sliding(self, i: int) -> bool:
@@ -90,6 +96,19 @@ class LMConfig:
         if name not in presets:
             raise ValueError(f"Unknown LM preset: {name}")
         return cls(vocab_size=vocab_size, **presets[name])
+
+
+def init_kv_cache(cfg: LMConfig, batch_size: int, cache_len: int):
+    """Zero-filled per-layer KV caches for ``CausalLM.prefill``/``decode_step``.
+
+    One {"k", "v"} dict per layer, each [B, cache_len, kv_heads, head_dim] in
+    the model compute dtype.
+    """
+    shape = (batch_size, cache_len, cfg.num_kv_heads, cfg.head_dim)
+    return tuple(
+        {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
+        for _ in range(cfg.num_layers)
+    )
 
 
 class RMSNorm(nn.Module):
@@ -131,7 +150,21 @@ class LMAttention(nn.Module):
     config: LMConfig
 
     @nn.compact
-    def __call__(self, x, bias, rope, deterministic: bool = True):
+    def __call__(self, x, bias, rope, deterministic: bool = True,
+                 cache=None, decode_slots=None):
+        """Self-attention; optionally reads/writes an explicit KV cache.
+
+        cache: None for plain training/eval forward.  Otherwise a dict
+          {"k": [B, S, hk, d], "v": [B, S, hk, d]} pytree (functional — the
+          updated cache is RETURNED, flax variables are not used so the whole
+          thing stays lax.scan-friendly).
+          - prefill (x is [B, T, H], decode_slots None): k/v are written into
+            slots [0:T] and attention runs over the freshly computed k/v;
+          - decode (x is [B, 1, H], decode_slots [B] int32): the new token's
+            k/v are scattered into per-row slots and attention runs over the
+            full cache (caller's bias masks unwritten/padded slots).
+        Returns out, or (out, new_cache) when cache is given.
+        """
         cfg = self.config
         proj = lambda heads, name: nn.DenseGeneral(  # noqa: E731
             features=(heads, cfg.head_dim),
@@ -154,8 +187,22 @@ class LMAttention(nn.Module):
         scale = None
         if cfg.query_pre_attn_scalar is not None:
             scale = cfg.query_pre_attn_scalar ** -0.5
+
+        new_cache = None
+        if cache is not None:
+            ck, cv = cache["k"], cache["v"]
+            if decode_slots is None:  # prefill: bulk write into slots [0:T]
+                ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+            else:  # decode: per-row scatter at each row's next free slot
+                rows = jnp.arange(x.shape[0])
+                ck = ck.at[rows, decode_slots].set(k[:, 0].astype(ck.dtype))
+                cv = cv.at[rows, decode_slots].set(v[:, 0].astype(cv.dtype))
+                k, v = ck, cv  # attend against the whole cache
+            new_cache = {"k": ck, "v": cv}
+
         out = multi_head_attention(q, k, v, bias=bias, scale=scale, deterministic=deterministic)
-        return nn.DenseGeneral(
+        out = nn.DenseGeneral(
             features=cfg.hidden_size,
             axis=(-2, -1),
             use_bias=False,
@@ -163,6 +210,9 @@ class LMAttention(nn.Module):
             kernel_init=nn.initializers.normal(0.02),
             name="o_proj",
         )(out)
+        if cache is not None:
+            return out, new_cache
+        return out
 
 
 class LMBlock(nn.Module):
@@ -179,23 +229,51 @@ class LMBlock(nn.Module):
                         kernel_init=nn.initializers.normal(0.02), name="down_proj")(h)
 
     @nn.compact
-    def __call__(self, x, bias, rope, deterministic: bool = True):
+    def __call__(self, x, bias, rope, deterministic: bool = True,
+                 cache=None, decode_slots=None):
         cfg = self.config
+        if cfg.remat_mlp and not cfg.remat_layers:
+            # lifted-transform remat of the bound method: backward recomputes
+            # gate/up/act from the MLP input instead of saving the two
+            # [B,T,intermediate] tensors (param paths are unchanged — the
+            # Denses inside _mlp keep their names)
+            # prevent_cse=True is required here: with CSE allowed, XLA undoes
+            # the recompute by sharing it with the forward values, which
+            # reinstates the saved [B,T,intermediate] tensors (verified via
+            # compiled memory_analysis: temp size byte-identical to no-remat).
+            remat_mlp = nn.remat(
+                LMBlock._mlp,
+                prevent_cse=True,
+                policy=jax.checkpoint_policies.nothing_saveable,
+            )
+            mlp = lambda h: remat_mlp(self, h)  # noqa: E731
+        else:
+            mlp = self._mlp
         h = RMSNorm(cfg.rms_norm_eps, name="input_layernorm")(x)
-        h = LMAttention(cfg, name="self_attn")(h, bias, rope, deterministic=deterministic)
+        h = LMAttention(cfg, name="self_attn")(
+            h, bias, rope, deterministic=deterministic,
+            cache=cache, decode_slots=decode_slots,
+        )
+        new_cache = None
+        if cache is not None:
+            h, new_cache = h
         if cfg.sandwich_norms:
             # Gemma-2/3 block: post-attn norm wraps the attention OUTPUT
             # before the residual add; the MLP gets its own pre/post norms.
             h = RMSNorm(cfg.rms_norm_eps, name="post_attention_layernorm")(h)
             x = x + h
             h = RMSNorm(cfg.rms_norm_eps, name="pre_feedforward_layernorm")(x)
-            h = self._mlp(h)
+            h = mlp(h)
             h = RMSNorm(cfg.rms_norm_eps, name="post_feedforward_layernorm")(h)
-            return x + h
-        # Gemma-1/llama block: post-attn norm is the pre-MLP norm.
-        x = x + h
-        h = RMSNorm(cfg.rms_norm_eps, name="post_attention_layernorm")(x)
-        return x + self._mlp(h)
+            out = x + h
+        else:
+            # Gemma-1/llama block: post-attn norm is the pre-MLP norm.
+            x = x + h
+            h = RMSNorm(cfg.rms_norm_eps, name="post_attention_layernorm")(x)
+            out = x + mlp(h)
+        if cache is not None:
+            return out, new_cache
+        return out
 
 
 class _ScanLMBlock(nn.Module):
@@ -310,6 +388,97 @@ class CausalLM(nn.Module):
                 else:
                     x = layer(x, layer_bias, layer_rope, deterministic=deterministic)
         return self.final_norm(x)
+
+    # -- KV-cache inference (serving path) ----------------------------------
+    #
+    # The reference never generates (its eval is argmax at supervised
+    # positions, src/multimodal/multimodal_training.py:273-303); this is a
+    # framework addition for deployment.  Caches are explicit functional
+    # pytrees (returned, not flax variables) so the decode loop jit/scans
+    # cleanly.  Contract: prompts are RIGHT-padded (the collator's layout),
+    # so a row's first free slot index equals its next token position.
+
+    def prefill(self, inputs_embeds: jax.Array, attention_mask: jax.Array, caches):
+        """Forward the prompt, filling per-layer KV caches.
+
+        caches: tuple of per-layer {"k": [B, S, hk, d], "v": ...} with
+        S >= T + max_new_tokens (build with ``init_kv_cache``).
+        Returns (hidden [B, T, H], updated caches).
+        """
+        cfg = self.config
+        assert not cfg.scan_layers, "KV-cache decode supports the plain-layers path"
+        b, t, _ = inputs_embeds.shape
+        bias_global = make_attention_bias(attention_mask, causal=True, q_len=t, k_len=t)
+        positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+        rope_global = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+        if cfg.sliding_window is not None:
+            if t <= cfg.sliding_window:
+                bias_sliding = bias_global
+            else:
+                bias_sliding = make_attention_bias(
+                    attention_mask, causal=True, q_len=t, k_len=t, window=cfg.sliding_window
+                )
+            rope_sliding = rope_tables(positions, cfg.head_dim, cfg.rope_local_theta)
+        else:
+            bias_sliding, rope_sliding = bias_global, rope_global
+
+        x = inputs_embeds.astype(cfg.dtype)
+        new_caches = []
+        for i, layer in enumerate(self.layers):
+            sliding = cfg.layer_is_sliding(i)
+            x, c = layer(
+                x,
+                bias_sliding if sliding else bias_global,
+                rope_sliding if sliding else rope_global,
+                cache=caches[i],
+            )
+            new_caches.append(c)
+        return self.final_norm(x), tuple(new_caches)
+
+    def decode_step(
+        self,
+        inputs_embeds: jax.Array,
+        caches,
+        seq_lens: jax.Array,
+        cache_mask: jax.Array,
+    ):
+        """One greedy-decode step.
+
+        inputs_embeds: [B, 1, H] embedding of the newest token.
+        seq_lens: [B] number of real tokens so far — the new token's slot AND
+          rope position.
+        cache_mask: [B, S] with 1 on every valid slot INCLUDING the new
+          token's slot (the caller sets it before the step).
+        Returns (hidden [B, 1, H], updated caches).
+        """
+        cfg = self.config
+        assert not cfg.scan_layers, "KV-cache decode supports the plain-layers path"
+        s = cache_mask.shape[1]
+        slots = jnp.arange(s)[None, :]
+        neg = jnp.float32(-1e30)
+        bias_global = jnp.where(cache_mask.astype(bool), 0.0, neg)[:, None, None, :]
+        positions = seq_lens[:, None]  # [B, 1]
+        rope_global = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+        if cfg.sliding_window is not None:
+            in_window = positions - slots < cfg.sliding_window  # slot index == position
+            bias_sliding = bias_global + jnp.where(in_window, 0.0, neg)[:, None, None, :]
+            rope_sliding = rope_tables(positions, cfg.head_dim, cfg.rope_local_theta)
+        else:
+            bias_sliding, rope_sliding = bias_global, rope_global
+
+        x = inputs_embeds.astype(cfg.dtype)
+        new_caches = []
+        for i, layer in enumerate(self.layers):
+            sliding = cfg.layer_is_sliding(i)
+            x, c = layer(
+                x,
+                bias_sliding if sliding else bias_global,
+                rope_sliding if sliding else rope_global,
+                cache=caches[i],
+                decode_slots=seq_lens,
+            )
+            new_caches.append(c)
+        return self.final_norm(x), tuple(new_caches)
 
     def lm_head(self, hidden: jax.Array) -> jax.Array:
         cfg = self.config

@@ -64,12 +64,14 @@ class MLLMConfig:
         max_answer_tokens: int = 8,
         scan_lm_layers: bool = False,
         remat_lm_layers: bool = False,
+        remat_lm_mlp: bool = False,
     ) -> "MLLMConfig":
         vision = dataclasses.replace(ViTConfig.preset(vision_preset), image_size=image_size)
         lm = dataclasses.replace(
             LMConfig.preset(lm_preset, vocab_size=vocab_size),
             scan_layers=scan_lm_layers,
             remat_layers=remat_lm_layers,
+            remat_mlp=remat_lm_mlp,
         )
         return cls(
             vision=vision,
@@ -156,6 +158,86 @@ class MLLM(nn.Module):
             "valid": valid,  # [B, A]
             "hidden_states": hidden,
         }
+
+
+    # -- KV-cache inference (serving path) -----------------------------------
+
+    def prefill(self, images, input_ids, attention_mask, caches, channels_last: bool = False):
+        """Vision tower + splice + LM prefill.  Returns (hidden [B,T,H], caches)."""
+        nvt = self.config.num_vision_tokens
+        image_embeds = self.vision_model(images, deterministic=True, channels_last=channels_last)
+        projected = self.projector(image_embeds)
+        text_embeds = self.language_model.embed(input_ids[:, nvt:])
+        inputs_embeds = jnp.concatenate(
+            [projected.astype(text_embeds.dtype), text_embeds], axis=1
+        )
+        return self.language_model.prefill(inputs_embeds, attention_mask, caches)
+
+
+def greedy_generate(
+    model: MLLM,
+    params,
+    images: jax.Array,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    max_new_tokens: int,
+    eos_id: Optional[int] = None,
+    pad_id: int = 0,
+    channels_last: bool = False,
+):
+    """Greedy autoregressive generation with per-layer KV caches.
+
+    A framework addition for deployment — the reference never decodes (its
+    eval is argmax at supervised positions, multimodal_training.py:273-303).
+    Prompts must be RIGHT-padded (the collator's layout, so each row's first
+    free cache slot index equals its next rope position).
+
+    Returns tokens [B, max_new_tokens]; after a row emits ``eos_id`` its
+    remaining positions are ``pad_id``.  Pure function of its arguments —
+    wrap in jax.jit for serving.
+    """
+    from multimodal_concept_learning_tpu.models.lm import init_kv_cache
+
+    b, t = input_ids.shape
+    rows = jnp.arange(b)
+    caches = init_kv_cache(model.config.lm, b, t + max_new_tokens)
+
+    hidden, caches = model.apply(
+        {"params": params}, images, input_ids, attention_mask, caches,
+        channels_last, method=MLLM.prefill,
+    )
+    seq_lens = attention_mask.sum(axis=1).astype(jnp.int32)
+    last_hidden = hidden[rows, seq_lens - 1][:, None, :]
+
+    def head(h):
+        return model.apply(
+            {"params": params}, h, method=lambda m, x: m.language_model.lm_head(x)
+        )
+
+    first_tok = jnp.argmax(head(last_hidden)[:, 0, :], axis=-1).astype(jnp.int32)
+    cache_mask = jnp.pad(attention_mask.astype(jnp.int32),
+                         ((0, 0), (0, max_new_tokens)))
+    done = jnp.zeros((b,), bool) if eos_id is None else first_tok == eos_id
+
+    def body(carry, _):
+        tok, seq_lens, cache_mask, caches, done = carry
+        emb = model.apply(
+            {"params": params}, tok[:, None],
+            method=lambda m, ids: m.language_model.embed(ids),
+        )
+        cache_mask = cache_mask.at[rows, seq_lens].set(1)
+        h, caches = model.apply(
+            {"params": params}, emb, caches, seq_lens, cache_mask,
+            method=lambda m, *a: m.language_model.decode_step(*a),
+        )
+        nxt = jnp.argmax(head(h)[:, 0, :], axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, pad_id, nxt)
+        new_done = done if eos_id is None else done | (nxt == eos_id)
+        return (nxt, seq_lens + 1, cache_mask, caches, new_done), nxt
+
+    carry = (first_tok, seq_lens, cache_mask, caches, done)
+    _, rest = jax.lax.scan(body, carry, None, length=max_new_tokens - 1)
+    return jnp.concatenate([first_tok[:, None], rest.T], axis=1)
 
 
 # ---------------------------------------------------------------------------

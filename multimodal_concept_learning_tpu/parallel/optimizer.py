@@ -111,13 +111,17 @@ def build_optimizer(
     b2: float = 0.999,
     eps: float = 1e-8,
     fp32_master: bool = False,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
     """AdamW with clipping/masking/accumulation in reference-equivalent order.
 
     ``fp32_master``: for bf16-stored params — AdamW runs on fp32 master
     weights in optimizer state (see ``with_fp32_master``).
+    ``mu_dtype``: storage dtype for the first moment (e.g. bf16 to halve that
+    buffer's HBM; the update math still runs in fp32).
     """
-    adamw = optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+    adamw = optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
+                        weight_decay=weight_decay, mu_dtype=mu_dtype)
     core = optax.chain(
         optax.clip_by_global_norm(max_grad_norm) if max_grad_norm else optax.identity(),
         with_fp32_master(adamw) if fp32_master else adamw,

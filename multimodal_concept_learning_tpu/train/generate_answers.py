@@ -1,0 +1,203 @@
+"""Generation-based evaluation CLI (the serving path made user-visible).
+
+Loads a trained results directory (reference checkpoint layout,
+src/multimodal/multimodal_training.py:103-195), rebuilds the MLLM +
+tokenizer, strips each test prompt of its supervised answer span, and
+GENERATES the answer autoregressively with the KV-cache decode path
+(models/mllm.greedy_generate) — something the reference cannot do at all
+(its eval is teacher-forced argmax at the supervised positions,
+multimodal_training.py:273-303).
+
+Reports two accuracies:
+  - yes/no string-match (the reference's metric, "yes" in text.lower()),
+  - exact-match of the generated answer text against the target span,
+and writes one JSON line per sample to ``<results_dir>/generations.jsonl``.
+
+Usage:
+  python -m multimodal_concept_learning_tpu.train.generate_answers \
+      --results_dir RESULTS [--checkpoint best_model.pt] [--split test] \
+      [--max_new_tokens 8] [--limit N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_concept_learning_tpu.configs import MultimodalTrainingConfig
+from multimodal_concept_learning_tpu.data import (
+    BatchLoader,
+    ColorDataset,
+    ImageNetDataset,
+    MultimodalCollator,
+    create_transforms,
+    load_split_datasets,
+)
+from multimodal_concept_learning_tpu.models.mllm import greedy_generate
+from multimodal_concept_learning_tpu.ops.losses import IGNORE_INDEX
+from multimodal_concept_learning_tpu.train.multimodal_training import (
+    init_model_and_tokenizer,
+)
+from multimodal_concept_learning_tpu.utils import set_seed
+
+
+def strip_answer_span(input_ids: np.ndarray, attention_mask: np.ndarray,
+                      labels: np.ndarray, pad_id: int):
+    """Truncate each row at its first supervised position.
+
+    The collator appends the answer to the prompt (imagenet_dataset.py:100-133)
+    and marks it in ``labels``; generation must not see it.  Rows stay
+    right-padded, so the decode path's slot==position invariant holds.
+    """
+    supervised = labels != IGNORE_INDEX  # [B, T]
+    has_answer = supervised.any(axis=1)
+    first = np.where(has_answer, supervised.argmax(axis=1), input_ids.shape[1])
+    keep = np.arange(input_ids.shape[1])[None, :] < first[:, None]
+    ids = np.where(keep, input_ids, pad_id).astype(np.int32)
+    mask = np.where(keep, attention_mask, 0).astype(np.int32)
+    return ids, mask
+
+
+def _decode(tokenizer, ids) -> str:
+    return tokenizer.decode([int(i) for i in ids if int(i) >= 0],
+                            skip_special_tokens=True).strip()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--results_dir", type=str, required=True)
+    parser.add_argument("--checkpoint", type=str, default="best_model.pt")
+    parser.add_argument("--split", type=str, default="test",
+                        choices=("train", "val", "test"))
+    parser.add_argument("--max_new_tokens", type=int, default=8)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--limit", type=int, default=None,
+                        help="evaluate at most N samples")
+    parser.add_argument("--output", type=str, default=None,
+                        help="default: <results_dir>/generations.jsonl")
+    args = parser.parse_args(argv)
+
+    models_dir = os.path.join(args.results_dir, "models")
+    with open(os.path.join(models_dir, "training_config.json")) as f:
+        saved = json.load(f)
+    saved["vision_path"] = ""  # weights come from the checkpoint below
+    config = MultimodalTrainingConfig.from_params(saved)
+
+    set_seed(config.seed)
+    model, tokenizer, params, labels_mapping, _ = init_model_and_tokenizer(
+        config, jax.random.key(0)
+    )
+
+    ckpt_path = os.path.join(models_dir, args.checkpoint)
+    from multimodal_concept_learning_tpu.checkpoint import (
+        load_torch_state_dict,
+        mllm_params_from_torch,
+    )
+
+    params = mllm_params_from_torch(
+        load_torch_state_dict(ckpt_path), params,
+        patch_size=model.config.vision.patch_size,
+    )
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    print(f"Loaded checkpoint {ckpt_path}")
+
+    transform = create_transforms(config, is_train=False, seed=config.seed)
+    dataset_cls = (ColorDataset if config.dataset_name == "color_multimodal"
+                   else ImageNetDataset)
+    splits = load_split_datasets(
+        dataset_cls,
+        mapping_dir=os.path.dirname(config.mapping_path),
+        data_dir=config.image_root,
+        train_transform=transform,
+        val_transform=transform,
+        return_synset=True,
+    )
+    dataset = splits[("train", "val", "test").index(args.split)]
+
+    collator = MultimodalCollator(
+        tokenizer=tokenizer,
+        num_vision_tokens=config.num_vision_tokens,
+        prompt_template=config.prompt_template,
+        all_class_names=dataset.unique_labels,
+        labels_mapping=labels_mapping,
+        seed=config.seed,
+    )
+    batch_size = args.batch_size or config.batch_size
+    loader = BatchLoader(dataset, batch_size=batch_size, collate_fn=collator,
+                         num_workers=config.num_workers)
+
+    eos_id = getattr(tokenizer, "eos_token_id", None)
+    pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
+
+    gen_fn = jax.jit(
+        lambda p, img, ids, mask: greedy_generate(
+            model, p, img, ids, mask, max_new_tokens=args.max_new_tokens,
+            eos_id=eos_id, pad_id=pad_id,
+        )
+    )
+
+    out_path = args.output or os.path.join(args.results_dir, "generations.jsonl")
+    n_done = yes_correct = exact_correct = 0
+    with open(out_path, "w") as sink:
+        for batch in loader:
+            ids, mask = strip_answer_span(
+                batch["input_ids"], batch["attention_mask"], batch["labels"], pad_id
+            )
+            if "images_u8" in batch:  # uint8 pipeline: normalize on device
+                from multimodal_concept_learning_tpu.ops.preprocess import images_from_batch
+
+                images = images_from_batch(
+                    {k: jnp.asarray(v) for k, v in batch.items()
+                     if k in ("images_u8", "norm_mean", "norm_std")}
+                )
+            else:
+                images = jnp.asarray(batch["images"])
+            gen = np.asarray(gen_fn(params, images, jnp.asarray(ids),
+                                    jnp.asarray(mask)))
+            valid = batch.get("valid", np.ones(gen.shape[0], bool))
+            labels = batch["labels"]
+            for i in range(gen.shape[0]):
+                if not valid[i]:
+                    continue
+                if args.limit is not None and n_done >= args.limit:
+                    break
+                row = gen[i]
+                if eos_id is not None:
+                    stop = np.nonzero(row == eos_id)[0]
+                    if stop.size:
+                        row = row[: stop[0]]
+                generated = _decode(tokenizer, row)
+                target = _decode(tokenizer, labels[i][labels[i] != IGNORE_INDEX])
+                prompt = _decode(tokenizer, ids[i][mask[i] == 1])
+                yes_match = ("yes" in generated.lower()) == ("yes" in target.lower())
+                # prefix match: a model that hasn't learned to emit EOS keeps
+                # sampling after the answer; credit the answer span itself
+                exact = generated == target or (
+                    bool(target) and generated.startswith(target + " ")
+                )
+                yes_correct += int(yes_match)
+                exact_correct += int(exact)
+                n_done += 1
+                sink.write(json.dumps({
+                    "prompt": prompt, "generated": generated, "target": target,
+                    "yes_no_match": yes_match, "exact_match": exact,
+                }) + "\n")
+            if args.limit is not None and n_done >= args.limit:
+                break
+
+    yes_acc = 100.0 * yes_correct / n_done if n_done else 0.0
+    exact_acc = 100.0 * exact_correct / n_done if n_done else 0.0
+    print(f"Generated answers for {n_done} samples ({args.split} split)")
+    print(f"Yes/No Accuracy: {yes_acc:.2f}%")
+    print(f"Exact-Match Accuracy: {exact_acc:.2f}%")
+    print(f"Wrote {out_path}")
+    return {"yes_no_acc": yes_acc, "exact_acc": exact_acc, "n": n_done}
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,7 @@ def main():
     parser.add_argument("--ood", type=int, default=90)
     parser.add_argument("--bf16_params", action="store_true")
     parser.add_argument("--remat_layers", action="store_true")
+    parser.add_argument("--remat_mlp", action="store_true")
     args = parser.parse_args()
 
     tokenizer = ConceptTokenizer()
@@ -50,11 +51,12 @@ def main():
         vocab_size=len(tokenizer), vision_preset="vit-b-16", lm_preset="gemma3-1b",
         num_vision_tokens=197, image_size=224,
     )
-    if args.remat_layers:
+    if args.remat_layers or args.remat_mlp:
         import dataclasses
 
         config = dataclasses.replace(
-            config, lm=dataclasses.replace(config.lm, remat_layers=True)
+            config, lm=dataclasses.replace(config.lm, remat_layers=args.remat_layers,
+                                           remat_mlp=args.remat_mlp)
         )
     model = MLLM(config)
 

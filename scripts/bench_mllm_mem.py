@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Compile-only probe: HBM breakdown + compiled FLOPs of the MLLM bench step.
+
+Answers two questions the end-to-end numbers cannot:
+  1. where does peak HBM go (args = params+opt-state vs temp = activations)?
+  2. how many FLOPs did XLA's auto-remat ADD over the analytic step cost?
+
+Variants (the round-3 remat-elimination leads, CLAUDE.md):
+  base          bf16 params + fp32 masters (current bench.py config)
+  mu_bf16       + first-moment (mu) in bf16       [halves one moment buffer]
+  trainable32   trainable params fp32, frozen bf16, NO master copy
+  remat         + explicit per-layer remat (save only layer boundaries)
+
+Usage: python scripts/bench_mllm_mem.py [variant ...]
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+from multimodal_concept_learning_tpu.models import MLLM, MLLMConfig  # noqa: E402
+from multimodal_concept_learning_tpu.models.mllm import trainable_mask  # noqa: E402
+from multimodal_concept_learning_tpu.parallel import build_optimizer  # noqa: E402
+from multimodal_concept_learning_tpu.parallel.train_step import TrainState  # noqa: E402
+from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer  # noqa: E402
+
+BATCH, TEXT_LEN, OOD, INNER = 32, 40, 90, 10
+
+
+def build(variant: str):
+    tokenizer = ConceptTokenizer()
+    tokenizer.add_tokens([f"<ood {i}>" for i in range(1, OOD + 1)])
+    config = MLLMConfig.create(
+        vocab_size=len(tokenizer), vision_preset="vit-b-16", lm_preset="gemma3-1b",
+        num_vision_tokens=197, image_size=224,
+        remat_lm_layers=(variant == "remat"),
+        remat_lm_mlp=(variant == "remat_mlp"),
+    )
+    model = MLLM(config)
+
+    rng = np.random.default_rng(0)
+    nvt = 197
+    T = nvt + TEXT_LEN
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(BATCH, 3, 224, 224)).astype(np.float32)),
+        "input_ids": jnp.asarray(
+            np.concatenate([np.zeros((BATCH, nvt), np.int32),
+                            rng.integers(4, len(tokenizer) - OOD,
+                                         size=(BATCH, TEXT_LEN)).astype(np.int32)], axis=1)),
+        "attention_mask": jnp.ones((BATCH, T), jnp.int32),
+        "labels": jnp.full((BATCH, T), -100, jnp.int32).at[:, -2].set(7).at[:, -1].set(8),
+    }
+    params = jax.jit(model.init)(
+        jax.random.key(0), batch["images"], batch["input_ids"], batch["attention_mask"]
+    )["params"]
+    mask = trainable_mask(params, "language_embed_only")
+
+    if variant == "trainable32":
+        params = jax.tree_util.tree_map(
+            lambda x, m: x.astype(jnp.float32 if m else jnp.bfloat16), params, mask
+        )
+        tx = build_optimizer(5e-4, weight_decay=1e-4, max_grad_norm=1.0,
+                             trainable_mask=mask, fp32_master=False)
+    else:
+        params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+        tx = build_optimizer(5e-4, weight_decay=1e-4, max_grad_norm=1.0,
+                             trainable_mask=mask, fp32_master=True,
+                             mu_dtype=(jnp.bfloat16 if variant == "mu_bf16" else None))
+    state = jax.jit(lambda p: TrainState.create(p, tx))(params)
+
+    def one(s, b):
+        def loss_fn(p):
+            out = model.apply({"params": p}, b["images"], b["input_ids"],
+                              b["attention_mask"], b["labels"])
+            return out["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(s.params)
+        updates, opt_state = tx.update(grads, s.opt_state, s.params)
+        return TrainState(step=s.step + 1, params=optax.apply_updates(s.params, updates),
+                          opt_state=opt_state), loss
+
+    def scan_steps(state, b):
+        return jax.lax.scan(lambda s, _: one(s, b), state, None, length=INNER)
+
+    return state, batch, scan_steps
+
+
+def main():
+    variants = sys.argv[1:] or ["base"]
+    for variant in variants:
+        state, batch, scan_steps = build(variant)
+        lowered = jax.jit(scan_steps, donate_argnums=0).lower(state, batch)
+        compiled = lowered.compile()
+        mem = compiled.memory_analysis()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = cost.get("flops", float("nan")) / INNER
+        print(f"[{variant}]")
+        if mem is not None:
+            for k in ("argument_size_in_bytes", "output_size_in_bytes",
+                      "temp_size_in_bytes", "generated_code_size_in_bytes"):
+                v = getattr(mem, k, None)
+                if v is not None:
+                    print(f"  {k:32s} {v / 2**30:8.3f} GiB")
+        # analytic fwd+bwd(dx-only) cost: ~697 GFLOP/img (bench.py)
+        print(f"  compiled GFLOP/step: {flops / 1e9:10.1f}  "
+              f"(analytic fwd+dx ~{697 * BATCH / 1e3:.1f}e3 GFLOP... per-img "
+              f"{flops / BATCH / 1e9:.1f} vs 697 analytic)")
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

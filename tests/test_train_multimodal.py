@@ -121,6 +121,57 @@ def test_multimodal_training_e2e(mm_setup, tmp_path, capsys):
     np.testing.assert_allclose(sd1[k].numpy(), sd[k].numpy(), atol=1e-7)
 
 
+def test_generate_answers_cli(mm_setup, tmp_path):
+    """Serving path end-to-end: train briefly, then autoregressively generate
+    answers from the saved checkpoint via the KV-cache decode path."""
+    from multimodal_concept_learning_tpu.train.generate_answers import main as gen_main
+    from multimodal_concept_learning_tpu.train.multimodal_training import main as train_main
+
+    dataset_dir, labels_path = mm_setup
+    results_dir = str(tmp_path / "results_gen")
+    cfg = {
+        "mapping_path": os.path.join(dataset_dir, "train_mapping.csv"),
+        "image_root": dataset_dir,
+        "labels_mapping_path": labels_path,
+        "prompt_template": "Is the color of the circle {class_name}?",
+        "dataset_name": "color_multimodal",
+        "vision_model_name": "vit-t-8",
+        "language_model_name": "nano",
+        "num_vision_tokens": 17,
+        "image_size": 32,
+        "trainable_params_setting": "language_embed_only",
+        "epochs": 1,
+        "batch_size": 8,
+        "effective_batch_size": 8,
+        "learning_rate": 5e-3,
+        "results_dir": results_dir,
+        "seed": 0,
+        "num_workers": 2,
+        "train_transforms": ["ToTensor"],
+        "val_transforms": ["ToTensor"],
+        "use_wandb": False,
+    }
+    cfg_path = tmp_path / "gen_cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    train_main(["--config_path", str(cfg_path)])
+
+    metrics = gen_main([
+        "--results_dir", results_dir, "--max_new_tokens", "4", "--limit", "6",
+    ])
+    assert metrics["n"] == 6
+    assert 0.0 <= metrics["yes_no_acc"] <= 100.0
+
+    out_path = os.path.join(results_dir, "generations.jsonl")
+    with open(out_path) as f:
+        rows = [json.loads(line) for line in f]
+    assert len(rows) == 6
+    for row in rows:
+        # prompts must not leak the answer span the model is asked to generate
+        assert row["prompt"]
+        assert "generated" in row and "target" in row
+        assert not row["prompt"].endswith(row["target"]) or row["target"] == ""
+
+
 def test_multimodal_unknown_dataset(tmp_path, mm_setup):
     from multimodal_concept_learning_tpu.train.multimodal_training import main
 
