@@ -389,6 +389,21 @@ class CausalLM(nn.Module):
                     x = layer(x, layer_bias, layer_rope, deterministic=deterministic)
         return self.final_norm(x)
 
+    def run_layer_stack(self, x, bias_global, bias_sliding, rope_global,
+                        rope_sliding, flags):
+        """Run ONLY the scanned layer stack (no embed / final norm).
+
+        The entry point for pipeline parallelism (parallel/pipeline.py): a
+        pipeline stage holds a [num_layers/num_stages]-deep slice of the
+        stacked parameters and applies this method to its activations.
+        ``flags``: [num_layers] bool, True = sliding layer.
+        """
+        assert self.config.scan_layers, "run_layer_stack requires scan_layers"
+        x, _ = self.layers_scan(
+            x, bias_global, bias_sliding, rope_global, rope_sliding, flags
+        )
+        return x
+
     # -- KV-cache inference (serving path) ----------------------------------
     #
     # The reference never generates (its eval is argmax at supervised

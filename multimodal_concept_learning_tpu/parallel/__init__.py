@@ -14,6 +14,10 @@ from multimodal_concept_learning_tpu.parallel.mesh import (
     shard_batch,
 )
 from multimodal_concept_learning_tpu.parallel.optimizer import build_optimizer, cosine_epoch_schedule
+from multimodal_concept_learning_tpu.parallel.pipeline import (
+    make_pipelined_hidden_states,
+    shard_pipeline_params,
+)
 from multimodal_concept_learning_tpu.parallel.train_step import (
     make_classifier_eval_step,
     make_classifier_train_step,
@@ -28,6 +32,8 @@ __all__ = [
     "shard_batch",
     "build_optimizer",
     "cosine_epoch_schedule",
+    "make_pipelined_hidden_states",
+    "shard_pipeline_params",
     "make_classifier_train_step",
     "make_classifier_eval_step",
     "make_mllm_train_step",

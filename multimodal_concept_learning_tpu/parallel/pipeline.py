@@ -1,0 +1,203 @@
+"""GPipe-style pipeline parallelism for the scanned LM layer stack.
+
+The reference's only parallelism is 8-way DDP (SURVEY.md C22); the TPU-native
+framework adds tensor parallelism and FSDP (sharding_rules.py) and — here —
+pipeline parallelism: the ``num_layers``-deep stacked parameters produced by
+``LMConfig.scan_layers`` are split into ``P`` contiguous stages sharded over
+a ``pipe`` mesh axis, the batch is split into ``M`` microbatches, and a
+``lax.scan`` over ``M + P - 1`` ticks runs the classic skewed schedule: at
+tick ``t`` stage ``s`` processes microbatch ``t - s``, passing activations to
+stage ``s+1`` with ``lax.ppermute`` over ICI.  Autodiff through
+shard_map/ppermute/scan yields exactly the GPipe backward (bubble included),
+so the same function serves training — verified grad-identical to the
+unpipelined stack in tests/test_pipeline.py.
+
+Scope: the layer stack only.  Embedding, final norm, and the LM head are
+cheap and stay replicated outside; attention biases and rope tables are
+computed once per batch and indexed per microbatch inside the loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax moved shard_map out of experimental in newer releases
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from multimodal_concept_learning_tpu.models.lm import (
+    CausalLM,
+    make_attention_bias,
+    rope_tables,
+)
+
+
+def stage_layer_specs(params_layers, pipe_axis: str = "pipe"):
+    """PartitionSpec tree sharding the stacked [L, ...] layer params' leading
+    (layer) axis over the pipe axis."""
+    return jax.tree_util.tree_map(
+        lambda x: P(pipe_axis, *([None] * (x.ndim - 1))), params_layers
+    )
+
+
+def make_pipelined_hidden_states(
+    model: CausalLM,
+    mesh: Mesh,
+    num_microbatches: int,
+    pipe_axis: str = "pipe",
+):
+    """Build ``fn(params, inputs_embeds, attention_mask) -> hidden [B,T,H]``
+    computing ``CausalLM.hidden_states`` with the layer stack pipelined.
+
+    Requirements: ``model.config.scan_layers``; ``num_layers`` divisible by
+    the pipe-axis size; batch divisible by ``num_microbatches``.
+    """
+    cfg = model.config
+    assert cfg.scan_layers, "pipeline parallelism requires LMConfig.scan_layers"
+    n_stages = mesh.shape[pipe_axis]
+    assert cfg.num_layers % n_stages == 0, (
+        f"num_layers {cfg.num_layers} must divide into {n_stages} stages"
+    )
+    stage_model = CausalLM(
+        dataclasses.replace(cfg, num_layers=cfg.num_layers // n_stages)
+    )
+    m = num_microbatches
+
+    def run_stage(layers_local, x, bias_g, bias_s, rope_g, rope_s, flags_local):
+        return stage_model.apply(
+            {"params": {"layers_scan": layers_local}},
+            x, bias_g, bias_s, rope_g, rope_s, flags_local,
+            method=CausalLM.run_layer_stack,
+        )
+
+    def stage_fn(layers_local, flags_local, mb, bias_g, bias_s, rope_g, rope_s):
+        """Runs on every pipe device; all non-layer inputs are replicated.
+
+        mb: [M, b, T, H]; biases [M, b, 1, T, T]; ropes ([M,b,T,h2], [M,b,T,h2]).
+        """
+        idx = jax.lax.axis_index(pipe_axis)
+        n = jax.lax.psum(1, pipe_axis)
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+        steps = m + n_stages - 1
+
+        def body(carry, step):
+            act, outs = carry
+            # stage 0 ingests microbatch `step`; later stages use the
+            # activation ppermuted from the previous stage
+            cur = jnp.where(idx == 0, mb[jnp.minimum(step, m - 1)], act)
+            # this stage is processing microbatch (step - idx); the clip only
+            # touches ticks whose result is masked out below
+            k = jnp.clip(step - idx, 0, m - 1)
+            y = run_stage(layers_local, cur, bias_g[k], bias_s[k],
+                          (rope_g[0][k], rope_g[1][k]),
+                          (rope_s[0][k], rope_s[1][k]), flags_local)
+            # the last stage emits microbatch (step - (P-1)) when in range
+            slot = step - (n_stages - 1)
+            write = (idx == n - 1) & (slot >= 0)
+            outs = jnp.where(
+                write, outs.at[jnp.clip(slot, 0, m - 1)].set(y), outs
+            )
+            act = jax.lax.ppermute(y, pipe_axis, perm)
+            return (act, outs), None
+
+        # the carry is device-varying (each stage holds different
+        # activations), so the init must be marked varying over the pipe axis
+        init = jax.lax.pcast(
+            (jnp.zeros(mb.shape[1:], mb.dtype), jnp.zeros_like(mb)),
+            (pipe_axis,), to="varying",
+        )
+        (_, outs), _ = jax.lax.scan(body, init, jnp.arange(steps))
+        # outputs live on the last stage; broadcast so every device returns
+        # the same (replicated) result
+        return jax.lax.psum(
+            jnp.where(idx == n - 1, outs, jnp.zeros_like(outs)), pipe_axis
+        )
+
+    def fn(params, inputs_embeds, attention_mask):
+        b, t, h = inputs_embeds.shape
+        assert b % m == 0, f"batch {b} must divide into {m} microbatches"
+        mb_size = b // m
+
+        bias_global = make_attention_bias(attention_mask, causal=True, q_len=t, k_len=t)
+        bias_global = jnp.broadcast_to(bias_global, (b, 1, t, t))
+        if attention_mask is not None:
+            positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+        else:
+            positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+        rope_global = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+        if cfg.sliding_window is not None:
+            if t <= cfg.sliding_window:
+                bias_sliding = bias_global
+            else:
+                bias_sliding = jnp.broadcast_to(
+                    make_attention_bias(attention_mask, causal=True, q_len=t,
+                                        k_len=t, window=cfg.sliding_window),
+                    (b, 1, t, t),
+                )
+            rope_sliding = rope_tables(positions, cfg.head_dim, cfg.rope_local_theta)
+        else:
+            bias_sliding, rope_sliding = bias_global, rope_global
+
+        flags = jnp.asarray(
+            [cfg.layer_is_sliding(i) for i in range(cfg.num_layers)], dtype=bool
+        )
+
+        def split(x):  # [B, ...] -> [M, b, ...]
+            return x.reshape((m, mb_size) + x.shape[1:])
+
+        mb = split(inputs_embeds.astype(cfg.dtype))
+        args = (
+            params["layers_scan"],
+            flags,
+            mb,
+            split(bias_global),
+            split(bias_sliding),
+            (split(rope_global[0]), split(rope_global[1])),
+            (split(rope_sliding[0]), split(rope_sliding[1])),
+        )
+        in_specs = (
+            stage_layer_specs(params["layers_scan"], pipe_axis),
+            P(pipe_axis),
+            P(), P(), P(),
+            (P(), P()), (P(), P()),
+        )
+        outs = shard_map(
+            stage_fn, mesh=mesh, in_specs=in_specs, out_specs=P(),
+        )(*args)
+        hidden = outs.reshape((b, t, h))
+        # final norm (replicated, outside the pipeline)
+        return model.apply(
+            {"params": {"norm": params["norm"]}},
+            hidden, method=lambda mdl, x: mdl.final_norm(x),
+        )
+
+    return fn
+
+
+def shard_pipeline_params(params, mesh: Mesh, pipe_axis: str = "pipe"):
+    """device_put the CausalLM param tree for pipelining: stacked layer
+    params sharded over the pipe axis (leading layer dim), everything else
+    replicated."""
+    from jax.sharding import NamedSharding
+
+    def put(path, x):
+        keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        if "layers_scan" in keys:
+            spec = P(pipe_axis, *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, params)
+
+
+__all__ = [
+    "make_pipelined_hidden_states",
+    "shard_pipeline_params",
+    "stage_layer_specs",
+]

@@ -10,6 +10,11 @@ framework to Megatron-style tensor parallelism for the scaled bench config:
 A dimension is only sharded when its size divides the mesh axis (e.g. a
 single-KV-head GQA projection stays replicated on a 2-way model axis).
 XLA GSPMD inserts the psums/all-gathers implied by the layout over ICI.
+
+``fsdp_axis`` additionally shards every parameter's largest remaining dim
+over that axis (ZeRO-3-style fully-sharded parameters — each device stores
+1/N of each weight; GSPMD all-gathers before use and reduce-scatters the
+gradient).  TP and FSDP compose on the same tree (tested on a 4x2 mesh).
 """
 
 from __future__ import annotations
@@ -58,35 +63,72 @@ def _spec_dims(keys, shape) -> Optional[list]:
     return None
 
 
-def mllm_param_spec(path, x, mesh: Mesh, model_axis: str = "model") -> P:
-    """PartitionSpec for one MLLM/CLIP/ViT parameter."""
-    if model_axis not in mesh.axis_names or mesh.shape[model_axis] == 1:
+def _apply_fsdp(dims, shape, mesh: Mesh, fsdp_axis: str):
+    """Additionally shard the largest still-unsharded divisible dim over
+    ``fsdp_axis`` (ZeRO-3-style fully-sharded parameters: each device holds
+    1/N of every weight; XLA GSPMD inserts the all-gather before use and the
+    reduce-scatter on the gradient, both riding ICI)."""
+    axis_size = mesh.shape[fsdp_axis]
+    if axis_size == 1:
+        return dims
+    candidates = [
+        (s, i) for i, (d, s) in enumerate(zip(dims, shape))
+        if d is None and s % axis_size == 0 and s >= axis_size
+    ]
+    if not candidates:
+        return dims
+    _, idx = max(candidates)
+    out = list(dims)
+    out[idx] = fsdp_axis
+    return out
+
+
+def mllm_param_spec(
+    path, x, mesh: Mesh, model_axis: str = "model", fsdp_axis: Optional[str] = None
+) -> P:
+    """PartitionSpec for one MLLM/CLIP/ViT parameter (TP rules + optional FSDP)."""
+    tp_on = model_axis in mesh.axis_names and mesh.shape[model_axis] > 1
+    fsdp_on = fsdp_axis is not None and fsdp_axis in mesh.axis_names and mesh.shape[fsdp_axis] > 1
+    if not tp_on and not fsdp_on:
         return P()
     keys = _keys(path)
     shape = x.shape
     # scanned-layer params carry a leading layer axis (replicated)
     scanned = "layers_scan" in keys
     inner_shape = shape[1:] if scanned else shape
-    dims = _spec_dims(keys, inner_shape)
+    dims = _spec_dims(keys, inner_shape) if tp_on else None
     if dims is None:
-        return P()
-    dims = [model_axis if d == "M" else None for d in dims]
+        dims = [None] * len(inner_shape)
+    else:
+        dims = [model_axis if d == "M" else None for d in dims]
     if scanned:
         dims = [None] + dims
-    return _maybe(dims, shape, mesh, model_axis)
+        inner_shape = shape
+    else:
+        inner_shape = shape
+    spec = _maybe(dims, inner_shape, mesh, model_axis) if tp_on else P(*dims)
+    if fsdp_on:
+        spec = P(*_apply_fsdp(list(spec) + [None] * (len(shape) - len(spec)),
+                              shape, mesh, fsdp_axis))
+    return spec
 
 
-def shard_params(params, mesh: Mesh, model_axis: str = "model"):
-    """device_put a param tree according to the TP rules (replicated over data)."""
+def shard_params(params, mesh: Mesh, model_axis: str = "model",
+                 fsdp_axis: Optional[str] = None):
+    """device_put a param tree according to the TP(+FSDP) rules."""
     def put(path, x):
-        spec = mllm_param_spec(path, x, mesh, model_axis)
+        spec = mllm_param_spec(path, x, mesh, model_axis, fsdp_axis)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, params)
 
 
-def param_shardings(params, mesh: Mesh, model_axis: str = "model"):
+def param_shardings(params, mesh: Mesh, model_axis: str = "model",
+                    fsdp_axis: Optional[str] = None):
     """The NamedSharding tree matching shard_params (for jit in_shardings)."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, x: NamedSharding(mesh, mllm_param_spec(path, x, mesh, model_axis)), params
+        lambda path, x: NamedSharding(
+            mesh, mllm_param_spec(path, x, mesh, model_axis, fsdp_axis)
+        ),
+        params,
     )

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Serving-path benchmark: KV-cache greedy decode throughput of the MLLM.
+
+Measures the full flagship shape (ViT-B/16 tower + Gemma-3-1b-architecture
+LM, 197 vision tokens + text prompt): one jitted greedy_generate call at two
+generation lengths; the difference isolates the per-token decode cost from
+the prefill (vision tower + prompt forward + dispatch overhead).
+
+Usage: python scripts/bench_generate.py [--batch 8] [--short 2] [--long 34]
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+from multimodal_concept_learning_tpu.models import MLLM, MLLMConfig  # noqa: E402
+from multimodal_concept_learning_tpu.models.mllm import greedy_generate  # noqa: E402
+from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer  # noqa: E402
+
+TEXT_LEN = 24
+REPEATS = 3
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--short", type=int, default=2)
+    parser.add_argument("--long", type=int, default=34)
+    args = parser.parse_args()
+
+    tokenizer = ConceptTokenizer()
+    tokenizer.add_tokens([f"<ood {i}>" for i in range(1, 91)])
+    config = MLLMConfig.create(
+        vocab_size=len(tokenizer), vision_preset="vit-b-16", lm_preset="gemma3-1b",
+        num_vision_tokens=197, image_size=224,
+    )
+    model = MLLM(config)
+
+    rng = np.random.default_rng(0)
+    B, nvt = args.batch, 197
+    images = jnp.asarray(rng.normal(size=(B, 3, 224, 224)).astype(np.float32))
+    ids = np.zeros((B, nvt + TEXT_LEN), np.int32)
+    ids[:, nvt:] = rng.integers(4, len(tokenizer) - 91, size=(B, TEXT_LEN))
+    mask = np.ones_like(ids)
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    params = jax.jit(model.init)(jax.random.key(0), images, ids, mask)["params"]
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+
+    def timed(n_new):
+        fn = jax.jit(lambda p, i, t, m: greedy_generate(
+            model, p, i, t, m, max_new_tokens=n_new))
+        t0 = time.time()
+        out = fn(params, images, ids, mask)
+        _ = np.asarray(out)  # fence (block_until_ready unreliable on axon)
+        print(f"[gen] compile+warmup n_new={n_new}: {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        for _ in range(REPEATS):
+            out = fn(params, images, ids, mask)
+            _ = np.asarray(out)
+        return (time.time() - t0) / REPEATS
+
+    t_short = timed(args.short)
+    t_long = timed(args.long)
+    per_tok = (t_long - t_short) / (args.long - args.short)
+    decode_tok_s = args.batch / per_tok
+    print(
+        f"[gen] batch={args.batch} prompt={nvt + TEXT_LEN} "
+        f"prefill+{args.short}tok={t_short * 1e3:.1f}ms "
+        f"full({args.long}tok)={t_long * 1e3:.1f}ms "
+        f"decode={per_tok * 1e3:.2f}ms/step -> {decode_tok_s:.0f} tok/s aggregate "
+        f"({1.0 / per_tok:.1f} tok/s/seq)"
+    )
+
+
+if __name__ == "__main__":
+    main()

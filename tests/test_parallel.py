@@ -147,6 +147,66 @@ def test_2d_mesh_tensor_parallel(eight_devices):
     np.testing.assert_allclose(ref, got, rtol=1e-5)
 
 
+def test_fsdp_sharding_matches_single_device(eight_devices):
+    """ZeRO-3-style fully-sharded params over the data axis: every large
+    weight is split 8 ways, GSPMD all-gathers on use, and one full train
+    step reproduces the replicated step's loss and updates."""
+    cfg = tiny_mllm()
+    model = MLLM(cfg)
+    batch = _batch(cfg, batch=8)
+    init_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.key(0), init_batch["images"], init_batch["input_ids"],
+                        init_batch["attention_mask"], init_batch["labels"])["params"]
+
+    tx = build_optimizer(1e-2, weight_decay=0.0, max_grad_norm=1.0)
+    step = make_mllm_train_step(model, tx)
+    clone = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+
+    s1 = TrainState.create(clone(params), tx)
+    s1, m1 = step(s1, init_batch, jax.random.key(1))
+
+    mesh = make_mesh(eight_devices)  # 1-D mesh; 'data' doubles as fsdp axis
+    sp = shard_params(clone(params), mesh, fsdp_axis="data")
+    specs = param_shardings(params, mesh, fsdp_axis="data")
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    fsdp_sharded = [jax.tree_util.keystr(p) for p, s in flat if "data" in str(s.spec)]
+    assert any("embed_tokens" in p for p in fsdp_sharded)
+    assert any("gate_proj" in p for p in fsdp_sharded)
+    # each device must hold a 1/8 shard of the embedding, not a replica
+    emb = sp["language_model"]["embed_tokens"]["embedding"]
+    assert not emb.sharding.is_fully_replicated
+    assert emb.addressable_shards[0].data.size == emb.size // 8
+
+    s8 = TrainState.create(sp, tx)
+    s8, m8 = step(s8, shard_batch(batch, mesh), jax.random.key(1))
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fsdp_composes_with_tensor_parallel(eight_devices):
+    """4x2 mesh: TP over 'model' plus FSDP over 'data' on the same tree."""
+    cfg = tiny_mllm()
+    model = MLLM(cfg)
+    batch = _batch(cfg, batch=8)
+    init_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.key(0), init_batch["images"], init_batch["input_ids"],
+                        init_batch["attention_mask"], init_batch["labels"])["params"]
+
+    def loss_fn(p, b):
+        return model.apply({"params": p}, b["images"], b["input_ids"],
+                           b["attention_mask"], b["labels"])["loss"]
+
+    ref = float(jax.jit(loss_fn)(params, init_batch))
+    mesh = make_mesh(eight_devices, axis_names=("data", "model"), shape=(4, 2))
+    sp = shard_params(params, mesh, fsdp_axis="data")
+    # gate_proj: column-parallel over model AND fsdp over data on the other dim
+    spec = sp["language_model"]["layer_0"]["gate_proj"]["kernel"].sharding.spec
+    assert "model" in str(spec) and "data" in str(spec)
+    got = float(jax.jit(loss_fn)(sp, shard_batch(batch, mesh, axis="data")))
+    np.testing.assert_allclose(ref, got, rtol=1e-5)
+
+
 def test_classifier_step_runs_sharded(eight_devices):
     from multimodal_concept_learning_tpu.models import ViTForImageClassification
 

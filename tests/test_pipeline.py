@@ -1,0 +1,89 @@
+"""Pipeline parallelism: pipelined layer stack == plain scanned stack.
+
+GPipe schedule over a 'pipe' mesh axis (parallel/pipeline.py) must be
+forward- AND gradient-identical to the unpipelined scan_layers forward,
+including ragged padding masks and the Gemma-3 sliding/global layer pattern.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_concept_learning_tpu.models.lm import CausalLM, LMConfig
+from multimodal_concept_learning_tpu.parallel.mesh import make_mesh
+from multimodal_concept_learning_tpu.parallel.pipeline import (
+    make_pipelined_hidden_states,
+    shard_pipeline_params,
+)
+
+
+def _lm(num_layers=4):
+    return CausalLM(dataclasses.replace(
+        LMConfig.preset("nano", vocab_size=128),
+        num_layers=num_layers, dtype=jnp.float32, scan_layers=True,
+        use_qk_norm=True, sandwich_norms=True,
+        sliding_window=6, sliding_window_pattern=2, query_pre_attn_scalar=32.0,
+    ))
+
+
+def _inputs(model, b=8, t=12, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = jnp.asarray(rng.integers(0, 128, size=(b, t)).astype(np.int32))
+    mask = np.ones((b, t), np.int32)
+    mask[1, -3:] = 0
+    mask[3, -1:] = 0
+    mask = jnp.asarray(mask)
+    params = model.init(jax.random.key(0), ids)["params"]
+    embeds = model.apply({"params": params}, ids, method=CausalLM.embed)
+    return params, embeds, mask
+
+
+@pytest.mark.parametrize("n_stages,n_micro", [(2, 4), (4, 2)])
+def test_pipeline_forward_matches_scan(eight_devices, n_stages, n_micro):
+    model = _lm(num_layers=4)
+    params, embeds, mask = _inputs(model)
+
+    want = model.apply({"params": params}, embeds, mask,
+                       method=CausalLM.hidden_states)
+
+    mesh = make_mesh(eight_devices[:n_stages], axis_names=("pipe",))
+    sp = shard_pipeline_params(params, mesh)
+    # layer params actually split across stages
+    leaf = jax.tree_util.tree_leaves(sp["layers_scan"])[0]
+    assert leaf.addressable_shards[0].data.shape[0] == 4 // n_stages
+
+    fn = jax.jit(make_pipelined_hidden_states(model, mesh, num_microbatches=n_micro))
+    got = fn(sp, embeds, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_gradients_match_scan(eight_devices):
+    model = _lm(num_layers=4)
+    params, embeds, mask = _inputs(model, seed=1)
+
+    def loss_plain(p):
+        h = model.apply({"params": p}, embeds, mask, method=CausalLM.hidden_states)
+        return (h.astype(jnp.float32) ** 2).mean()
+
+    mesh = make_mesh(eight_devices[:2], axis_names=("pipe",))
+    piped = make_pipelined_hidden_states(model, mesh, num_microbatches=4)
+
+    def loss_piped(p):
+        return (piped(p, embeds, mask).astype(jnp.float32) ** 2).mean()
+
+    g_plain = jax.grad(loss_plain)(params)
+    g_piped = jax.jit(jax.grad(loss_piped))(shard_pipeline_params(params, mesh))
+
+    np.testing.assert_allclose(float(loss_plain(params)),
+                               float(jax.jit(loss_piped)(params)), rtol=1e-6)
+    for (pa, a), (pb, bv) in zip(
+        jax.tree_util.tree_flatten_with_path(g_plain)[0],
+        jax.tree_util.tree_flatten_with_path(g_piped)[0],
+    ):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bv), rtol=2e-5,
+                                   atol=2e-6, err_msg=jax.tree_util.keystr(pa))
