@@ -196,8 +196,60 @@ def shard_pipeline_params(params, mesh: Mesh, pipe_axis: str = "pipe"):
     return jax.tree_util.tree_map_with_path(put, params)
 
 
+def make_pipelined_mllm_loss(
+    mllm,
+    mesh: Mesh,
+    num_microbatches: int,
+    pipe_axis: str = "pipe",
+):
+    """Build ``loss_fn(params, batch) -> loss`` for the composite MLLM with
+    the LM layer stack pipelined.
+
+    The vision tower, projector, embedding, final norm, and sparse answer
+    loss stay replicated (they are a small fraction of the FLOPs); only the
+    LM blocks ride the pipe axis.  ``params['language_model']['layers_scan']``
+    must be sharded with ``shard_pipeline_params`` (leading layer dim over
+    ``pipe``).  Gradients through the pipeline are exact (GPipe).
+    """
+    from multimodal_concept_learning_tpu.models.mllm import MLLM  # circular-safe
+    from multimodal_concept_learning_tpu.ops.losses import sparse_answer_cross_entropy
+
+    assert isinstance(mllm, MLLM)
+    lm_model = CausalLM(mllm.config.lm)
+    piped = make_pipelined_hidden_states(lm_model, mesh, num_microbatches, pipe_axis)
+
+    def loss_fn(params, batch):
+        nvt = mllm.config.num_vision_tokens
+
+        def embed_inputs(m, images, input_ids):
+            image_embeds = m.vision_model(images, deterministic=True)
+            projected = m.projector(image_embeds)
+            text = m.language_model.embed(input_ids[:, nvt:])
+            return jnp.concatenate([projected.astype(text.dtype), text], axis=1)
+
+        inputs_embeds = mllm.apply(
+            {"params": params}, batch["images"], batch["input_ids"],
+            method=embed_inputs,
+        )
+        hidden = piped(params["language_model"], inputs_embeds,
+                       batch["attention_mask"])
+
+        def head(m, h):
+            return m.language_model.lm_head(h)
+
+        loss, _, _, _ = sparse_answer_cross_entropy(
+            hidden, batch["labels"],
+            lambda h: mllm.apply({"params": params}, h, method=head),
+            max_positions=mllm.config.max_answer_tokens,
+        )
+        return loss
+
+    return loss_fn
+
+
 __all__ = [
     "make_pipelined_hidden_states",
+    "make_pipelined_mllm_loss",
     "shard_pipeline_params",
     "stage_layer_specs",
 ]

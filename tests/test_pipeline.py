@@ -61,6 +61,63 @@ def test_pipeline_forward_matches_scan(eight_devices, n_stages, n_micro):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pipelined_mllm_loss_and_grads_match(eight_devices):
+    """Composite-MLLM training loss with a pipelined LM stack == the plain
+    MLLM forward (same params), including gradients through vision tower,
+    projector, embedding, and the piped blocks."""
+    from multimodal_concept_learning_tpu.models.mllm import MLLM, MLLMConfig
+    from multimodal_concept_learning_tpu.models.vit import ViTConfig
+    from multimodal_concept_learning_tpu.parallel.pipeline import (
+        make_pipelined_mllm_loss,
+    )
+
+    vision = ViTConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                       num_attention_heads=2, patch_size=8, image_size=16,
+                       num_labels=0, dtype=jnp.float32)
+    lm = dataclasses.replace(
+        LMConfig.preset("nano", vocab_size=128), num_layers=4,
+        dtype=jnp.float32, scan_layers=True, use_qk_norm=True,
+        sandwich_norms=True, sliding_window=6, sliding_window_pattern=2,
+        query_pre_attn_scalar=32.0,
+    )
+    cfg = MLLMConfig(vision=vision, lm=lm, num_vision_tokens=5,
+                     max_answer_tokens=2, dtype=jnp.float32)
+    model = MLLM(cfg)
+
+    rng = np.random.default_rng(7)
+    b, text_len = 4, 8
+    t = cfg.num_vision_tokens + text_len
+    images = jnp.asarray(rng.normal(size=(b, 3, 16, 16)).astype(np.float32))
+    ids = np.zeros((b, t), np.int32)
+    ids[:, cfg.num_vision_tokens:] = rng.integers(4, 128, size=(b, text_len))
+    mask = jnp.asarray(np.ones((b, t), np.int32))
+    labels = np.full((b, t), -100, np.int32)
+    labels[:, -2] = ids[:, -2]
+    batch = {"images": images, "input_ids": jnp.asarray(ids),
+             "attention_mask": mask, "labels": jnp.asarray(labels)}
+
+    params = model.init(jax.random.key(0), images, batch["input_ids"], mask,
+                        batch["labels"])["params"]
+
+    def plain_loss(p):
+        return model.apply({"params": p}, images, batch["input_ids"], mask,
+                           batch["labels"])["loss"]
+
+    mesh = make_mesh(eight_devices[:2], axis_names=("pipe",))
+    piped_loss = make_pipelined_mllm_loss(model, mesh, num_microbatches=2)
+    sp = shard_pipeline_params(params, mesh)
+
+    l0, g0 = jax.value_and_grad(plain_loss)(params)
+    l1, g1 = jax.jit(jax.value_and_grad(lambda p: piped_loss(p, batch)))(sp)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for (pa, a), (pb, bv) in zip(
+        jax.tree_util.tree_flatten_with_path(g0)[0],
+        jax.tree_util.tree_flatten_with_path(g1)[0],
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bv), rtol=2e-5,
+                                   atol=2e-6, err_msg=jax.tree_util.keystr(pa))
+
+
 def test_pipeline_gradients_match_scan(eight_devices):
     model = _lm(num_layers=4)
     params, embeds, mask = _inputs(model, seed=1)
