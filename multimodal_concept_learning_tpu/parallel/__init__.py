@@ -18,6 +18,10 @@ from multimodal_concept_learning_tpu.parallel.pipeline import (
     make_pipelined_hidden_states,
     shard_pipeline_params,
 )
+from multimodal_concept_learning_tpu.parallel.ring_attention import (
+    make_ring_attention,
+    shard_seq,
+)
 from multimodal_concept_learning_tpu.parallel.train_step import (
     make_classifier_eval_step,
     make_classifier_train_step,
@@ -34,6 +38,8 @@ __all__ = [
     "cosine_epoch_schedule",
     "make_pipelined_hidden_states",
     "shard_pipeline_params",
+    "make_ring_attention",
+    "shard_seq",
     "make_classifier_train_step",
     "make_classifier_eval_step",
     "make_mllm_train_step",

@@ -1,0 +1,125 @@
+"""Sequence parallelism: ring attention over a sharded sequence axis.
+
+The reference never needs long-context machinery (sequences are ≤ 237
+tokens, SURVEY.md §5 "long-context: absent"), so this is the framework's
+scale-out path: shard the sequence axis of q/k/v over a ``seq`` mesh axis,
+keep only 1/P of the keys/values resident per device, and rotate k/v blocks
+around the ring with ``lax.ppermute`` while maintaining an online softmax
+(running max / denominator / accumulator in fp32) — the collective form of
+flash attention.  Peak activation memory per device drops from O(T²) to
+O(T²/P) logits and O(T/P) k/v residency, and the block compute overlaps the
+ICI transfer of the next block on real hardware.
+
+Exact (not approximate): outputs match dense attention to float tolerance,
+including causal masks, ragged padding, and fully-masked rows (the bias
+convention is the finite -1e30 of ops/attention.py, so an all-masked row
+degrades to the same uniform average the dense softmax produces).
+Differentiable end-to-end (shard_map/ppermute/scan autodiff = the ring
+backward pass); gradient parity is tested in tests/test_ring_attention.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax moved shard_map out of experimental in newer releases
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def _ring_attention_local(q, k, v, bias, scale, axis_name: str, n_blocks: int):
+    """Per-device body. q/k/v: [B, t, H, D] local blocks (t = T / P);
+    bias: [B, 1 or H, t, T] — this device's query rows against ALL keys."""
+    b, t, h, d = q.shape
+    q32 = q.astype(jnp.float32) * scale
+    perm = [(i, (i + 1) % n_blocks) for i in range(n_blocks)]
+    my = jax.lax.axis_index(axis_name)
+
+    def body(carry, step):
+        k_blk, v_blk, m, denom, acc = carry
+        # k/v blocks travel forward around the ring, so after `step` hops this
+        # device holds the block that started at (my - step) mod P
+        src = (my - step) % n_blocks
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q32, k_blk.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        logits = logits + jax.lax.dynamic_slice_in_dim(
+            bias, src * t, t, axis=3
+        ).astype(jnp.float32)
+        m_new = jnp.maximum(m, logits.max(axis=-1))
+        correction = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new[..., None])
+        denom = denom * correction + p.sum(axis=-1)
+        acc = acc * correction[..., None] + jnp.einsum(
+            "bhqk,bkhd->bhqd", p, v_blk.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        k_nxt = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_blk, axis_name, perm)
+        return (k_nxt, v_nxt, m_new, denom, acc), None
+
+    # the stats are device-varying (each device owns different query rows):
+    # mark the unvarying zero inits accordingly for the scan carry
+    init = (k, v) + jax.lax.pcast(
+        (
+            jnp.full((b, h, t), -jnp.inf, jnp.float32),
+            jnp.zeros((b, h, t), jnp.float32),
+            jnp.zeros((b, h, t, d), jnp.float32),
+        ),
+        (axis_name,), to="varying",
+    )
+    (_, _, _, denom, acc), _ = jax.lax.scan(body, init, jnp.arange(n_blocks))
+    out = acc / jnp.maximum(denom, 1e-30)[..., None]
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)  # [B, t, H, D]
+
+
+def make_ring_attention(mesh: Mesh, axis: str = "seq"):
+    """Build ``fn(q, k, v, bias, scale=None) -> out`` with q/k/v [B, T, H, D]
+    sequence-sharded over ``axis`` and bias [B, 1|H, T, T] sharded over its
+    QUERY axis (each device holds its own query rows against all keys).
+
+    GQA inputs (fewer kv heads) are broadcast to q heads first, matching
+    ops/attention.multi_head_attention's contract.
+    """
+    n_blocks = mesh.shape[axis]
+
+    def fn(q, k, v, bias, scale=None):
+        if k.shape[2] != q.shape[2]:
+            rep = q.shape[2] // k.shape[2]
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        if scale is None:
+            scale = q.shape[-1] ** -0.5
+        if bias.shape[1] == 1:
+            bias = jnp.broadcast_to(bias, (q.shape[0], q.shape[2]) + bias.shape[2:])
+
+        body = lambda ql, kl, vl, bl: _ring_attention_local(  # noqa: E731
+            ql, kl, vl, bl, scale, axis, n_blocks
+        )
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                P(None, axis, None, None),   # q  [B, T/P, H, D]
+                P(None, axis, None, None),   # k
+                P(None, axis, None, None),   # v
+                P(None, None, axis, None),   # bias [B, H, T/P(query), T]
+            ),
+            out_specs=P(None, axis, None, None),
+        )(q, k, v, bias)
+
+    return fn
+
+
+def shard_seq(x, mesh: Mesh, axis: str = "seq", dim: int = 1):
+    """device_put with dimension ``dim`` sharded over the seq axis."""
+    spec = [None] * x.ndim
+    spec[dim] = axis
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+__all__ = ["make_ring_attention", "shard_seq"]
