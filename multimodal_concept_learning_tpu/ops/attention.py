@@ -41,11 +41,7 @@ def multi_head_attention(
     """
     b, tq, hq, d = q.shape
     hk = k.shape[2]
-    if hk != hq:
-        assert hq % hk == 0, f"GQA requires q heads {hq} divisible by kv heads {hk}"
-        rep = hq // hk
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
+    assert hq % hk == 0, f"GQA requires q heads {hq} divisible by kv heads {hk}"
 
     if use_flash is None:
         use_flash = _flash_ok(q, k)
@@ -53,6 +49,9 @@ def multi_head_attention(
         try:
             from multimodal_concept_learning_tpu.ops.flash_attention import flash_attention
 
+            if hk != hq:  # the kernel grids over q heads: expand kv for it
+                k = jnp.repeat(k, hq // hk, axis=2)
+                v = jnp.repeat(v, hq // hk, axis=2)
             if scale is not None:
                 # fold the non-default scale into q (the kernel applies d^-0.5)
                 q = q * jnp.asarray(scale * d**0.5, q.dtype)
@@ -62,14 +61,32 @@ def multi_head_attention(
 
     if scale is None:
         scale = d**-0.5
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if hk == hq:
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            logits = logits + bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        if dropout_rate > 0.0 and not deterministic:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+            probs = probs * keep / (1.0 - dropout_rate)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+    # GQA: grouped einsums — never materialize the kv-head repeat (at
+    # Gemma-3-1b's 4q/1kv that repeat quadruples k/v HBM traffic per layer
+    # and per decode step, and its backward adds a reduction)
+    g = hq // hk
+    qg = q.reshape(b, tq, hk, g, d)
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k,
+                        preferred_element_type=jnp.float32) * scale
     if bias is not None:
-        logits = logits + bias
+        logits = logits + bias.reshape(bias.shape[0], -1, g if bias.shape[1] == hq else 1,
+                                       *bias.shape[2:])
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     if dropout_rate > 0.0 and not deterministic:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = probs * keep / (1.0 - dropout_rate)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    return out.reshape(b, tq, hq, d)
 
 
 def _flash_ok(q, k) -> bool:
