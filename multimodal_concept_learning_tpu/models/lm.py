@@ -69,6 +69,12 @@ class LMConfig:
     # the block's 9 matmuls to recompute.  Cheaper than remat_layers when the
     # goal is merely to get under HBM so XLA stops auto-rematting.
     remat_mlp: bool = False
+    # SERVING ONLY: store attention/MLP weights as symmetric per-channel int8
+    # and run native int8 MXU matmuls with dynamic per-token activation
+    # quantization (ops/quant.py).  Halves the weight bytes each decode step
+    # streams from HBM.  Lossy; convert a trained float tree with
+    # quantize_lm_params.  Embedding / lm_head / norms stay float.
+    int8_weights: bool = False
     dtype: Any = jnp.bfloat16
 
     def layer_is_sliding(self, i: int) -> bool:
@@ -166,13 +172,20 @@ class LMAttention(nn.Module):
         Returns out, or (out, new_cache) when cache is given.
         """
         cfg = self.config
-        proj = lambda heads, name: nn.DenseGeneral(  # noqa: E731
-            features=(heads, cfg.head_dim),
-            use_bias=False,
-            dtype=cfg.dtype,
-            kernel_init=nn.initializers.normal(0.02),
-            name=name,
-        )
+        if cfg.int8_weights:
+            from multimodal_concept_learning_tpu.ops.quant import QuantDenseGeneral
+
+            proj = lambda heads, name: QuantDenseGeneral(  # noqa: E731
+                features=(heads, cfg.head_dim), name=name,
+            )
+        else:
+            proj = lambda heads, name: nn.DenseGeneral(  # noqa: E731
+                features=(heads, cfg.head_dim),
+                use_bias=False,
+                dtype=cfg.dtype,
+                kernel_init=nn.initializers.normal(0.02),
+                name=name,
+            )
         q = proj(cfg.num_heads, "q_proj")(x)
         k = proj(cfg.num_kv_heads, "k_proj")(x)
         v = proj(cfg.num_kv_heads, "v_proj")(x)
@@ -202,14 +215,21 @@ class LMAttention(nn.Module):
             new_cache = {"k": ck, "v": cv}
 
         out = multi_head_attention(q, k, v, bias=bias, scale=scale, deterministic=deterministic)
-        out = nn.DenseGeneral(
-            features=cfg.hidden_size,
-            axis=(-2, -1),
-            use_bias=False,
-            dtype=cfg.dtype,
-            kernel_init=nn.initializers.normal(0.02),
-            name="o_proj",
-        )(out)
+        if cfg.int8_weights:
+            from multimodal_concept_learning_tpu.ops.quant import QuantDenseGeneral
+
+            out = QuantDenseGeneral(
+                features=(cfg.hidden_size,), axis=(-2, -1), name="o_proj",
+            )(out)
+        else:
+            out = nn.DenseGeneral(
+                features=cfg.hidden_size,
+                axis=(-2, -1),
+                use_bias=False,
+                dtype=cfg.dtype,
+                kernel_init=nn.initializers.normal(0.02),
+                name="o_proj",
+            )(out)
         if cache is not None:
             return out, new_cache
         return out
@@ -220,13 +240,19 @@ class LMBlock(nn.Module):
 
     def _mlp(self, h):
         cfg = self.config
-        gate = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype,
-                        kernel_init=nn.initializers.normal(0.02), name="gate_proj")(h)
-        up = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype,
-                      kernel_init=nn.initializers.normal(0.02), name="up_proj")(h)
+        if cfg.int8_weights:
+            from multimodal_concept_learning_tpu.ops.quant import QuantDense
+
+            dense = lambda feats, name: QuantDense(features=feats, name=name)  # noqa: E731
+        else:
+            dense = lambda feats, name: nn.Dense(  # noqa: E731
+                feats, use_bias=False, dtype=cfg.dtype,
+                kernel_init=nn.initializers.normal(0.02), name=name,
+            )
+        gate = dense(cfg.intermediate_size, "gate_proj")(h)
+        up = dense(cfg.intermediate_size, "up_proj")(h)
         h = nn.gelu(gate, approximate=True) * up
-        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
-                        kernel_init=nn.initializers.normal(0.02), name="down_proj")(h)
+        return dense(cfg.hidden_size, "down_proj")(h)
 
     @nn.compact
     def __call__(self, x, bias, rope, deterministic: bool = True,

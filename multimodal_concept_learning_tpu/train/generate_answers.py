@@ -80,6 +80,9 @@ def main(argv=None):
                         help="evaluate at most N samples")
     parser.add_argument("--output", type=str, default=None,
                         help="default: <results_dir>/generations.jsonl")
+    parser.add_argument("--int8", action="store_true",
+                        help="quantize LM weights to int8 for decode (serving "
+                             "mode: halves decode HBM traffic, lossy)")
     args = parser.parse_args(argv)
 
     models_dir = os.path.join(args.results_dir, "models")
@@ -105,6 +108,22 @@ def main(argv=None):
     )
     params = jax.tree_util.tree_map(jnp.asarray, params)
     print(f"Loaded checkpoint {ckpt_path}")
+
+    if args.int8:
+        import dataclasses
+
+        from multimodal_concept_learning_tpu.models.mllm import MLLM
+        from multimodal_concept_learning_tpu.ops.quant import quantize_lm_params
+
+        params = dict(params)
+        params["language_model"] = quantize_lm_params(
+            params["language_model"], model.config.lm
+        )
+        model = MLLM(dataclasses.replace(
+            model.config,
+            lm=dataclasses.replace(model.config.lm, int8_weights=True),
+        ))
+        print("Quantized LM weights to int8 (serving mode)")
 
     transform = create_transforms(config, is_train=False, seed=config.seed)
     dataset_cls = (ColorDataset if config.dataset_name == "color_multimodal"

@@ -34,6 +34,8 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--short", type=int, default=2)
     parser.add_argument("--long", type=int, default=34)
+    parser.add_argument("--int8", action="store_true",
+                        help="serve the LM with int8 weights (ops/quant.py)")
     args = parser.parse_args()
 
     tokenizer = ConceptTokenizer()
@@ -54,6 +56,19 @@ def main():
 
     params = jax.jit(model.init)(jax.random.key(0), images, ids, mask)["params"]
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+
+    if args.int8:
+        import dataclasses
+
+        from multimodal_concept_learning_tpu.ops.quant import quantize_lm_params
+
+        params = dict(params)
+        params["language_model"] = quantize_lm_params(
+            params["language_model"], config.lm
+        )
+        model = MLLM(dataclasses.replace(
+            config, lm=dataclasses.replace(config.lm, int8_weights=True)))
+        print("[gen] int8 LM weights", file=sys.stderr)
 
     def timed(n_new):
         fn = jax.jit(lambda p, i, t, m: greedy_generate(

@@ -1,0 +1,134 @@
+"""Int8 weight-quantized serving path (ops/quant.py + LMConfig.int8_weights).
+
+Three guarantees:
+  1. the int8 matmul primitive is accurate (per-channel weight + per-token
+     activation scales bound the error),
+  2. a trained float CausalLM converted via quantize_lm_params produces
+     logits close to the float model (the deployment conversion path),
+  3. the KV-cache decode loop with int8 weights is *self-consistent*: greedy
+     generation matches the naive full-forward decoder token-for-token, on
+     the full Gemma-3 feature set (qk-norm, sandwich norms, sliding window).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_concept_learning_tpu.models.lm import CausalLM, LMConfig
+from multimodal_concept_learning_tpu.ops.quant import (
+    int8_matmul,
+    quantize_lm_params,
+    quantize_weight,
+)
+
+
+def _lm_config(int8: bool) -> LMConfig:
+    return dataclasses.replace(
+        LMConfig.preset("nano", vocab_size=61),
+        dtype=jnp.float32,
+        int8_weights=int8,
+        use_qk_norm=True,
+        sandwich_norms=True,
+        sliding_window=4,
+        sliding_window_pattern=2,
+        query_pre_attn_scalar=32.0,
+    )
+
+
+def test_int8_matmul_accuracy():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(16, 96)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(96, 48)).astype(np.float32))
+    w_q, scale = quantize_weight(w)
+    got = int8_matmul(x, w_q, scale)
+    want = x @ w
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.02, rel
+    # dequantized weights themselves are within half an lsb per channel
+    err = jnp.abs(w_q.astype(jnp.float32) * scale - w)
+    assert float(jnp.max(err / jnp.maximum(scale, 1e-8))) <= 0.5 + 1e-3
+
+
+def test_quantize_lm_params_forward_close():
+    rng = np.random.default_rng(1)
+    fcfg, qcfg = _lm_config(False), _lm_config(True)
+    fmodel, qmodel = CausalLM(fcfg), CausalLM(qcfg)
+    ids = jnp.asarray(rng.integers(1, 61, size=(2, 11)).astype(np.int32))
+    mask = jnp.ones_like(ids)
+    fparams = fmodel.init(jax.random.key(0), ids, mask)["params"]
+    qparams = quantize_lm_params(fparams, fcfg)
+
+    flogits = fmodel.apply({"params": fparams}, ids, mask)
+    qlogits = qmodel.apply({"params": qparams}, ids, mask)
+    assert flogits.shape == qlogits.shape
+    # per-position cosine similarity of the logit vectors stays high
+    fn = flogits / jnp.linalg.norm(flogits, axis=-1, keepdims=True)
+    qn = qlogits / jnp.linalg.norm(qlogits, axis=-1, keepdims=True)
+    cos = jnp.sum(fn * qn, axis=-1)
+    assert float(cos.min()) > 0.99, float(cos.min())
+    # and the greedy next-token choice is preserved at the last position
+    assert (jnp.argmax(flogits[:, -1], -1) == jnp.argmax(qlogits[:, -1], -1)).all()
+
+
+def test_int8_decode_matches_full_forward():
+    rng = np.random.default_rng(2)
+    cfg = _lm_config(True)
+    model = CausalLM(cfg)
+    b, t, n_new = 2, 7, 5
+    ids = np.zeros((b, t), np.int32)
+    ids[:] = rng.integers(1, 61, size=(b, t))
+    mask = np.ones((b, t), np.int32)
+    mask[1, -2:] = 0  # ragged right padding
+    ids[mask == 0] = 0
+    params = model.init(jax.random.key(3), jnp.asarray(ids), jnp.asarray(mask))["params"]
+
+    # naive: full forward after each appended token
+    rows = np.arange(b)
+    nids = np.pad(ids, ((0, 0), (0, n_new)))
+    nmask = np.pad(mask, ((0, 0), (0, n_new)))
+    seq_lens = mask.sum(axis=1)
+    want = []
+    for _ in range(n_new):
+        logits = model.apply({"params": params}, jnp.asarray(nids), jnp.asarray(nmask))
+        nxt = np.asarray(jnp.argmax(logits[rows, seq_lens - 1], axis=-1))
+        want.append(nxt)
+        nids[rows, seq_lens] = nxt
+        nmask[rows, seq_lens] = 1
+        seq_lens = seq_lens + 1
+    want = np.stack(want, axis=1)
+
+    # KV-cache: prefill once, then single-token decode steps
+    from multimodal_concept_learning_tpu.models.lm import init_kv_cache
+
+    s = t + n_new
+    caches = init_kv_cache(cfg, b, s)
+    pids = jnp.asarray(np.pad(ids, ((0, 0), (0, n_new))))
+    pmask = jnp.asarray(np.pad(mask, ((0, 0), (0, n_new))))
+    embeds = model.apply({"params": params}, pids, method=CausalLM.embed)
+    hidden, caches = model.apply(
+        {"params": params}, embeds, pmask, caches, method=CausalLM.prefill
+    )
+    seq_lens = jnp.asarray(mask.sum(axis=1))
+    last = jnp.argmax(
+        model.apply({"params": params}, hidden[rows, seq_lens - 1], method=CausalLM.lm_head),
+        axis=-1,
+    )
+    got = [np.asarray(last)]
+    cache_mask = np.array(pmask)
+    for _ in range(n_new - 1):
+        cache_mask[rows, np.asarray(seq_lens)] = 1
+        embeds = model.apply({"params": params}, last[:, None], method=CausalLM.embed)
+        hidden, caches = model.apply(
+            {"params": params}, embeds, caches, seq_lens, jnp.asarray(cache_mask),
+            method=CausalLM.decode_step,
+        )
+        last = jnp.argmax(
+            model.apply({"params": params}, hidden[:, 0], method=CausalLM.lm_head),
+            axis=-1,
+        )
+        seq_lens = seq_lens + 1
+        got.append(np.asarray(last))
+    got = np.stack(got, axis=1)
+    np.testing.assert_array_equal(got, want)
