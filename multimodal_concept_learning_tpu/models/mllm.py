@@ -174,7 +174,7 @@ class MLLM(nn.Module):
         return self.language_model.prefill(inputs_embeds, attention_mask, caches)
 
 
-def greedy_generate(
+def generate(
     model: MLLM,
     params,
     images: jax.Array,
@@ -184,23 +184,37 @@ def greedy_generate(
     eos_id: Optional[int] = None,
     pad_id: int = 0,
     channels_last: bool = False,
+    key: Optional[jax.Array] = None,
+    temperature: float = 0.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
 ):
-    """Greedy autoregressive generation with per-layer KV caches.
+    """Autoregressive generation with per-layer KV caches.
 
     A framework addition for deployment — the reference never decodes (its
     eval is argmax at supervised positions, multimodal_training.py:273-303).
     Prompts must be RIGHT-padded (the collator's layout, so each row's first
     free cache slot index equals its next rope position).
 
+    ``temperature == 0`` (default) is greedy; ``temperature > 0`` draws from
+    the temperature-scaled distribution after optional top-k / nucleus
+    (top-p) filtering (ops/sampling.py) using ``key``, split once per step.
+    Sampler settings are static — each combination compiles its own program.
+
     Returns tokens [B, max_new_tokens]; after a row emits ``eos_id`` its
     remaining positions are ``pad_id``.  Pure function of its arguments —
     wrap in jax.jit for serving.
     """
     from multimodal_concept_learning_tpu.models.lm import init_kv_cache
+    from multimodal_concept_learning_tpu.ops.sampling import sample_logits
 
     b, t = input_ids.shape
     rows = jnp.arange(b)
     caches = init_kv_cache(model.config.lm, b, t + max_new_tokens)
+    if temperature > 0.0 and key is None:
+        raise ValueError("temperature > 0 requires key=")
+    if key is None:
+        key = jax.random.key(0)  # unused by the greedy branch
 
     hidden, caches = model.apply(
         {"params": params}, images, input_ids, attention_mask, caches,
@@ -214,13 +228,18 @@ def greedy_generate(
             {"params": params}, h, method=lambda m, x: m.language_model.lm_head(x)
         )
 
-    first_tok = jnp.argmax(head(last_hidden)[:, 0, :], axis=-1).astype(jnp.int32)
+    def sample(logits, step_key):
+        return sample_logits(logits, step_key, temperature=temperature,
+                             top_k=top_k, top_p=top_p)
+
+    key, first_key = jax.random.split(key)
+    first_tok = sample(head(last_hidden)[:, 0, :], first_key)
     cache_mask = jnp.pad(attention_mask.astype(jnp.int32),
                          ((0, 0), (0, max_new_tokens)))
     done = jnp.zeros((b,), bool) if eos_id is None else first_tok == eos_id
 
     def body(carry, _):
-        tok, seq_lens, cache_mask, caches, done = carry
+        tok, seq_lens, cache_mask, caches, done, key = carry
         emb = model.apply(
             {"params": params}, tok[:, None],
             method=lambda m, ids: m.language_model.embed(ids),
@@ -230,14 +249,24 @@ def greedy_generate(
             {"params": params}, emb, caches, seq_lens, cache_mask,
             method=lambda m, *a: m.language_model.decode_step(*a),
         )
-        nxt = jnp.argmax(head(h)[:, 0, :], axis=-1).astype(jnp.int32)
+        key, step_key = jax.random.split(key)
+        nxt = sample(head(h)[:, 0, :], step_key)
         nxt = jnp.where(done, pad_id, nxt)
         new_done = done if eos_id is None else done | (nxt == eos_id)
-        return (nxt, seq_lens + 1, cache_mask, caches, new_done), nxt
+        return (nxt, seq_lens + 1, cache_mask, caches, new_done, key), nxt
 
-    carry = (first_tok, seq_lens, cache_mask, caches, done)
+    carry = (first_tok, seq_lens, cache_mask, caches, done, key)
     _, rest = jax.lax.scan(body, carry, None, length=max_new_tokens - 1)
     return jnp.concatenate([first_tok[:, None], rest.T], axis=1)
+
+
+def greedy_generate(model, params, images, input_ids, attention_mask,
+                    max_new_tokens, eos_id=None, pad_id=0, channels_last=False):
+    """Greedy decoding — ``generate`` at temperature 0 (kept as the stable
+    serving entry point; tests pin exact parity vs full-forward decoding)."""
+    return generate(model, params, images, input_ids, attention_mask,
+                    max_new_tokens, eos_id=eos_id, pad_id=pad_id,
+                    channels_last=channels_last)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,77 @@
+"""Token sampling for the serving path (temperature / top-k / nucleus).
+
+The reference never generates at all (its eval is teacher-forced argmax,
+src/multimodal/multimodal_training.py:273-303); the framework's decode loop
+(models/mllm.generate) threads a PRNG key through ``lax.scan`` and calls
+``sample_logits`` once per step, so everything here must be jit-safe with
+STATIC sampler settings (python floats/ints, not traced values — each
+setting combination is its own compiled program, the standard serving
+trade).
+
+Greedy is the ``temperature == 0`` limit and compiles to a plain argmax with
+no RNG use.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG = jnp.float32(-1e30)
+
+
+def top_k_mask(logits: jax.Array, k: int) -> jax.Array:
+    """Keep the k highest logits per row; everything else -> -1e30.
+
+    Ties at the k-th value are all kept (threshold comparison), which only
+    widens the candidate set — harmless for sampling.
+    """
+    if k >= logits.shape[-1]:
+        return logits
+    thresh = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits >= thresh, logits, _NEG)
+
+
+def top_p_mask(logits: jax.Array, p: float) -> jax.Array:
+    """Nucleus filter: keep the smallest prefix of the probability-sorted
+    vocabulary whose cumulative mass reaches ``p`` (the token that crosses
+    the threshold is included, matching the usual HF semantics)."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # position i is kept iff the mass BEFORE it is still < p
+    keep_sorted = (cum - probs) < p
+    # map back: a logit is kept iff it is >= the smallest kept sorted logit
+    n_keep = jnp.sum(keep_sorted, axis=-1, keepdims=True)  # >= 1 always
+    kth = jnp.take_along_axis(sorted_logits, n_keep - 1, axis=-1)
+    return jnp.where(logits >= kth, logits, _NEG)
+
+
+def sample_logits(
+    logits: jax.Array,
+    key: Optional[jax.Array],
+    temperature: float = 0.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+) -> jax.Array:
+    """Draw one token id per row from ``logits [..., V]``.
+
+    temperature == 0 -> greedy argmax (key may be None).  Otherwise filters
+    compose in the standard order (top-k, then nucleus over the survivors,
+    then temperature-scaled categorical draw).
+    """
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if key is None:
+        raise ValueError("temperature > 0 requires a PRNG key")
+    logits = logits.astype(jnp.float32)
+    if top_k is not None:
+        logits = top_k_mask(logits, top_k)
+    if top_p is not None:
+        logits = top_p_mask(logits, top_p)
+    return jax.random.categorical(key, logits / temperature, axis=-1).astype(jnp.int32)
+
+
+__all__ = ["sample_logits", "top_k_mask", "top_p_mask"]

@@ -38,7 +38,7 @@ from multimodal_concept_learning_tpu.data import (
     create_transforms,
     load_split_datasets,
 )
-from multimodal_concept_learning_tpu.models.mllm import greedy_generate
+from multimodal_concept_learning_tpu.models.mllm import generate
 from multimodal_concept_learning_tpu.ops.losses import IGNORE_INDEX
 from multimodal_concept_learning_tpu.train.multimodal_training import (
     init_model_and_tokenizer,
@@ -83,6 +83,11 @@ def main(argv=None):
     parser.add_argument("--int8", action="store_true",
                         help="quantize LM weights to int8 for decode (serving "
                              "mode: halves decode HBM traffic, lossy)")
+    parser.add_argument("--temperature", type=float, default=0.0,
+                        help="0 = greedy (default); >0 samples")
+    parser.add_argument("--top_k", type=int, default=None)
+    parser.add_argument("--top_p", type=float, default=None)
+    parser.add_argument("--sample_seed", type=int, default=0)
     args = parser.parse_args(argv)
 
     models_dir = os.path.join(args.results_dir, "models")
@@ -154,11 +159,13 @@ def main(argv=None):
     pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
 
     gen_fn = jax.jit(
-        lambda p, img, ids, mask: greedy_generate(
+        lambda p, img, ids, mask, key: generate(
             model, p, img, ids, mask, max_new_tokens=args.max_new_tokens,
-            eos_id=eos_id, pad_id=pad_id,
+            eos_id=eos_id, pad_id=pad_id, key=key,
+            temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
         )
     )
+    sample_key = jax.random.key(args.sample_seed)
 
     out_path = args.output or os.path.join(args.results_dir, "generations.jsonl")
     n_done = yes_correct = exact_correct = 0
@@ -176,8 +183,9 @@ def main(argv=None):
                 )
             else:
                 images = jnp.asarray(batch["images"])
+            sample_key, batch_key = jax.random.split(sample_key)
             gen = np.asarray(gen_fn(params, images, jnp.asarray(ids),
-                                    jnp.asarray(mask)))
+                                    jnp.asarray(mask), batch_key))
             valid = batch.get("valid", np.ones(gen.shape[0], bool))
             labels = batch["labels"]
             for i in range(gen.shape[0]):

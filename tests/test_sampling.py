@@ -1,0 +1,113 @@
+"""Sampling-based decoding (ops/sampling.py + models/mllm.generate).
+
+Pins: greedy is the temperature-0 limit, top-k/top-p filters admit exactly
+the intended candidate sets, the categorical draw matches softmax
+frequencies, and the jitted generate loop is reproducible per key and
+degenerates to greedy_generate at temperature 0.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_concept_learning_tpu.ops.sampling import (
+    sample_logits,
+    top_k_mask,
+    top_p_mask,
+)
+
+
+def test_greedy_limit_no_key():
+    logits = jnp.asarray([[0.1, 2.0, -1.0], [3.0, 0.0, 1.0]])
+    got = sample_logits(logits, None, temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(got), [1, 0])
+    with pytest.raises(ValueError):
+        sample_logits(logits, None, temperature=1.0)
+
+
+def test_top_k_mask_keeps_k_highest():
+    logits = jnp.asarray([[0.0, 5.0, 3.0, 4.0, -2.0]])
+    masked = np.asarray(top_k_mask(logits, 2))
+    assert (masked[0, [1, 3]] == [5.0, 4.0]).all()
+    assert (masked[0, [0, 2, 4]] < -1e29).all()
+    # k >= vocab is the identity
+    np.testing.assert_array_equal(np.asarray(top_k_mask(logits, 5)), np.asarray(logits))
+
+
+def test_top_p_mask_nucleus():
+    # softmax of [2, 1, 0, -1] ~ [0.644, 0.237, 0.087, 0.032]
+    logits = jnp.asarray([[2.0, 1.0, 0.0, -1.0]])
+    # p=0.5: first token alone crosses the mass -> only it survives
+    m = np.asarray(top_p_mask(logits, 0.5))
+    assert m[0, 0] == 2.0 and (m[0, 1:] < -1e29).all()
+    # p=0.7: mass before token 1 is 0.644 < 0.7 -> top-2 survive
+    m = np.asarray(top_p_mask(logits, 0.7))
+    assert (m[0, :2] == [2.0, 1.0]).all() and (m[0, 2:] < -1e29).all()
+    # p=1.0 keeps everything
+    np.testing.assert_array_equal(np.asarray(top_p_mask(logits, 1.0)), np.asarray(logits))
+
+
+def test_categorical_frequencies_match_softmax():
+    logits = jnp.asarray([[1.0, 0.0, -1.0, 2.0]])
+    keys = jax.random.split(jax.random.key(0), 4000)
+    draws = jax.vmap(lambda k: sample_logits(logits, k, temperature=1.0))(keys)
+    freq = np.bincount(np.asarray(draws).ravel(), minlength=4) / 4000.0
+    want = np.asarray(jax.nn.softmax(logits[0]))
+    np.testing.assert_allclose(freq, want, atol=0.03)
+
+
+def test_top_k_sampling_stays_in_candidate_set():
+    logits = jnp.asarray([[0.0, 5.0, 3.0, 4.0, -2.0, 1.0]])
+    keys = jax.random.split(jax.random.key(1), 300)
+    draws = np.asarray(
+        jax.vmap(lambda k: sample_logits(logits, k, temperature=2.0, top_k=3))(keys)
+    ).ravel()
+    assert set(draws.tolist()) <= {1, 2, 3}
+
+
+def _tiny_mllm():
+    from multimodal_concept_learning_tpu.models.lm import LMConfig
+    from multimodal_concept_learning_tpu.models.mllm import MLLM, MLLMConfig
+    from multimodal_concept_learning_tpu.models.vit import ViTConfig
+
+    vision = ViTConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                       num_attention_heads=2, patch_size=8, image_size=16,
+                       num_labels=0, dtype=jnp.float32)
+    lm = dataclasses.replace(LMConfig.preset("nano", vocab_size=97),
+                             dtype=jnp.float32)
+    config = MLLMConfig(vision=vision, lm=lm, num_vision_tokens=5,
+                        max_answer_tokens=2, dtype=jnp.float32)
+    return MLLM(config), config
+
+
+def test_generate_sampling_reproducible_and_greedy_default():
+    from multimodal_concept_learning_tpu.models.mllm import generate, greedy_generate
+
+    model, config = _tiny_mllm()
+    rng = np.random.default_rng(7)
+    b, text_len, n_new = 2, 6, 5
+    nvt = config.num_vision_tokens
+    images = jnp.asarray(rng.normal(size=(b, 3, 16, 16)).astype(np.float32))
+    ids = np.zeros((b, nvt + text_len), np.int32)
+    ids[:, nvt:] = rng.integers(4, 97, size=(b, text_len))
+    mask = np.ones_like(ids)
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    params = model.init(jax.random.key(0), images, ids, mask)["params"]
+
+    greedy = np.asarray(greedy_generate(model, params, images, ids, mask, n_new))
+    default = np.asarray(generate(model, params, images, ids, mask, n_new))
+    np.testing.assert_array_equal(greedy, default)
+
+    k = jax.random.key(11)
+    s1 = np.asarray(generate(model, params, images, ids, mask, n_new,
+                             key=k, temperature=1.0, top_k=20))
+    s2 = np.asarray(generate(model, params, images, ids, mask, n_new,
+                             key=k, temperature=1.0, top_k=20))
+    np.testing.assert_array_equal(s1, s2)  # same key -> same draw
+    s3 = np.asarray(generate(model, params, images, ids, mask, n_new,
+                             key=jax.random.key(12), temperature=1.0, top_k=20))
+    assert (s1 != s3).any()  # different key -> (overwhelmingly) different draw
+    assert s1.shape == (b, n_new) and (0 <= s1).all() and (s1 < 97).all()
