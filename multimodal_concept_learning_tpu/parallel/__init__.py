@@ -22,6 +22,7 @@ from multimodal_concept_learning_tpu.parallel.ring_attention import (
     make_ring_attention,
     shard_seq,
 )
+from multimodal_concept_learning_tpu.parallel.serving import make_sharded_generate
 from multimodal_concept_learning_tpu.parallel.train_step import (
     make_classifier_eval_step,
     make_classifier_train_step,
@@ -40,6 +41,7 @@ __all__ = [
     "shard_pipeline_params",
     "make_ring_attention",
     "shard_seq",
+    "make_sharded_generate",
     "make_classifier_train_step",
     "make_classifier_eval_step",
     "make_mllm_train_step",

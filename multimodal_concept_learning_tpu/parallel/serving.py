@@ -1,0 +1,80 @@
+"""Sharded serving: KV-cache generation over a device mesh.
+
+The training side already runs DP x TP (+FSDP) via the sharding rules in
+parallel/sharding_rules.py; this module applies the same parameter layout to
+the autoregressive decode path (models/mllm.generate), so a model too big
+for one chip — or a batch too big for one chip's HBM — serves across the
+mesh with XLA GSPMD inserting the collectives over ICI:
+
+- parameters: Megatron TP layout (q/k/v head-sharded, MLP column/row
+  parallel, vocab-sharded embedding+tied head) on the ``model`` axis,
+  optionally ZeRO-3 FSDP on another axis,
+- batch (images / prompt ids / mask) and the returned token matrix: sharded
+  on the ``data`` axis,
+- per-layer KV caches: created inside the jitted program; GSPMD propagates
+  the batch sharding into them, so each data shard holds only its rows.
+
+The reference has no serving path at all (its eval is teacher-forced argmax,
+src/multimodal/multimodal_training.py:273-303) and its only parallelism is
+DDP (SURVEY.md C22); this is a framework extension.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodal_concept_learning_tpu.models.mllm import generate
+from multimodal_concept_learning_tpu.parallel.sharding_rules import (
+    param_shardings,
+    shard_params,
+)
+
+
+def make_sharded_generate(
+    model,
+    params,
+    mesh: Mesh,
+    max_new_tokens: int,
+    eos_id: Optional[int] = None,
+    pad_id: int = 0,
+    channels_last: bool = False,
+    temperature: float = 0.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    fsdp_axis: Optional[str] = None,
+):
+    """Returns ``(gen_fn, sharded_params)``.
+
+    ``gen_fn(sharded_params, images, input_ids, attention_mask, key)`` is a
+    jitted generation step with explicit in/out shardings; pass host arrays
+    (jit device_puts them per the shardings) or pre-sharded ones.  ``key``
+    is only consumed when ``temperature > 0``.  The global batch must be
+    divisible by the data-axis size.
+    """
+    sharded = shard_params(params, mesh, model_axis=model_axis, fsdp_axis=fsdp_axis)
+    p_shardings = param_shardings(params, mesh, model_axis=model_axis,
+                                  fsdp_axis=fsdp_axis)
+    batch = NamedSharding(mesh, P(data_axis))
+    rep = NamedSharding(mesh, P())
+
+    def run(p, images, input_ids, attention_mask, key):
+        return generate(
+            model, p, images, input_ids, attention_mask, max_new_tokens,
+            eos_id=eos_id, pad_id=pad_id, channels_last=channels_last,
+            key=key, temperature=temperature, top_k=top_k, top_p=top_p,
+        )
+
+    gen_fn = jax.jit(
+        run,
+        in_shardings=(p_shardings, batch, batch, batch, rep),
+        out_shardings=batch,
+    )
+    return gen_fn, sharded
+
+
+__all__ = ["make_sharded_generate"]

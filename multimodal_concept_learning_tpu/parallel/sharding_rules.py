@@ -43,6 +43,9 @@ def _maybe(spec_dims, shape, mesh: Mesh, model_axis: str):
 
 def _spec_dims(keys, shape) -> Optional[list]:
     """Axis-role list (model-axis placeholder as 'M') for a param, or None."""
+    if keys and keys[-1] == "scale":
+        # int8 per-output-channel scales (ops/quant.py): tiny — replicate
+        return None
     if "embed_tokens" in keys and "embedding" in keys:
         return ["M", None]
     if any(k in keys for k in ("gate_proj", "up_proj")):
@@ -50,9 +53,11 @@ def _spec_dims(keys, shape) -> Optional[list]:
     if "down_proj" in keys:
         return ["M", None]
     if any(k in keys for k in ("q_proj", "k_proj", "v_proj")):
-        return [None, "M", None]
+        # float DenseGeneral kernel [in, heads, dh]; int8 kernel [in, out]
+        return [None, "M", None] if len(shape) == 3 else [None, "M"]
     if "o_proj" in keys:
-        return ["M", None, None]
+        # float kernel [heads, dh, H]; int8 kernel [heads*dh, H]
+        return ["M", None, None] if len(shape) == 3 else ["M", None]
     # ViT MLP (named intermediate/output inside layer_i)
     if "intermediate" in keys and keys[-1] == "kernel":
         return [None, "M"]
