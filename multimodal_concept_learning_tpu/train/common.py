@@ -32,6 +32,37 @@ def epoch_metric_mean(values):
     return float(jnp.mean(jnp.stack(values)))
 
 
+class PreemptionGuard:
+    """Graceful-preemption flag (SURVEY.md §5 failure-detection row: the
+    reference has none — a SLURM wall kill loses everything since the last
+    best-val checkpoint).
+
+    TPU VMs (and most schedulers) deliver SIGTERM with a grace period before
+    a preemption.  The guard installs a handler that only flips a flag; the
+    epoch loop polls ``guard.preempted`` after each step and, when set, saves
+    a mid-epoch step-granular checkpoint through ResumeManager and returns.
+    The previous handler is chained so outer supervisors still observe the
+    signal.  Install once per process from the main thread.
+    """
+
+    def __init__(self, enabled: bool = True):
+        import signal
+        import threading
+
+        self.preempted = False
+        self._enabled = enabled and threading.current_thread() is threading.main_thread()
+        if not self._enabled:
+            return
+        self._prev = signal.getsignal(signal.SIGTERM)
+
+        def handler(signum, frame):
+            self.preempted = True
+            if callable(self._prev):
+                self._prev(signum, frame)
+
+        signal.signal(signal.SIGTERM, handler)
+
+
 class ResumeManager:
     """Orbax-backed epoch-granular resume (SURVEY.md §5: the reference has
     checkpoints but no resume — training always restarts from scratch).
@@ -67,9 +98,20 @@ class ResumeManager:
         if os.path.exists(self.meta_path):
             with open(self.meta_path) as f:
                 meta = json.load(f)
-        print(f"Resuming from epoch {epoch} checkpoint in {self.ckpt_dir}")
+        if meta.get("preempt_epoch") == epoch:
+            # mid-epoch preemption checkpoint: restart THIS epoch, skipping
+            # the batches whose updates are already in the restored state
+            # (the loader replays deterministically via set_epoch)
+            start_epoch = epoch
+            meta["skip_batches"] = int(meta.get("step_in_epoch", 0))
+            print(f"Resuming from epoch {epoch} checkpoint in {self.ckpt_dir} "
+                  f"(mid-epoch: skipping {meta['skip_batches']} batches)")
+        else:
+            start_epoch = epoch + 1
+            meta.pop("skip_batches", None)
+            print(f"Resuming from epoch {epoch} checkpoint in {self.ckpt_dir}")
         restored = jax.tree_util.tree_map(jax.numpy.asarray, restored)
-        return restored, epoch + 1, meta
+        return restored, start_epoch, meta
 
     def save(self, state, epoch: int, meta: dict):
         """Kick off an async checkpoint of ``state`` and persist loop meta.
@@ -86,8 +128,31 @@ class ResumeManager:
         from multimodal_concept_learning_tpu.checkpoint import save_checkpoint
 
         save_checkpoint(self.ckpt_dir, state, epoch)
+        meta = {k: v for k, v in meta.items()
+                if k not in ("preempt_epoch", "step_in_epoch", "skip_batches")}
         with open(self.meta_path, "w") as f:
             json.dump(meta, f)
+
+    def save_preempted(self, state, epoch: int, step_in_epoch: int, meta: dict):
+        """Durable mid-epoch checkpoint for a graceful preemption exit.
+
+        The meta is written FIRST: a save torn by the hard kill that follows
+        the grace period leaves only an orbax tmp dir, and a stale
+        ``preempt_epoch`` pointing past the last committed step is ignored by
+        ``restore`` (it only honors preempt_epoch == the restored step).
+        Blocks until the checkpoint is committed.
+        """
+        if not self.enabled:
+            return False
+        import json
+
+        from multimodal_concept_learning_tpu.checkpoint import save_checkpoint
+
+        with open(self.meta_path, "w") as f:
+            json.dump({**meta, "preempt_epoch": epoch,
+                       "step_in_epoch": int(step_in_epoch)}, f)
+        save_checkpoint(self.ckpt_dir, state, epoch, wait=True)
+        return True
 
     def finalize(self):
         """Drain any in-flight async save (call once after the epoch loop)."""

@@ -64,7 +64,11 @@ from multimodal_concept_learning_tpu.parallel import (
 from multimodal_concept_learning_tpu.parallel.optimizer import linear_warmup_schedule
 from multimodal_concept_learning_tpu.parallel.train_step import TrainState
 from multimodal_concept_learning_tpu.tokenizer import load_tokenizer
-from multimodal_concept_learning_tpu.train.common import ResumeManager, mesh_for_batch
+from multimodal_concept_learning_tpu.train.common import (
+    PreemptionGuard,
+    ResumeManager,
+    mesh_for_batch,
+)
 from multimodal_concept_learning_tpu.utils import MetricsLogger, set_seed
 
 
@@ -250,6 +254,8 @@ def run_training(
 
     resume = ResumeManager(config.results_dir, config.resume)
     state, start_epoch, meta = resume.restore(state)
+    guard = PreemptionGuard(enabled=config.resume)
+    skip_batches = int(meta.get("skip_batches", 0) or 0)
 
     sharding = batch_sharding(mesh)
     best_loss = float(meta.get("best_loss", float("inf")))
@@ -265,9 +271,25 @@ def run_training(
         import jax.numpy as jnp
 
         losses = []
-        for batch in prefetch_to_device(train_loader, sharding):
+        data_iter = iter(train_loader)
+        done_in_epoch = 0
+        if epoch == start_epoch and skip_batches:
+            # mid-epoch resume: the restored state already contains these
+            # batches' updates; replay the (deterministic) loader past them
+            for _ in range(skip_batches):
+                next(data_iter, None)
+            done_in_epoch = skip_batches
+        for batch in prefetch_to_device(data_iter, sharding):
             state, m = train_step(state, batch, step_rng)
+            done_in_epoch += 1
             losses.append(m["loss"])
+            if guard.preempted:
+                resume.save_preempted(state, epoch, done_in_epoch,
+                                      {"best_loss": best_loss})
+                print(f"Preempted (SIGTERM): saved mid-epoch checkpoint "
+                      f"(epoch {epoch + 1}, batch {done_in_epoch}); exiting")
+                logger.finish()
+                return None, {"preempted": True}
         train_loss = float(jnp.stack(losses).mean()) if losses else 0.0
 
         val_losses = []

@@ -46,7 +46,11 @@ from multimodal_concept_learning_tpu.parallel import (
     make_classifier_train_step,
 )
 from multimodal_concept_learning_tpu.parallel.train_step import TrainState
-from multimodal_concept_learning_tpu.train.common import ResumeManager, mesh_for_batch
+from multimodal_concept_learning_tpu.train.common import (
+    PreemptionGuard,
+    ResumeManager,
+    mesh_for_batch,
+)
 from multimodal_concept_learning_tpu.utils import MetricsLogger, set_seed
 
 
@@ -105,6 +109,8 @@ def run_training(model, train_loader, val_loader, config: VisionTrainingConfig, 
 
     resume = ResumeManager(config.results_dir, config.resume)
     state, start_epoch, meta = resume.restore(state)
+    guard = PreemptionGuard(enabled=config.resume)
+    skip_batches = int(meta.get("skip_batches", 0) or 0)
 
     train_step = make_classifier_train_step(model, tx, config.label_smoothing)
     eval_step = make_classifier_eval_step(model, config.label_smoothing)
@@ -130,11 +136,27 @@ def run_training(model, train_loader, val_loader, config: VisionTrainingConfig, 
         import jax.numpy as jnp
 
         losses, correct, count = [], [], []
-        for batch in prefetch_to_device(train_loader, sharding):
+        data_iter = iter(train_loader)
+        done_in_epoch = 0
+        if epoch == start_epoch and skip_batches:
+            # mid-epoch resume: the restored state already contains these
+            # batches' updates; replay the (deterministic) loader past them
+            for _ in range(skip_batches):
+                next(data_iter, None)
+            done_in_epoch = skip_batches
+        for batch in prefetch_to_device(data_iter, sharding):
             state, m = train_step(state, batch, step_rng)
+            done_in_epoch += 1
             losses.append(m["loss"])
             correct.append(m["correct"])
             count.append(m["count"])
+            if guard.preempted:
+                resume.save_preempted(state, epoch, done_in_epoch,
+                                      {"best_loss": best_loss})
+                print(f"Preempted (SIGTERM): saved mid-epoch checkpoint "
+                      f"(epoch {epoch + 1}, batch {done_in_epoch}); exiting")
+                logger.finish()
+                return None
 
         train_loss = float(jnp.stack(losses).mean())
         train_acc = 100.0 * float(jnp.stack(correct).sum()) / max(float(jnp.stack(count).sum()), 1.0)
@@ -242,6 +264,8 @@ def main(argv=None):
     os.makedirs(config.results_dir, exist_ok=True)
     model = init_model(config)
     state = run_training(model, train_loader, val_loader, config, mesh, rng)
+    if state is None:  # graceful preemption: resume later with resume: true
+        return {"preempted": True}
 
     print("\n" + "=" * 50)
     print("FINAL EVALUATION ON TEST SET")

@@ -1,0 +1,156 @@
+"""Graceful preemption (SIGTERM) -> mid-epoch checkpoint -> exact resume.
+
+SURVEY.md §5 failure-detection row: the reference loses everything on a
+SLURM wall kill; the framework catches SIGTERM (the TPU-VM preemption
+notice), saves a step-granular checkpoint, exits cleanly, and a rerun with
+``resume: true`` restarts the interrupted epoch skipping the already-applied
+batches (the loader replays deterministically via set_epoch).
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+import yaml
+
+from multimodal_concept_learning_tpu.configs import ColorDatasetConfig
+from multimodal_concept_learning_tpu.data import generate_color_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("preempt_e2e")
+    config = ColorDatasetConfig.from_params(
+        {
+            "dataset_name": "tiny",
+            "image_size": 32,
+            "colors": [[255, 0, 0], [0, 255, 0]],
+            "radius_range": [4, 10],
+            "n_images_per_color": 16,
+            "data_dir": str(root),
+            "seed": 0,
+        }
+    )
+    return generate_color_dataset(config, verbose=False)
+
+
+def _cfg(dataset_dir, results_dir, epochs):
+    return {
+        "model_name": "vit",
+        "hidden_size": 32,
+        "intermediate_size": 64,
+        "num_hidden_layers": 1,
+        "num_attention_heads": 2,
+        "patch_size": 16,
+        "image_size": 32,
+        "num_labels": 2,
+        "data_dir": dataset_dir,
+        "dataset_name": "color",
+        "mapping_path": dataset_dir,
+        "epochs": epochs,
+        "learning_rate": 1e-3,
+        "batch_size": 4,
+        "effective_batch_size": 4,
+        "weight_decay": 0.0,
+        "num_workers": 1,
+        "results_dir": results_dir,
+        "seed": 0,
+        "disable_wandb": True,
+        "train_transforms": ["ToTensor"],
+        "val_transforms": ["ToTensor"],
+        "resume": True,
+    }
+
+
+def test_resume_manager_mid_epoch_roundtrip(tmp_path):
+    """save_preempted -> restore returns the SAME epoch + skip count; a
+    subsequent epoch-end save clears the preemption markers."""
+    import jax.numpy as jnp
+
+    from multimodal_concept_learning_tpu.train.common import ResumeManager
+
+    state = {"w": jnp.arange(4.0), "step": jnp.asarray(7)}
+    rm = ResumeManager(str(tmp_path), enabled=True)
+    rm.save(state, 1, {"best_loss": 0.5})
+    rm.save_preempted({"w": jnp.arange(4.0) + 1, "step": jnp.asarray(9)}, 2, 3,
+                      {"best_loss": 0.4})
+
+    rm2 = ResumeManager(str(tmp_path), enabled=True)
+    restored, start_epoch, meta = rm2.restore(state)
+    assert start_epoch == 2  # restart the interrupted epoch
+    assert meta["skip_batches"] == 3
+    np.testing.assert_allclose(np.asarray(restored["w"]), np.arange(4.0) + 1)
+
+    # completing the epoch clears the markers
+    rm2.save(restored, 2, {"best_loss": 0.3})
+    _, start_epoch, meta = ResumeManager(str(tmp_path), enabled=True).restore(state)
+    assert start_epoch == 3
+    assert "skip_batches" not in meta
+
+
+def test_vision_sigterm_preempt_and_resume(dataset_dir, tmp_path, capsys):
+    """SIGTERM the trainer mid-run: it must exit cleanly with a mid-epoch
+    checkpoint, and a rerun must resume from that exact (epoch, batch)."""
+    results_dir = str(tmp_path / "results_preempt")
+    cfg_path = tmp_path / "preempt.yaml"
+    cfg_path.write_text(yaml.safe_dump(_cfg(dataset_dir, results_dir, epochs=500)))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu'; "
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "from multimodal_concept_learning_tpu.train.vision_training import main; "
+        f"main(['--config_path', {str(cfg_path)!r}])"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], env=env, cwd="/root/repo",
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    orbax_dir = os.path.join(results_dir, "orbax")
+    deadline = time.time() + 600
+    try:
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                break
+            committed = [
+                d for d in (os.listdir(orbax_dir) if os.path.isdir(orbax_dir) else [])
+                if d.startswith("step_") and d.split("_")[1].isdigit()
+            ]
+            if committed:
+                proc.send_signal(signal.SIGTERM)
+                break
+            time.sleep(0.05)
+        else:
+            raise AssertionError("no checkpoint appeared within the deadline")
+        out, _ = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate(timeout=60)
+
+    assert proc.returncode == 0, f"trainer did not exit cleanly:\n{out[-2000:]}"
+    assert "Preempted (SIGTERM): saved mid-epoch checkpoint" in out
+
+    meta = json.load(open(os.path.join(orbax_dir, "loop_meta.json")))
+    assert "preempt_epoch" in meta and meta["step_in_epoch"] >= 1
+    pe, ps = meta["preempt_epoch"], meta["step_in_epoch"]
+    assert os.path.isdir(os.path.join(orbax_dir, f"step_{pe}"))
+
+    # rerun in-process: must resume mid-epoch and run to completion
+    from multimodal_concept_learning_tpu.train.vision_training import main
+
+    capsys.readouterr()
+    cfg2 = tmp_path / "preempt_resume.yaml"
+    cfg2.write_text(yaml.safe_dump(_cfg(dataset_dir, results_dir, epochs=pe + 2)))
+    main(["--config_path", str(cfg2)])
+    out = capsys.readouterr().out
+    assert f"Resuming from epoch {pe} checkpoint" in out
+    assert f"mid-epoch: skipping {ps} batches" in out
+    assert f"Epoch {pe + 2}/{pe + 2}" in out  # interrupted epoch completed + next
+    assert "Epoch 1/" not in out
