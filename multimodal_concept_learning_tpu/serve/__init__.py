@@ -1,0 +1,14 @@
+"""Serving layer: trained-checkpoint loader, batched generation engine,
+dynamic micro-batching, HTTP frontend.
+
+The reference has no inference/serving surface at all (SURVEY.md — its eval
+is teacher-forced argmax at supervised positions); this package is the
+framework's deployment path over the KV-cache decode loop (models/mllm),
+composing with int8 weight quantization (ops/quant.py), sampling
+(ops/sampling.py), and mesh-sharded decode (parallel/serving.py).
+"""
+
+from multimodal_concept_learning_tpu.serve.engine import Batcher, ServingEngine
+from multimodal_concept_learning_tpu.serve.loader import LoadedMLLM, load_trained_mllm
+
+__all__ = ["Batcher", "ServingEngine", "LoadedMLLM", "load_trained_mllm"]

@@ -1,0 +1,187 @@
+"""Serving engine: fixed-shape jitted generation + dynamic micro-batching.
+
+XLA compiles one program per input shape, so a serving engine must pin its
+shapes: the engine pads every batch to ``batch_size`` rows and every prompt
+to ``max_prompt_len`` text tokens (right-padded, the collator's layout) and
+compiles exactly ONE generate program — first request pays the compile,
+every later request reuses it.
+
+``Batcher`` implements the standard dynamic-batching loop: the worker picks
+up the first queued request, waits up to ``max_wait_ms`` for more to
+coalesce (up to ``batch_size``), runs the engine once, and distributes the
+per-row results.  Latency under light load ~= max_wait_ms + one decode;
+throughput under heavy load ~= batch_size per decode.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ServingEngine:
+    """Batched text generation over a loaded MLLM (serve/loader.py)."""
+
+    def __init__(
+        self,
+        loaded,
+        batch_size: int = 8,
+        max_new_tokens: int = 8,
+        max_prompt_len: int = 64,
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        seed: int = 0,
+    ):
+        from multimodal_concept_learning_tpu.models.mllm import generate
+
+        self.loaded = loaded
+        self.batch_size = batch_size
+        self.max_new_tokens = max_new_tokens
+        self.max_prompt_len = max_prompt_len
+        tok = loaded.tokenizer
+        self.eos_id = getattr(tok, "eos_token_id", None)
+        self.pad_id = getattr(tok, "pad_token_id", 0) or 0
+        self._key = jax.random.key(seed)
+        self._lock = threading.Lock()
+
+        model = loaded.model
+        self._gen_fn = jax.jit(
+            lambda p, img, ids, mask, key: generate(
+                model, p, img, ids, mask, max_new_tokens=max_new_tokens,
+                eos_id=self.eos_id, pad_id=self.pad_id, key=key,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+            )
+        )
+
+    def preprocess_image(self, pil_image) -> np.ndarray:
+        """PIL image -> [3, H, W] float array via the training's eval transform."""
+        out = self.loaded.transform(pil_image.convert("RGB"))
+        return np.asarray(out, dtype=np.float32)
+
+    def _encode_prompts(self, prompts: Sequence[str]):
+        nvt = self.loaded.config.num_vision_tokens
+        tok = self.loaded.tokenizer
+        b = self.batch_size
+        t = nvt + self.max_prompt_len
+        ids = np.full((b, t), self.pad_id, np.int32)
+        mask = np.zeros((b, t), np.int32)
+        mask[:, :nvt] = 1  # vision placeholder tokens always attended
+        for i, p in enumerate(prompts):
+            enc = tok.encode(p)[: self.max_prompt_len]
+            ids[i, nvt:nvt + len(enc)] = enc
+            mask[i, :nvt + len(enc)] = 1
+        return ids, mask
+
+    def generate(self, images: Sequence[np.ndarray], prompts: Sequence[str]) -> List[str]:
+        """Generate one answer per (image, prompt); len(prompts) <= batch_size.
+
+        images: preprocessed [3, H, W] arrays (see preprocess_image).
+        Thread-safe; pads the batch to the engine's fixed shape.
+        """
+        n = len(prompts)
+        assert n == len(images) and 0 < n <= self.batch_size
+        cfg = self.loaded.config
+        img = np.zeros((self.batch_size, 3, cfg.image_size, cfg.image_size), np.float32)
+        for i, a in enumerate(images):
+            img[i] = a
+        ids, mask = self._encode_prompts(prompts)
+        with self._lock:
+            self._key, key = jax.random.split(self._key)
+            out = np.asarray(self._gen_fn(
+                self.loaded.params, jnp.asarray(img), jnp.asarray(ids),
+                jnp.asarray(mask), key,
+            ))
+        texts = []
+        for i in range(n):
+            row = out[i]
+            if self.eos_id is not None:
+                stop = np.nonzero(row == self.eos_id)[0]
+                if stop.size:
+                    row = row[: stop[0]]
+            texts.append(
+                self.loaded.tokenizer.decode(
+                    [int(x) for x in row if int(x) >= 0], skip_special_tokens=True
+                ).strip()
+            )
+        return texts
+
+
+class _Pending:
+    __slots__ = ("image", "prompt", "event", "result", "error")
+
+    def __init__(self, image, prompt):
+        self.image = image
+        self.prompt = prompt
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class Batcher:
+    """Dynamic micro-batching front of a ServingEngine."""
+
+    def __init__(self, engine: ServingEngine, max_wait_ms: float = 20.0):
+        self.engine = engine
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0}
+        self._stop = False
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray, prompt: str, timeout: float = 300.0) -> str:
+        """Blocking: enqueue and wait for the generated text."""
+        p = _Pending(image, prompt)
+        self._q.put(p)
+        if not p.event.wait(timeout):
+            raise TimeoutError("generation timed out")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def shutdown(self):
+        self._stop = True
+        self._q.put(None)  # wake the worker
+        self._thread.join(timeout=10)
+
+    def _worker(self):
+        while not self._stop:
+            first = self._q.get()
+            if first is None:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(batch) < self.engine.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                batch.append(nxt)
+            try:
+                texts = self.engine.generate(
+                    [p.image for p in batch], [p.prompt for p in batch]
+                )
+                for p, t in zip(batch, texts):
+                    p.result = t
+            except Exception as e:  # noqa: BLE001 — surface to every waiter
+                for p in batch:
+                    p.error = e
+            self.stats["requests"] += len(batch)
+            self.stats["batches"] += 1
+            for p in batch:
+                p.event.set()
+
+
+__all__ = ["ServingEngine", "Batcher"]

@@ -1,0 +1,83 @@
+"""Load a trained results directory into a servable MLLM.
+
+Shared by the generation-eval CLI (train/generate_answers.py) and the
+serving server (serve/server.py).  Reads the reference checkpoint layout
+(results_dir/models/{training_config.json,*.pt,tokenizer/}, reference
+src/multimodal/multimodal_training.py:103-195), rebuilds model + tokenizer
++ params, and optionally converts the LM to the int8 serving layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_concept_learning_tpu.configs import MultimodalTrainingConfig
+from multimodal_concept_learning_tpu.data import create_transforms
+from multimodal_concept_learning_tpu.utils import set_seed
+
+
+class LoadedMLLM(NamedTuple):
+    model: object          # MLLM (int8-configured when int8=True)
+    tokenizer: object
+    params: dict
+    config: MultimodalTrainingConfig
+    labels_mapping: dict
+    transform: object      # eval-mode transform pipeline
+
+
+def load_trained_mllm(results_dir: str, checkpoint: str = "best_model.pt",
+                      int8: bool = False, verbose: bool = True) -> LoadedMLLM:
+    from multimodal_concept_learning_tpu.checkpoint import (
+        load_torch_state_dict,
+        mllm_params_from_torch,
+    )
+    from multimodal_concept_learning_tpu.train.multimodal_training import (
+        init_model_and_tokenizer,
+    )
+
+    models_dir = os.path.join(results_dir, "models")
+    with open(os.path.join(models_dir, "training_config.json")) as f:
+        saved = json.load(f)
+    saved["vision_path"] = ""  # weights come from the checkpoint below
+    config = MultimodalTrainingConfig.from_params(saved)
+
+    set_seed(config.seed)
+    model, tokenizer, params, labels_mapping, _ = init_model_and_tokenizer(
+        config, jax.random.key(0)
+    )
+
+    ckpt_path = os.path.join(models_dir, checkpoint)
+    params = mllm_params_from_torch(
+        load_torch_state_dict(ckpt_path), params,
+        patch_size=model.config.vision.patch_size,
+    )
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    if verbose:
+        print(f"Loaded checkpoint {ckpt_path}")
+
+    if int8:
+        from multimodal_concept_learning_tpu.models.mllm import MLLM
+        from multimodal_concept_learning_tpu.ops.quant import quantize_lm_params
+
+        params = dict(params)
+        params["language_model"] = quantize_lm_params(
+            params["language_model"], model.config.lm
+        )
+        model = MLLM(dataclasses.replace(
+            model.config,
+            lm=dataclasses.replace(model.config.lm, int8_weights=True),
+        ))
+        if verbose:
+            print("Quantized LM weights to int8 (serving mode)")
+
+    transform = create_transforms(config, is_train=False, seed=config.seed)
+    return LoadedMLLM(model, tokenizer, params, config, labels_mapping, transform)
+
+
+__all__ = ["LoadedMLLM", "load_trained_mllm"]

@@ -1,0 +1,136 @@
+"""HTTP serving frontend (stdlib-only, localhost deployment surface).
+
+POST /generate   {"prompt": str, "image_b64": <base64 image file>} or
+                 {"prompt": str, "image_path": <server-local path>}
+                 -> {"text": str}
+GET  /healthz    -> {"ok": true, "requests": N, "batches": M}
+
+Requests are dynamically micro-batched (serve/engine.Batcher): concurrent
+clients coalesce into one fixed-shape jitted generate call.  The reference
+has no serving at all (SURVEY.md: its eval is teacher-forced argmax); this
+is the framework's deployment surface over the KV-cache decode path, with
+--int8 weight quantization and sampling knobs.
+
+Usage:
+  python -m multimodal_concept_learning_tpu.serve.server \
+      --results_dir RESULTS [--port 8077] [--batch_size 8] [--max_wait_ms 20]
+      [--max_new_tokens 8] [--int8] [--temperature T --top_k K --top_p P]
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def build_app(batcher):
+    """Returns a BaseHTTPRequestHandler subclass bound to ``batcher``."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True, **batcher.stats})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                prompt = req["prompt"]
+                from PIL import Image
+
+                if "image_b64" in req:
+                    img = Image.open(io.BytesIO(base64.b64decode(req["image_b64"])))
+                elif "image_path" in req:
+                    img = Image.open(req["image_path"])
+                else:
+                    raise KeyError("image_b64 or image_path required")
+                image = batcher.engine.preprocess_image(img)
+            except Exception as e:  # noqa: BLE001 — malformed request
+                self._reply(400, {"error": str(e)})
+                return
+            try:
+                text = batcher.submit(image, prompt)
+            except Exception as e:  # noqa: BLE001 — generation failure
+                self._reply(500, {"error": str(e)})
+                return
+            self._reply(200, {"text": text})
+
+    return Handler
+
+
+def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
+                checkpoint: str = "best_model.pt", int8: bool = False,
+                batch_size: int = 8, max_wait_ms: float = 20.0,
+                max_new_tokens: int = 8, max_prompt_len: int = 64,
+                temperature: float = 0.0, top_k=None, top_p=None, seed: int = 0):
+    """Build (ThreadingHTTPServer, Batcher); caller runs serve_forever()."""
+    from multimodal_concept_learning_tpu.serve.engine import Batcher, ServingEngine
+    from multimodal_concept_learning_tpu.serve.loader import load_trained_mllm
+
+    loaded = load_trained_mllm(results_dir, checkpoint=checkpoint, int8=int8)
+    engine = ServingEngine(
+        loaded, batch_size=batch_size, max_new_tokens=max_new_tokens,
+        max_prompt_len=max_prompt_len, temperature=temperature,
+        top_k=top_k, top_p=top_p, seed=seed,
+    )
+    batcher = Batcher(engine, max_wait_ms=max_wait_ms)
+    httpd = ThreadingHTTPServer((host, port), build_app(batcher))
+    return httpd, batcher
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--results_dir", type=str, required=True)
+    parser.add_argument("--checkpoint", type=str, default="best_model.pt")
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8077)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--max_wait_ms", type=float, default=20.0)
+    parser.add_argument("--max_new_tokens", type=int, default=8)
+    parser.add_argument("--max_prompt_len", type=int, default=64)
+    parser.add_argument("--int8", action="store_true")
+    parser.add_argument("--temperature", type=float, default=0.0)
+    parser.add_argument("--top_k", type=int, default=None)
+    parser.add_argument("--top_p", type=float, default=None)
+    parser.add_argument("--sample_seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    httpd, batcher = make_server(
+        args.results_dir, port=args.port, host=args.host,
+        checkpoint=args.checkpoint, int8=args.int8,
+        batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
+        max_new_tokens=args.max_new_tokens, max_prompt_len=args.max_prompt_len,
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+        seed=args.sample_seed,
+    )
+    print(f"Serving on http://{args.host}:{args.port} "
+          f"(batch_size={args.batch_size}, max_wait_ms={args.max_wait_ms})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        batcher.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -29,21 +29,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimodal_concept_learning_tpu.configs import MultimodalTrainingConfig
 from multimodal_concept_learning_tpu.data import (
     BatchLoader,
     ColorDataset,
     ImageNetDataset,
     MultimodalCollator,
-    create_transforms,
     load_split_datasets,
 )
 from multimodal_concept_learning_tpu.models.mllm import generate
 from multimodal_concept_learning_tpu.ops.losses import IGNORE_INDEX
-from multimodal_concept_learning_tpu.train.multimodal_training import (
-    init_model_and_tokenizer,
-)
-from multimodal_concept_learning_tpu.utils import set_seed
 
 
 def strip_answer_span(input_ids: np.ndarray, attention_mask: np.ndarray,
@@ -90,47 +84,11 @@ def main(argv=None):
     parser.add_argument("--sample_seed", type=int, default=0)
     args = parser.parse_args(argv)
 
-    models_dir = os.path.join(args.results_dir, "models")
-    with open(os.path.join(models_dir, "training_config.json")) as f:
-        saved = json.load(f)
-    saved["vision_path"] = ""  # weights come from the checkpoint below
-    config = MultimodalTrainingConfig.from_params(saved)
+    from multimodal_concept_learning_tpu.serve.loader import load_trained_mllm
 
-    set_seed(config.seed)
-    model, tokenizer, params, labels_mapping, _ = init_model_and_tokenizer(
-        config, jax.random.key(0)
+    model, tokenizer, params, config, labels_mapping, transform = load_trained_mllm(
+        args.results_dir, checkpoint=args.checkpoint, int8=args.int8
     )
-
-    ckpt_path = os.path.join(models_dir, args.checkpoint)
-    from multimodal_concept_learning_tpu.checkpoint import (
-        load_torch_state_dict,
-        mllm_params_from_torch,
-    )
-
-    params = mllm_params_from_torch(
-        load_torch_state_dict(ckpt_path), params,
-        patch_size=model.config.vision.patch_size,
-    )
-    params = jax.tree_util.tree_map(jnp.asarray, params)
-    print(f"Loaded checkpoint {ckpt_path}")
-
-    if args.int8:
-        import dataclasses
-
-        from multimodal_concept_learning_tpu.models.mllm import MLLM
-        from multimodal_concept_learning_tpu.ops.quant import quantize_lm_params
-
-        params = dict(params)
-        params["language_model"] = quantize_lm_params(
-            params["language_model"], model.config.lm
-        )
-        model = MLLM(dataclasses.replace(
-            model.config,
-            lm=dataclasses.replace(model.config.lm, int8_weights=True),
-        ))
-        print("Quantized LM weights to int8 (serving mode)")
-
-    transform = create_transforms(config, is_train=False, seed=config.seed)
     dataset_cls = (ColorDataset if config.dataset_name == "color_multimodal"
                    else ImageNetDataset)
     splits = load_split_datasets(
