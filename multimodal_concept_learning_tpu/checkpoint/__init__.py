@@ -14,6 +14,8 @@ from multimodal_concept_learning_tpu.checkpoint.torch_interop import (
     mllm_params_from_torch,
     mllm_params_to_torch,
     save_torch_state_dict,
+    timm_vit_sd_to_hf,
+    hf_vit_sd_to_timm,
     vit_classifier_params_from_torch,
     vit_classifier_params_to_torch,
 )
@@ -34,6 +36,8 @@ __all__ = [
     "mllm_params_from_torch",
     "vit_classifier_params_to_torch",
     "vit_classifier_params_from_torch",
+    "timm_vit_sd_to_hf",
+    "hf_vit_sd_to_timm",
     "save_checkpoint",
     "restore_checkpoint",
     "wait_for_checkpoints",

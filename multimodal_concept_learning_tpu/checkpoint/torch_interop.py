@@ -183,6 +183,103 @@ def _vit_import(rel: str, template: np.ndarray, lookup, patch_size: int):
 
 
 # ---------------------------------------------------------------------------
+# timm ViT naming (the reference's imagenet1k flagship uses a timm tower:
+# vision_model_name "timm/vit_base_patch16_224.augreg_in1k" loaded through
+# AutoModelForImageClassification, src/multimodal/mllm.py:35-37 — its
+# state-dict keys are vision_model.timm_model.<timm names>, with the q/k/v
+# projections FUSED as blocks.{i}.attn.qkv)
+# ---------------------------------------------------------------------------
+
+_TIMM_STATIC = {
+    "cls_token": "embeddings.cls_token",
+    "pos_embed": "embeddings.position_embeddings",
+    "patch_embed.proj.weight": "embeddings.patch_embeddings.projection.weight",
+    "patch_embed.proj.bias": "embeddings.patch_embeddings.projection.bias",
+    "norm.weight": "layernorm.weight",
+    "norm.bias": "layernorm.bias",
+}
+
+_TIMM_BLOCK = {
+    "norm1": "layernorm_before",
+    "norm2": "layernorm_after",
+    "attn.proj": "attention.output.dense",
+    "mlp.fc1": "intermediate.dense",
+    "mlp.fc2": "output.dense",
+}
+
+
+def timm_vit_sd_to_hf(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """timm ``vision_transformer`` state dict → HF ViTModel naming.
+
+    The fused ``blocks.{i}.attn.qkv`` tensors split row-wise into HF's three
+    query/key/value entries (timm chunks its qkv output in q,k,v order).
+    Unknown keys (e.g. ``head.*`` — map it separately if needed) pass
+    through untouched so callers can decide.
+    """
+    out: Dict[str, np.ndarray] = {}
+    for key, arr in sd.items():
+        if key in _TIMM_STATIC:
+            out[_TIMM_STATIC[key]] = arr
+            continue
+        if key.startswith("blocks."):
+            _, i, rest = key.split(".", 2)
+            base = f"encoder.layer.{i}"
+            sub, leaf = rest.rsplit(".", 1)  # leaf: weight|bias
+            if sub == "attn.qkv":
+                h = arr.shape[0] // 3
+                for j, nm in enumerate(("query", "key", "value")):
+                    out[f"{base}.attention.attention.{nm}.{leaf}"] = arr[j * h:(j + 1) * h]
+                continue
+            if sub in _TIMM_BLOCK:
+                out[f"{base}.{_TIMM_BLOCK[sub]}.{leaf}"] = arr
+                continue
+        out[key] = arr
+    return out
+
+
+def hf_vit_sd_to_timm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Inverse of ``timm_vit_sd_to_hf`` (query/key/value re-fuse into qkv)."""
+    static_rev = {v: k for k, v in _TIMM_STATIC.items()}
+    block_rev = {v: k for k, v in _TIMM_BLOCK.items()}
+    out: Dict[str, np.ndarray] = {}
+    pending_qkv: Dict[str, Dict[str, np.ndarray]] = {}
+    for key, arr in sd.items():
+        if key in static_rev:
+            out[static_rev[key]] = arr
+            continue
+        if key.startswith("encoder.layer."):
+            rest = key[len("encoder.layer."):]
+            i, sub = rest.split(".", 1)
+            subpath, leaf = sub.rsplit(".", 1)
+            if subpath.startswith("attention.attention."):
+                nm = subpath.split(".")[-1]  # query|key|value
+                pending_qkv.setdefault(f"blocks.{i}.attn.qkv.{leaf}", {})[nm] = arr
+                continue
+            if subpath in block_rev:
+                out[f"blocks.{i}.{block_rev[subpath]}.{leaf}"] = arr
+                continue
+        out[key] = arr
+    for fused_key, parts in pending_qkv.items():
+        out[fused_key] = np.concatenate(
+            [parts["query"], parts["key"], parts["value"]], axis=0
+        )
+    return out
+
+
+def _normalize_mllm_vision_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Translate a timm-tower MLLM state dict (vision_model.timm_model.*)
+    into the HF ViTModel naming every import path here expects."""
+    prefix = "vision_model.timm_model."
+    timm_keys = [k for k in sd if k.startswith(prefix)]
+    if not timm_keys:
+        return sd
+    hf = timm_vit_sd_to_hf({k[len(prefix):]: sd[k] for k in timm_keys})
+    out = {k: v for k, v in sd.items() if k not in set(timm_keys)}
+    out.update({f"vision_model.{k}": v for k, v in hf.items()})
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Gemma-style LM (flax names under language_model -> HF Gemma names)
 # ---------------------------------------------------------------------------
 
@@ -271,8 +368,13 @@ def lm_params_from_torch(sd: Dict[str, np.ndarray], params_template):
 # ---------------------------------------------------------------------------
 
 
-def mllm_params_to_torch(params, patch_size: int = 16, num_heads: int = 12) -> Dict[str, np.ndarray]:
-    """MLLM flax params → reference-named torch state dict (mllm.py naming)."""
+def mllm_params_to_torch(params, patch_size: int = 16, num_heads: int = 12,
+                         vision_naming: str = "hf") -> Dict[str, np.ndarray]:
+    """MLLM flax params → reference-named torch state dict (mllm.py naming).
+
+    ``vision_naming="timm"`` writes the vision tower as
+    ``vision_model.timm_model.<timm names>`` (fused qkv) — the layout a
+    reference run configured with a timm tower produces/expects."""
     params = params.get("params", params)
     flat = flatten_params(params)
     sd: Dict[str, np.ndarray] = {}
@@ -298,13 +400,23 @@ def mllm_params_to_torch(params, patch_size: int = 16, num_heads: int = 12) -> D
                 sd[f"language_model.{name}"] = tensor
         else:
             raise KeyError(f"Unknown MLLM tower: {tower}")
+    if vision_naming == "timm":
+        vision = {k[len("vision_model."):]: v for k, v in sd.items()
+                  if k.startswith("vision_model.")}
+        sd = {k: v for k, v in sd.items() if not k.startswith("vision_model.")}
+        sd.update({f"vision_model.timm_model.{k}": v
+                   for k, v in hf_vit_sd_to_timm(vision).items()})
+    elif vision_naming != "hf":
+        raise ValueError(f"Unknown vision_naming: {vision_naming}")
     return sd
 
 
 def mllm_params_from_torch(sd: Dict[str, np.ndarray], params_template, patch_size: int = 16):
     """Inverse mapping; ``params_template`` supplies tree structure/shapes.
     Torch keys without a flax counterpart (HF pooler, gemma3 extra norms) are
-    ignored; missing keys keep template values."""
+    ignored; missing keys keep template values.  timm-tower checkpoints
+    (``vision_model.timm_model.*``, fused qkv) are detected and translated."""
+    sd = _normalize_mllm_vision_keys(sd)
     template = params_template.get("params", params_template)
     flat_template = flatten_params(template)
     out: Dict[str, np.ndarray] = {}
@@ -365,6 +477,19 @@ def vit_classifier_params_to_torch(params, patch_size: int) -> Dict[str, np.ndar
 
 
 def vit_classifier_params_from_torch(sd: Dict[str, np.ndarray], params_template, patch_size: int):
+    """Accepts HF-named ("vit.*"/"module.vit.*") or RAW timm checkpoints
+    ("blocks.*", "patch_embed.proj.*", classifier at "head.*")."""
+    if any(k.startswith("blocks.") or k.startswith("patch_embed.") for k in sd):
+        hf = timm_vit_sd_to_hf(sd)
+        renamed: Dict[str, np.ndarray] = {}
+        for k, v in hf.items():
+            if k == "head.weight":
+                renamed["classifier.weight"] = v
+            elif k == "head.bias":
+                renamed["classifier.bias"] = v
+            else:
+                renamed[f"vit.{k}"] = v
+        sd = renamed
     template = params_template.get("params", params_template)
     flat_template = flatten_params(template)
     out: Dict[str, np.ndarray] = {}

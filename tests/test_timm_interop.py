@@ -1,0 +1,133 @@
+"""timm-ViT checkpoint interop (checkpoint/torch_interop.py timm adapters).
+
+The reference's imagenet1k flagship uses a timm vision tower
+(experiments/multimodal/imagenet/imagenet1k_timm_vit.yaml:
+``vision_model_name: timm/vit_base_patch16_224.augreg_in1k``; loaded via
+AutoModelForImageClassification, mllm.py:35-37), whose state-dict keys are
+``vision_model.timm_model.<timm names>`` with FUSED attn.qkv tensors.
+Pins: translation roundtrips bitwise, the qkv row-split preserves the
+attention math, and both the MLLM and classifier import paths accept timm
+checkpoints end-to-end.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_concept_learning_tpu.checkpoint import (
+    hf_vit_sd_to_timm,
+    mllm_params_from_torch,
+    mllm_params_to_torch,
+    timm_vit_sd_to_hf,
+    vit_classifier_params_from_torch,
+    vit_classifier_params_to_torch,
+)
+from multimodal_concept_learning_tpu.models.vit import (
+    ViTConfig,
+    ViTForImageClassification,
+)
+
+
+def _tiny_vit(num_labels=3):
+    return ViTConfig(hidden_size=16, intermediate_size=32, num_hidden_layers=2,
+                     num_attention_heads=2, patch_size=8, image_size=16,
+                     num_labels=num_labels, dtype=jnp.float32)
+
+
+def _timm_sd_from_hf(hf_sd):
+    """vit.*/classifier.* HF export -> a raw timm checkpoint file layout."""
+    vit = {k[len("vit."):]: v for k, v in hf_sd.items() if k.startswith("vit.")}
+    timm = hf_vit_sd_to_timm(vit)
+    timm["head.weight"] = hf_sd["classifier.weight"]
+    timm["head.bias"] = hf_sd["classifier.bias"]
+    return timm
+
+
+def test_qkv_split_preserves_attention_math():
+    """timm computes qkv fused: chunk(x @ W.T + b) in q,k,v order.  The
+    split entries must reproduce q/k/v exactly."""
+    rng = np.random.default_rng(0)
+    h = 8
+    w = rng.normal(size=(3 * h, h)).astype(np.float32)
+    b = rng.normal(size=(3 * h,)).astype(np.float32)
+    x = rng.normal(size=(5, h)).astype(np.float32)
+    fused = x @ w.T + b
+    q_t, k_t, v_t = np.split(fused, 3, axis=-1)  # timm's chunk order
+
+    hf = timm_vit_sd_to_hf({"blocks.0.attn.qkv.weight": w, "blocks.0.attn.qkv.bias": b})
+    for nm, want in (("query", q_t), ("key", k_t), ("value", v_t)):
+        wq = hf[f"encoder.layer.0.attention.attention.{nm}.weight"]
+        bq = hf[f"encoder.layer.0.attention.attention.{nm}.bias"]
+        np.testing.assert_allclose(x @ wq.T + bq, want, rtol=1e-6)
+
+
+def test_timm_hf_roundtrip_bitwise():
+    cfg = _tiny_vit()
+    model = ViTForImageClassification(cfg)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 3, 16, 16)))["params"]
+    hf_sd = vit_classifier_params_to_torch(params, cfg.patch_size)
+    timm_sd = _timm_sd_from_hf(hf_sd)
+    # every tensor accounted for, fused qkv present
+    assert "blocks.0.attn.qkv.weight" in timm_sd
+    assert "cls_token" in timm_sd and "pos_embed" in timm_sd
+    back = timm_vit_sd_to_hf(timm_sd)
+    vit_back = {f"vit.{k}": v for k, v in back.items() if k not in ("head.weight", "head.bias")}
+    for k, v in hf_sd.items():
+        if k.startswith("vit."):
+            np.testing.assert_array_equal(v, vit_back[k], err_msg=k)
+
+
+def test_classifier_import_from_raw_timm():
+    """A raw timm checkpoint (blocks.*, head.*) imports into the classifier
+    and reproduces the exact forward of the HF-named import."""
+    cfg = _tiny_vit()
+    model = ViTForImageClassification(cfg)
+    params = model.init(jax.random.key(1), jnp.zeros((1, 3, 16, 16)))["params"]
+    # a "foreign" parameter set to import (different seed)
+    donor = model.init(jax.random.key(2), jnp.zeros((1, 3, 16, 16)))["params"]
+    hf_sd = vit_classifier_params_to_torch(donor, cfg.patch_size)
+    timm_sd = _timm_sd_from_hf(hf_sd)
+
+    from_hf = vit_classifier_params_from_torch(hf_sd, params, cfg.patch_size)
+    from_timm = vit_classifier_params_from_torch(timm_sd, params, cfg.patch_size)
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 3, 16, 16)).astype(np.float32))
+    y_hf = model.apply({"params": from_hf}, x)
+    y_timm = model.apply({"params": from_timm}, x)
+    np.testing.assert_allclose(np.asarray(y_hf), np.asarray(y_timm), atol=1e-6)
+    # and the import actually took the donor values, not the template's
+    y_tmpl = model.apply({"params": params}, x)
+    assert np.abs(np.asarray(y_hf) - np.asarray(y_tmpl)).max() > 1e-4
+
+
+def test_mllm_timm_checkpoint_roundtrip():
+    """MLLM export with vision_naming='timm' produces the reference's
+    timm-tower layout; the import path auto-detects and reproduces the
+    exact same forward."""
+    from multimodal_concept_learning_tpu.models.lm import LMConfig
+    from multimodal_concept_learning_tpu.models.mllm import MLLM, MLLMConfig
+
+    vision = _tiny_vit(num_labels=0)
+    lm = dataclasses.replace(LMConfig.preset("nano", vocab_size=61), dtype=jnp.float32)
+    config = MLLMConfig(vision=vision, lm=lm, num_vision_tokens=5,
+                        max_answer_tokens=2, dtype=jnp.float32)
+    model = MLLM(config)
+    rng = np.random.default_rng(4)
+    images = jnp.asarray(rng.normal(size=(2, 3, 16, 16)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(1, 61, size=(2, 5 + 6)).astype(np.int32))
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.key(5), images, ids, mask)["params"]
+    donor = model.init(jax.random.key(6), images, ids, mask)["params"]
+
+    sd = mllm_params_to_torch(donor, patch_size=vision.patch_size,
+                              vision_naming="timm")
+    assert any(k.startswith("vision_model.timm_model.blocks.") for k in sd)
+    assert not any(k.startswith("vision_model.encoder.") for k in sd)
+
+    imported = mllm_params_from_torch(sd, params, patch_size=vision.patch_size)
+    imported = jax.tree_util.tree_map(jnp.asarray, imported)
+    got = model.apply({"params": imported}, images, ids, mask)["hidden_states"]
+    want = model.apply({"params": donor}, images, ids, mask)["hidden_states"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
