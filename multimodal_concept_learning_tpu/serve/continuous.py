@@ -1,0 +1,273 @@
+"""Slot-level continuous batching (the TPU-shaped vLLM pattern).
+
+``engine.Batcher`` coalesces requests into whole-batch generate calls: a
+long generation holds the whole batch, and a request arriving mid-flight
+waits for the next batch.  Continuous batching removes both stalls by
+keeping ONE persistent decode state of ``num_slots`` rows:
+
+- **admission**: a new request prefills alone (one fixed-shape batch-1
+  program covering vision tower + prompt) and its KV cache rows scatter
+  into a free slot of the persistent per-layer caches;
+- **step**: one fixed-shape decode program advances EVERY active slot one
+  token per call — requests join and leave without disturbing neighbors
+  (CausalLM.decode_step is already per-row: per-slot seq_lens, per-slot
+  cache-mask bias, per-slot rope positions);
+- **completion**: a row hitting EOS / its token budget frees its slot
+  immediately for the next queued request.
+
+Everything is static-shaped (XLA compiles exactly two device programs:
+admit and step), so the first request pays two compiles and the steady
+state is compile-free.  Inactive rows still flow through the decode matmuls
+(their writes land masked-out and are overwritten on admission) — the cost
+of a dead row is the same FLOPs it would cost padded into a batch, which is
+what fixed shapes already imply.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ContinuousEngine:
+    """Persistent-state decode engine over a loaded MLLM (serve/loader.py)."""
+
+    def __init__(
+        self,
+        loaded,
+        num_slots: int = 8,
+        max_new_tokens: int = 8,
+        max_prompt_len: int = 64,
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        seed: int = 0,
+    ):
+        from multimodal_concept_learning_tpu.models.lm import init_kv_cache
+        from multimodal_concept_learning_tpu.models.mllm import MLLM  # noqa: F401
+        from multimodal_concept_learning_tpu.ops.sampling import sample_logits
+
+        self.loaded = loaded
+        self.num_slots = num_slots
+        self.max_new_tokens = max_new_tokens
+        self.max_prompt_len = max_prompt_len
+        cfg = loaded.config
+        tok = loaded.tokenizer
+        self.eos_id = getattr(tok, "eos_token_id", None)
+        self.pad_id = getattr(tok, "pad_token_id", 0) or 0
+        self.nvt = cfg.num_vision_tokens
+        self.prompt_t = self.nvt + max_prompt_len
+        self.cache_len = self.prompt_t + max_new_tokens
+        self._key = jax.random.key(seed)
+
+        model = loaded.model
+        lm_cfg = model.config.lm
+
+        # persistent device state
+        self.caches = init_kv_cache(lm_cfg, num_slots, self.cache_len)
+        self.seq_lens = jnp.zeros((num_slots,), jnp.int32)
+        self.cache_mask = jnp.zeros((num_slots, self.cache_len), jnp.int32)
+        self.last_tok = jnp.zeros((num_slots,), jnp.int32)
+
+        def head(p, h):
+            return model.apply({"params": p}, h,
+                               method=lambda m, x: m.language_model.lm_head(x))
+
+        def sample(logits, key):
+            return sample_logits(logits, key, temperature=temperature,
+                                 top_k=top_k, top_p=top_p)
+
+        @partial(jax.jit, donate_argnums=(1, 2, 3, 4))
+        def admit(p, caches, seq_lens, cache_mask, last_tok, slot,
+                  images1, ids1, mask1, key):
+            """Prefill ONE request (batch 1) and install it in ``slot``."""
+            small = init_kv_cache(lm_cfg, 1, self.cache_len)
+            hidden, small = model.apply(
+                {"params": p}, images1, ids1, mask1, small,
+                method=lambda m, *a: m.prefill(*a),
+            )
+            plen = mask1.sum(axis=1).astype(jnp.int32)[0]
+            first = sample(head(p, hidden[0, plen - 1][None])[0], key).astype(jnp.int32)
+            caches = jax.tree_util.tree_map(
+                lambda big, sm: big.at[slot].set(sm[0]), caches, small
+            )
+            row_mask = jnp.zeros((self.cache_len,), jnp.int32).at[: mask1.shape[1]].set(mask1[0])
+            cache_mask = cache_mask.at[slot].set(row_mask)
+            seq_lens = seq_lens.at[slot].set(plen)
+            last_tok = last_tok.at[slot].set(first)
+            return caches, seq_lens, cache_mask, last_tok, first
+
+        @partial(jax.jit, donate_argnums=(1, 2, 3, 4))
+        def step(p, caches, seq_lens, cache_mask, last_tok, active, key):
+            """Advance every slot one token (inactive rows are inert)."""
+            rows = jnp.arange(num_slots)
+            cache_mask = cache_mask.at[rows, seq_lens].set(
+                jnp.maximum(cache_mask[rows, seq_lens], active.astype(jnp.int32))
+            )
+            emb = model.apply(
+                {"params": p}, last_tok[:, None],
+                method=lambda m, ids: m.language_model.embed(ids),
+            )
+            hidden, caches = model.apply(
+                {"params": p}, emb, caches, seq_lens, cache_mask,
+                method=lambda m, *a: m.language_model.decode_step(*a),
+            )
+            nxt = sample(head(p, hidden[:, 0]), key).astype(jnp.int32)
+            seq_lens = seq_lens + active.astype(jnp.int32)
+            last_tok = jnp.where(active, nxt, last_tok)
+            return caches, seq_lens, cache_mask, last_tok, nxt
+
+        self._admit = admit
+        self._step = step
+
+    # -- host-side API -------------------------------------------------------
+
+    def preprocess_image(self, pil_image) -> np.ndarray:
+        """PIL image -> [3, H, W] float array via the training's eval transform."""
+        out = self.loaded.transform(pil_image.convert("RGB"))
+        return np.asarray(out, dtype=np.float32)
+
+    def admit(self, slot: int, image: np.ndarray, prompt: str) -> int:
+        """Install a request into ``slot``; returns its first generated token."""
+        cfg = self.loaded.config
+        tok = self.loaded.tokenizer
+        img = np.zeros((1, 3, cfg.image_size, cfg.image_size), np.float32)
+        img[0] = image
+        ids = np.full((1, self.prompt_t), self.pad_id, np.int32)
+        mask = np.zeros((1, self.prompt_t), np.int32)
+        mask[0, : self.nvt] = 1
+        enc = tok.encode(prompt)[: self.max_prompt_len]
+        ids[0, self.nvt:self.nvt + len(enc)] = enc
+        mask[0, : self.nvt + len(enc)] = 1
+        self._key, key = jax.random.split(self._key)
+        (self.caches, self.seq_lens, self.cache_mask, self.last_tok,
+         first) = self._admit(
+            self.loaded.params, self.caches, self.seq_lens, self.cache_mask,
+            self.last_tok, jnp.int32(slot), jnp.asarray(img), jnp.asarray(ids),
+            jnp.asarray(mask), key,
+        )
+        return int(first)
+
+    def step(self, active: np.ndarray) -> np.ndarray:
+        """One decode step for all slots; returns the new token per slot."""
+        self._key, key = jax.random.split(self._key)
+        (self.caches, self.seq_lens, self.cache_mask, self.last_tok,
+         nxt) = self._step(
+            self.loaded.params, self.caches, self.seq_lens, self.cache_mask,
+            self.last_tok, jnp.asarray(active), key,
+        )
+        return np.asarray(nxt)
+
+    def decode_text(self, token_ids: List[int]) -> str:
+        row = token_ids
+        if self.eos_id is not None and self.eos_id in row:
+            row = row[: row.index(self.eos_id)]
+        return self.loaded.tokenizer.decode(
+            [int(x) for x in row if int(x) >= 0], skip_special_tokens=True
+        ).strip()
+
+
+class _Slot:
+    __slots__ = ("pending", "tokens")
+
+    def __init__(self, pending):
+        self.pending = pending
+        self.tokens: List[int] = []
+
+
+class ContinuousBatcher:
+    """Continuous-batching request front over a ContinuousEngine.
+
+    Requests admit into free slots as they arrive and retire individually;
+    one decode program call advances every in-flight request per iteration.
+    """
+
+    def __init__(self, engine: ContinuousEngine):
+        self.engine = engine
+        self._q: "queue.Queue" = queue.Queue()
+        self._slots: List[Optional[_Slot]] = [None] * engine.num_slots
+        self.stats = {"requests": 0, "steps": 0, "admissions": 0}
+        self._stop = False
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray, prompt: str, timeout: float = 300.0) -> str:
+        from multimodal_concept_learning_tpu.serve.engine import _Pending
+
+        p = _Pending(image, prompt)
+        self._q.put(p)
+        if not p.event.wait(timeout):
+            raise TimeoutError("generation timed out")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def shutdown(self):
+        self._stop = True
+        self._q.put(None)
+        self._thread.join(timeout=10)
+
+    def _finish(self, i: int):
+        slot = self._slots[i]
+        slot.pending.result = self.engine.decode_text(slot.tokens)
+        slot.pending.event.set()
+        self._slots[i] = None
+        self.stats["requests"] += 1
+
+    def _worker(self):
+        eng = self.engine
+        while not self._stop:
+            # block when completely idle; otherwise drain without waiting
+            idle = all(s is None for s in self._slots)
+            try:
+                nxt = self._q.get(block=idle)
+            except queue.Empty:
+                nxt = None
+            while nxt is not None:
+                try:
+                    free = self._slots.index(None)
+                except ValueError:
+                    self._q.put(nxt)  # no slot free: try again next iteration
+                    break
+                slot = _Slot(nxt)
+                try:
+                    first = eng.admit(free, nxt.image, nxt.prompt)
+                except Exception as e:  # noqa: BLE001 — surface to the waiter
+                    nxt.error = e
+                    nxt.event.set()
+                    nxt = None
+                    continue
+                slot.tokens.append(first)
+                self._slots[free] = slot
+                self.stats["admissions"] += 1
+                if (eng.eos_id is not None and first == eng.eos_id) or \
+                        eng.max_new_tokens == 1:
+                    self._finish(free)
+                try:
+                    nxt = self._q.get(block=False)
+                except queue.Empty:
+                    nxt = None
+            if self._stop:
+                break
+            active = np.asarray([s is not None for s in self._slots], bool)
+            if not active.any():
+                continue
+            toks = eng.step(active)
+            self.stats["steps"] += 1
+            for i, s in enumerate(self._slots):
+                if s is None:
+                    continue
+                s.tokens.append(int(toks[i]))
+                done = (eng.eos_id is not None and int(toks[i]) == eng.eos_id) or \
+                    len(s.tokens) >= eng.max_new_tokens
+                if done:
+                    self._finish(i)
+
+
+__all__ = ["ContinuousEngine", "ContinuousBatcher"]

@@ -81,18 +81,38 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
                 checkpoint: str = "best_model.pt", int8: bool = False,
                 batch_size: int = 8, max_wait_ms: float = 20.0,
                 max_new_tokens: int = 8, max_prompt_len: int = 64,
-                temperature: float = 0.0, top_k=None, top_p=None, seed: int = 0):
-    """Build (ThreadingHTTPServer, Batcher); caller runs serve_forever()."""
-    from multimodal_concept_learning_tpu.serve.engine import Batcher, ServingEngine
+                temperature: float = 0.0, top_k=None, top_p=None, seed: int = 0,
+                continuous: bool = False):
+    """Build (ThreadingHTTPServer, batcher); caller runs serve_forever().
+
+    ``continuous=True`` uses slot-level continuous batching
+    (serve/continuous.py: requests admit/retire individually, one decode
+    program advances all in-flight rows) instead of whole-batch coalescing.
+    """
     from multimodal_concept_learning_tpu.serve.loader import load_trained_mllm
 
     loaded = load_trained_mllm(results_dir, checkpoint=checkpoint, int8=int8)
-    engine = ServingEngine(
-        loaded, batch_size=batch_size, max_new_tokens=max_new_tokens,
-        max_prompt_len=max_prompt_len, temperature=temperature,
-        top_k=top_k, top_p=top_p, seed=seed,
-    )
-    batcher = Batcher(engine, max_wait_ms=max_wait_ms)
+    if continuous:
+        from multimodal_concept_learning_tpu.serve.continuous import (
+            ContinuousBatcher,
+            ContinuousEngine,
+        )
+
+        engine = ContinuousEngine(
+            loaded, num_slots=batch_size, max_new_tokens=max_new_tokens,
+            max_prompt_len=max_prompt_len, temperature=temperature,
+            top_k=top_k, top_p=top_p, seed=seed,
+        )
+        batcher = ContinuousBatcher(engine)
+    else:
+        from multimodal_concept_learning_tpu.serve.engine import Batcher, ServingEngine
+
+        engine = ServingEngine(
+            loaded, batch_size=batch_size, max_new_tokens=max_new_tokens,
+            max_prompt_len=max_prompt_len, temperature=temperature,
+            top_k=top_k, top_p=top_p, seed=seed,
+        )
+        batcher = Batcher(engine, max_wait_ms=max_wait_ms)
     httpd = ThreadingHTTPServer((host, port), build_app(batcher))
     return httpd, batcher
 
@@ -108,6 +128,9 @@ def main(argv=None):
     parser.add_argument("--max_new_tokens", type=int, default=8)
     parser.add_argument("--max_prompt_len", type=int, default=64)
     parser.add_argument("--int8", action="store_true")
+    parser.add_argument("--continuous", action="store_true",
+                        help="slot-level continuous batching instead of "
+                             "whole-batch coalescing")
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--top_k", type=int, default=None)
     parser.add_argument("--top_p", type=float, default=None)
@@ -120,7 +143,7 @@ def main(argv=None):
         batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
         max_new_tokens=args.max_new_tokens, max_prompt_len=args.max_prompt_len,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
-        seed=args.sample_seed,
+        seed=args.sample_seed, continuous=args.continuous,
     )
     print(f"Serving on http://{args.host}:{args.port} "
           f"(batch_size={args.batch_size}, max_wait_ms={args.max_wait_ms})")

@@ -31,3 +31,65 @@ def eight_devices():
     devices = jax.devices()
     assert len(devices) >= 8, f"expected 8 virtual devices, got {len(devices)}"
     return devices[:8]
+
+
+SERVE_COLORS = [[255, 0, 0], [0, 255, 0]]
+
+
+@pytest.fixture(scope="session")
+def trained_results_dir(tmp_path_factory):
+    """A 1-epoch-trained tiny multimodal results dir (reference layout) for
+    the serving-stack tests — the color generator is the fake-data backend."""
+    import json
+
+    import yaml
+
+    from multimodal_concept_learning_tpu.configs import ColorDatasetConfig
+    from multimodal_concept_learning_tpu.data import generate_color_dataset
+
+    root = tmp_path_factory.mktemp("serve_model")
+    config = ColorDatasetConfig.from_params(
+        {
+            "dataset_name": "tiny",
+            "image_size": 32,
+            "colors": SERVE_COLORS,
+            "radius_range": [4, 10],
+            "n_images_per_color": 12,
+            "data_dir": str(root),
+            "seed": 0,
+        }
+    )
+    dataset_dir = generate_color_dataset(config, verbose=False)
+    labels_path = str(root / "labels_mapping.json")
+    with open(labels_path, "w") as f:
+        json.dump({"r255g0b0": "red", "r0g255b0": "<ood 1>"}, f)
+
+    from multimodal_concept_learning_tpu.train.multimodal_training import main
+
+    out = str(root / "results")
+    cfg = {
+        "mapping_path": os.path.join(dataset_dir, "train_mapping.csv"),
+        "image_root": dataset_dir,
+        "labels_mapping_path": labels_path,
+        "prompt_template": "Is the color of the circle {class_name}?",
+        "dataset_name": "color_multimodal",
+        "vision_model_name": "vit-t-8",
+        "language_model_name": "nano",
+        "num_vision_tokens": 17,
+        "image_size": 32,
+        "trainable_params_setting": "language_embed_only",
+        "epochs": 1,
+        "batch_size": 4,
+        "effective_batch_size": 4,
+        "learning_rate": 5e-3,
+        "results_dir": out,
+        "seed": 0,
+        "num_workers": 1,
+        "train_transforms": ["ToTensor"],
+        "val_transforms": ["ToTensor"],
+        "use_wandb": False,
+    }
+    cfg_path = root / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    main(["--config_path", str(cfg_path)])
+    return out

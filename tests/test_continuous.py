@@ -1,0 +1,154 @@
+"""Slot-level continuous batching == per-request generate (serve/continuous.py).
+
+The persistent-state engine must produce, for every request, exactly the
+greedy tokens of an isolated ServingEngine.generate call — including when
+more requests than slots stream in concurrently and admissions interleave
+with in-flight decodes (the per-row cache/rope/mask isolation claim).
+"""
+
+import threading
+
+import numpy as np
+import pytest
+from PIL import Image
+
+COLORS = [[255, 0, 0], [0, 255, 0]]
+
+
+def _circle_image(rgb, size=32):
+    img = Image.new("RGB", (size, size), (255, 255, 255))
+    px = img.load()
+    cx = cy = size // 2
+    for x in range(size):
+        for y in range(size):
+            if (x - cx) ** 2 + (y - cy) ** 2 <= (size // 3) ** 2:
+                px[x, y] = tuple(rgb)
+    return img
+
+
+@pytest.fixture(scope="module")
+def loaded(trained_results_dir):
+    from multimodal_concept_learning_tpu.serve import load_trained_mllm
+
+    return load_trained_mllm(trained_results_dir, verbose=False)
+
+
+def _prompts():
+    return [
+        "Is the color of the circle red?",
+        "Is the color of the circle green?",
+        "Is the color of the circle blue?",
+        "Is the color of the circle orange?",
+        "Is the color of the circle pink?",
+    ]
+
+
+def test_continuous_matches_isolated_generate(loaded):
+    from multimodal_concept_learning_tpu.serve import ServingEngine
+    from multimodal_concept_learning_tpu.serve.continuous import (
+        ContinuousBatcher,
+        ContinuousEngine,
+    )
+
+    n_new, plen = 4, 16
+    ref_engine = ServingEngine(loaded, batch_size=1, max_new_tokens=n_new,
+                               max_prompt_len=plen)
+    imgs = [ref_engine.preprocess_image(_circle_image(COLORS[i % 2]))
+            for i in range(5)]
+    want = [ref_engine.generate([imgs[i]], [p])[0]
+            for i, p in enumerate(_prompts())]
+
+    engine = ContinuousEngine(loaded, num_slots=2, max_new_tokens=n_new,
+                              max_prompt_len=plen)
+    batcher = ContinuousBatcher(engine)
+    results = {}
+
+    def call(i, prompt):
+        results[i] = batcher.submit(imgs[i], prompt, timeout=600)
+
+    threads = [threading.Thread(target=call, args=(i, p))
+               for i, p in enumerate(_prompts())]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    batcher.shutdown()
+
+    assert len(results) == 5
+    for i in range(5):
+        assert results[i] == want[i], (i, results[i], want[i])
+    # 5 requests through 2 slots: admissions == requests completed
+    assert batcher.stats["admissions"] == 5
+    assert batcher.stats["requests"] == 5
+
+
+def test_continuous_early_eos_frees_slot(loaded):
+    """A request whose FIRST token is eos retires at admission, and the
+    single slot immediately serves the next queued request."""
+    from multimodal_concept_learning_tpu.serve import ServingEngine
+    from multimodal_concept_learning_tpu.serve.continuous import (
+        ContinuousBatcher,
+        ContinuousEngine,
+    )
+
+    import jax
+    import jax.numpy as jnp
+
+    plen = 16
+    ref = ServingEngine(loaded, batch_size=1, max_new_tokens=1,
+                        max_prompt_len=plen)
+    img = ref.preprocess_image(_circle_image(COLORS[0]))
+    # peek the raw greedy first token, then declare it "eos"
+    ids, mask = ref._encode_prompts([_prompts()[0]])
+    imgarr = np.zeros((1, 3, 32, 32), np.float32)
+    imgarr[0] = img
+    out = np.asarray(ref._gen_fn(loaded.params, jnp.asarray(imgarr),
+                                 jnp.asarray(ids), jnp.asarray(mask),
+                                 jax.random.key(0)))
+    first_tok = int(out[0, 0])
+
+    engine = ContinuousEngine(loaded, num_slots=1, max_new_tokens=3,
+                              max_prompt_len=plen)
+    engine.eos_id = first_tok
+    batcher = ContinuousBatcher(engine)
+    texts = [batcher.submit(img, _prompts()[0], timeout=600) for _ in range(2)]
+    batcher.shutdown()
+    # retired at admission: no decode steps consumed, empty generations
+    assert batcher.stats["steps"] == 0
+    assert texts == ["", ""]
+    assert batcher.stats["requests"] == 2
+
+
+def test_http_server_continuous_mode(trained_results_dir):
+    import base64
+    import http.client
+    import io
+    import json
+    import threading
+
+    from multimodal_concept_learning_tpu.serve.server import make_server
+
+    httpd, batcher = make_server(
+        trained_results_dir, port=0, batch_size=2, max_new_tokens=2,
+        max_prompt_len=16, continuous=True,
+    )
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        buf = io.BytesIO()
+        _circle_image(COLORS[0]).save(buf, format="PNG")
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/generate", body=json.dumps({
+            "prompt": "Is the color of the circle red?",
+            "image_b64": base64.b64encode(buf.getvalue()).decode(),
+        }), headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        body = json.loads(r.read())
+        assert r.status == 200, body
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["ok"] is True and health["admissions"] == 1
+        conn.close()
+    finally:
+        httpd.shutdown()
+        batcher.shutdown()

@@ -18,61 +18,7 @@ import pytest
 import yaml
 from PIL import Image
 
-from multimodal_concept_learning_tpu.configs import ColorDatasetConfig
-from multimodal_concept_learning_tpu.data import generate_color_dataset
-
 COLORS = [[255, 0, 0], [0, 255, 0]]
-LABELS_MAPPING = {"r255g0b0": "red", "r0g255b0": "<ood 1>"}
-
-
-@pytest.fixture(scope="module")
-def results_dir(tmp_path_factory):
-    root = tmp_path_factory.mktemp("serve_e2e")
-    config = ColorDatasetConfig.from_params(
-        {
-            "dataset_name": "tiny",
-            "image_size": 32,
-            "colors": COLORS,
-            "radius_range": [4, 10],
-            "n_images_per_color": 12,
-            "data_dir": str(root),
-            "seed": 0,
-        }
-    )
-    dataset_dir = generate_color_dataset(config, verbose=False)
-    labels_path = str(root / "labels_mapping.json")
-    with open(labels_path, "w") as f:
-        json.dump(LABELS_MAPPING, f)
-
-    from multimodal_concept_learning_tpu.train.multimodal_training import main
-
-    out = str(root / "results")
-    cfg = {
-        "mapping_path": os.path.join(dataset_dir, "train_mapping.csv"),
-        "image_root": dataset_dir,
-        "labels_mapping_path": labels_path,
-        "prompt_template": "Is the color of the circle {class_name}?",
-        "dataset_name": "color_multimodal",
-        "vision_model_name": "vit-t-8",
-        "language_model_name": "nano",
-        "num_vision_tokens": 17,
-        "image_size": 32,
-        "trainable_params_setting": "language_embed_only",
-        "epochs": 1,
-        "batch_size": 4,
-        "effective_batch_size": 4,
-        "learning_rate": 5e-3,
-        "results_dir": out,
-        "seed": 0,
-        "num_workers": 1,
-        "train_transforms": ["ToTensor"],
-        "val_transforms": ["ToTensor"],
-        "use_wandb": False,
-    }
-    cfg_path = root / "cfg.yaml"
-    cfg_path.write_text(yaml.safe_dump(cfg))
-    main(["--config_path", str(cfg_path)])
-    return out
 
 
 def _circle_image(rgb, size=32):
@@ -86,10 +32,10 @@ def _circle_image(rgb, size=32):
     return img
 
 
-def test_engine_generate(results_dir):
+def test_engine_generate(trained_results_dir):
     from multimodal_concept_learning_tpu.serve import ServingEngine, load_trained_mllm
 
-    loaded = load_trained_mllm(results_dir)
+    loaded = load_trained_mllm(trained_results_dir)
     engine = ServingEngine(loaded, batch_size=4, max_new_tokens=3,
                            max_prompt_len=16)
     imgs = [engine.preprocess_image(_circle_image(c)) for c in COLORS]
@@ -102,14 +48,14 @@ def test_engine_generate(results_dir):
     assert texts2[0] == texts[0]  # greedy + same image/prompt -> same text
 
 
-def test_batcher_coalesces(results_dir):
+def test_batcher_coalesces(trained_results_dir):
     from multimodal_concept_learning_tpu.serve import (
         Batcher,
         ServingEngine,
         load_trained_mllm,
     )
 
-    loaded = load_trained_mllm(results_dir, verbose=False)
+    loaded = load_trained_mllm(trained_results_dir, verbose=False)
     engine = ServingEngine(loaded, batch_size=4, max_new_tokens=2,
                            max_prompt_len=16)
     # warm the compile so the batching window isn't dwarfed by it
@@ -133,11 +79,11 @@ def test_batcher_coalesces(results_dir):
     assert batcher.stats["batches"] <= 2  # coalesced (1 expected, 2 if unlucky)
 
 
-def test_http_server(results_dir):
+def test_http_server(trained_results_dir):
     from multimodal_concept_learning_tpu.serve.server import make_server
 
     httpd, batcher = make_server(
-        results_dir, port=0, batch_size=2, max_wait_ms=10.0,
+        trained_results_dir, port=0, batch_size=2, max_wait_ms=10.0,
         max_new_tokens=2, max_prompt_len=16,
     )
     port = httpd.server_address[1]
