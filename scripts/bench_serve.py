@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Serving-stack throughput benchmark: continuous vs whole-batch batching.
+
+Streams N concurrent requests (flagship MLLM shape: ViT-B/16 + Gemma-3-1b
+architecture, 221-token prompts) through BOTH serving fronts and reports
+requests/s and aggregate generated tok/s.  No trained checkpoint is needed
+— random weights decode at full speed, and the point is the scheduling, not
+the text.
+
+Usage: python scripts/bench_serve.py [--requests 32] [--slots 8]
+       [--new 16] [--int8] [--mode both|continuous|batch]
+"""
+
+import argparse
+import sys
+import threading
+import time
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+
+
+def build_loaded(int8: bool):
+    """A LoadedMLLM over random flagship weights (no results dir)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from multimodal_concept_learning_tpu.models import MLLM, MLLMConfig
+    from multimodal_concept_learning_tpu.serve.loader import LoadedMLLM
+    from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer
+
+    tokenizer = ConceptTokenizer()
+    tokenizer.add_tokens([f"<ood {i}>" for i in range(1, 91)])
+    config = MLLMConfig.create(
+        vocab_size=len(tokenizer), vision_preset="vit-b-16",
+        lm_preset="gemma3-1b", num_vision_tokens=197, image_size=224,
+    )
+    model = MLLM(config)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(1, 3, 224, 224)).astype(np.float32))
+    ids = jnp.zeros((1, 197 + 8), jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = jax.jit(model.init)(jax.random.key(0), images, ids, mask)["params"]
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    if int8:
+        from multimodal_concept_learning_tpu.ops.quant import quantize_lm_params
+
+        params = dict(params)
+        params["language_model"] = quantize_lm_params(params["language_model"], config.lm)
+        model = MLLM(dataclasses.replace(
+            config, lm=dataclasses.replace(config.lm, int8_weights=True)))
+
+    class _FakeTrainingConfig:
+        num_vision_tokens = 197
+        image_size = 224
+
+    transform = lambda img: np.zeros((3, 224, 224), np.float32)  # noqa: E731
+    return LoadedMLLM(model, tokenizer, params, _FakeTrainingConfig(), {}, transform)
+
+
+def run_load(batcher, n_requests: int, image, prompt: str):
+    done = []
+    lock = threading.Lock()
+
+    def call():
+        t0 = time.time()
+        batcher.submit(image, prompt, timeout=1800)
+        with lock:
+            done.append(time.time() - t0)
+
+    threads = [threading.Thread(target=call) for _ in range(n_requests)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    return wall, done
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--requests", type=int, default=32)
+    parser.add_argument("--slots", type=int, default=8)
+    parser.add_argument("--new", type=int, default=16)
+    parser.add_argument("--int8", action="store_true")
+    parser.add_argument("--mode", choices=("both", "continuous", "batch"),
+                        default="both")
+    args = parser.parse_args()
+
+    from multimodal_concept_learning_tpu.serve.continuous import (
+        ContinuousBatcher,
+        ContinuousEngine,
+    )
+    from multimodal_concept_learning_tpu.serve.engine import Batcher, ServingEngine
+
+    loaded = build_loaded(args.int8)
+    image = np.zeros((3, 224, 224), np.float32)
+    prompt = "Is the color of the circle red? " * 3
+
+    if args.mode in ("both", "continuous"):
+        eng = ContinuousEngine(loaded, num_slots=args.slots,
+                               max_new_tokens=args.new, max_prompt_len=24)
+        b = ContinuousBatcher(eng)
+        t0 = time.time()
+        b.submit(image, prompt, timeout=1800)  # compile admit+step
+        print(f"[serve] continuous compile+first: {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        wall, lat = run_load(b, args.requests, image, prompt)
+        b.shutdown()
+        print(f"[serve] continuous: {args.requests} reqs in {wall:.2f}s -> "
+              f"{args.requests / wall:.1f} req/s, "
+              f"{args.requests * args.new / wall:.0f} tok/s agg, "
+              f"p50 latency {np.median(lat):.2f}s steps={b.stats['steps']}")
+
+    if args.mode in ("both", "batch"):
+        eng = ServingEngine(loaded, batch_size=args.slots,
+                            max_new_tokens=args.new, max_prompt_len=24)
+        b = Batcher(eng, max_wait_ms=20.0)
+        t0 = time.time()
+        b.submit(image, prompt, timeout=1800)
+        print(f"[serve] batch compile+first: {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        wall, lat = run_load(b, args.requests, image, prompt)
+        b.shutdown()
+        print(f"[serve] whole-batch: {args.requests} reqs in {wall:.2f}s -> "
+              f"{args.requests / wall:.1f} req/s, "
+              f"{args.requests * args.new / wall:.0f} tok/s agg, "
+              f"p50 latency {np.median(lat):.2f}s batches={b.stats['batches']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Compiler-options sweep over the CLIP flagship step (the untried perf axis).
+
+BASELINE.md records that model-level interventions are exhausted at ~2100
+img/s/chip (46% est MFU; 14% of step time is layout copies, in-op matmul
+MFU 73%).  Compiler knobs are orthogonal to all of that.  TPU-specific
+flags cannot go through XLA_FLAGS here (the CPU-plugin flag parser aborts
+on unknown flags before the remote compile is reached), so this harness
+uses the AOT path — ``jit(f).lower(...).compile(compiler_options=...)`` —
+which ships the options inside the serialized compile request.
+
+Usage: python scripts/bench_xla_flags.py
+"""
+
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+
+CONFIGS = {
+    "default": None,
+    # scoped vmem bounds how much VMEM a fusion may claim; raising it lets
+    # the scheduler build larger fusions (risk: spills; lowering can also
+    # help by leaving more room for prefetch double-buffering)
+    "vmem_64m": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    "vmem_128m": {"xla_tpu_scoped_vmem_limit_kib": "131072"},
+    "lhs": {"xla_tpu_enable_latency_hiding_scheduler": "true"},
+}
+
+
+def main():
+    import bench
+
+    state0, batch, scan_steps = bench.build_clip()
+    lowered = scan_steps.lower(state0, batch)
+
+    results = {}
+    for name, opts in CONFIGS.items():
+        try:
+            t0 = time.time()
+            compiled = lowered.compile(
+                compiler_options=opts) if opts else lowered.compile()
+            print(f"=== {name}: compiled in {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+            state, losses = compiled(state0, batch)  # warmup
+            _ = float(losses[-1])
+            t0 = time.time()
+            for _ in range(bench.REPEATS):
+                state, losses = compiled(state, batch)
+            _ = float(losses[-1])
+            elapsed = time.time() - t0
+            ips = bench.BATCH * bench.INNER * bench.REPEATS / elapsed
+            results[name] = ips
+            print(f"    {name}: {ips:.0f} img/s/chip", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — record and continue the sweep
+            print(f"    {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+            results[name] = None
+
+    base = results.get("default")
+    for name, val in results.items():
+        if val is None:
+            print(f"{name}: failed")
+        else:
+            delta = f" ({100 * (val / base - 1):+.1f}%)" if base else ""
+            print(f"{name}: {val:.0f} img/s/chip{delta}")
+
+
+if __name__ == "__main__":
+    main()
