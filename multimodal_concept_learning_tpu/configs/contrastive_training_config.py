@@ -69,3 +69,6 @@ class ContrastiveTrainingConfig(YamlConfig):
     # bf16 parameter storage with fp32 master weights in the optimizer
     # (framework extension; measured throughput win on v5e)
     bf16_params: bool = False
+    # orbax checkpoint + resume with SIGTERM preemption handling (framework
+    # extension, same semantics as the vision/multimodal trainers)
+    resume: bool = False

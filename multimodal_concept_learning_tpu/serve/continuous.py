@@ -48,6 +48,7 @@ class ContinuousEngine:
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
         seed: int = 0,
+        steps_per_call: int = 1,
     ):
         from multimodal_concept_learning_tpu.models.lm import init_kv_cache
         from multimodal_concept_learning_tpu.models.mllm import MLLM  # noqa: F401
@@ -63,7 +64,13 @@ class ContinuousEngine:
         self.pad_id = getattr(tok, "pad_token_id", 0) or 0
         self.nvt = cfg.num_vision_tokens
         self.prompt_t = self.nvt + max_prompt_len
-        self.cache_len = self.prompt_t + max_new_tokens
+        # chunked decode: each device call advances every active row up to
+        # ``steps_per_call`` tokens, amortizing the per-dispatch host-device
+        # roundtrip (55 ms on tunneled dev setups, ~1 ms on real TPU VMs).
+        # Rows may overshoot EOS inside a chunk; the batcher truncates, and
+        # the cache is padded so overshoot never overflows it.
+        self.steps_per_call = steps_per_call
+        self.cache_len = self.prompt_t + max_new_tokens + steps_per_call
         self._key = jax.random.key(seed)
 
         model = loaded.model
@@ -84,44 +91,70 @@ class ContinuousEngine:
                                  top_k=top_k, top_p=top_p)
 
         @partial(jax.jit, donate_argnums=(1, 2, 3, 4))
-        def admit(p, caches, seq_lens, cache_mask, last_tok, slot,
-                  images1, ids1, mask1, key):
-            """Prefill ONE request (batch 1) and install it in ``slot``."""
-            small = init_kv_cache(lm_cfg, 1, self.cache_len)
+        def admit(p, caches, seq_lens, cache_mask, last_tok, slots, valid,
+                  images, ids, mask, key):
+            """Prefill up to ``num_slots`` requests in ONE batched call and
+            install row a into slot ``slots[a]`` where ``valid[a]``.
+
+            Padding rows carry valid=False and scatter their slot's own
+            gathered value back (a no-op).  The host passes ``slots`` as a
+            PERMUTATION of range(num_slots) — duplicate scatter indices are
+            undefined in XLA, so padding rows take the leftover slot ids.
+            One fixed-shape program regardless of how many requests arrived
+            — burst admission costs one dispatch.
+            """
+            a = images.shape[0]
+            small = init_kv_cache(lm_cfg, a, self.cache_len)
             hidden, small = model.apply(
-                {"params": p}, images1, ids1, mask1, small,
-                method=lambda m, *a: m.prefill(*a),
+                {"params": p}, images, ids, mask, small,
+                method=lambda m, *x: m.prefill(*x),
             )
-            plen = mask1.sum(axis=1).astype(jnp.int32)[0]
-            first = sample(head(p, hidden[0, plen - 1][None])[0], key).astype(jnp.int32)
+            plens = mask.sum(axis=1).astype(jnp.int32)
+            rows_a = jnp.arange(a)
+            firsts = sample(head(p, hidden[rows_a, plens - 1]), key).astype(jnp.int32)
+
+            vmask = valid[:, None, None, None]
             caches = jax.tree_util.tree_map(
-                lambda big, sm: big.at[slot].set(sm[0]), caches, small
+                lambda big, sm: big.at[slots].set(jnp.where(vmask, sm, big[slots])),
+                caches, small,
             )
-            row_mask = jnp.zeros((self.cache_len,), jnp.int32).at[: mask1.shape[1]].set(mask1[0])
-            cache_mask = cache_mask.at[slot].set(row_mask)
-            seq_lens = seq_lens.at[slot].set(plen)
-            last_tok = last_tok.at[slot].set(first)
-            return caches, seq_lens, cache_mask, last_tok, first
+            row_masks = jnp.zeros((a, self.cache_len), jnp.int32).at[:, : mask.shape[1]].set(mask)
+            cache_mask = cache_mask.at[slots].set(
+                jnp.where(valid[:, None], row_masks, cache_mask[slots]))
+            seq_lens = seq_lens.at[slots].set(jnp.where(valid, plens, seq_lens[slots]))
+            last_tok = last_tok.at[slots].set(jnp.where(valid, firsts, last_tok[slots]))
+            return caches, seq_lens, cache_mask, last_tok, firsts
 
         @partial(jax.jit, donate_argnums=(1, 2, 3, 4))
         def step(p, caches, seq_lens, cache_mask, last_tok, active, key):
-            """Advance every slot one token (inactive rows are inert)."""
+            """Advance every active slot ``steps_per_call`` tokens per call
+            (inactive rows are inert; all writes stay under cache_len)."""
             rows = jnp.arange(num_slots)
-            cache_mask = cache_mask.at[rows, seq_lens].set(
-                jnp.maximum(cache_mask[rows, seq_lens], active.astype(jnp.int32))
+
+            def body(carry, step_key):
+                caches, seq_lens, cache_mask, last_tok = carry
+                can_write = active & (seq_lens < self.cache_len - 1)
+                cache_mask = cache_mask.at[rows, seq_lens].set(
+                    jnp.maximum(cache_mask[rows, seq_lens], can_write.astype(jnp.int32))
+                )
+                emb = model.apply(
+                    {"params": p}, last_tok[:, None],
+                    method=lambda m, ids: m.language_model.embed(ids),
+                )
+                hidden, caches = model.apply(
+                    {"params": p}, emb, caches, seq_lens, cache_mask,
+                    method=lambda m, *a: m.language_model.decode_step(*a),
+                )
+                nxt = sample(head(p, hidden[:, 0]), step_key).astype(jnp.int32)
+                seq_lens = seq_lens + can_write.astype(jnp.int32)
+                last_tok = jnp.where(can_write, nxt, last_tok)
+                return (caches, seq_lens, cache_mask, last_tok), nxt
+
+            keys = jax.random.split(key, self.steps_per_call)
+            (caches, seq_lens, cache_mask, last_tok), toks = jax.lax.scan(
+                body, (caches, seq_lens, cache_mask, last_tok), keys
             )
-            emb = model.apply(
-                {"params": p}, last_tok[:, None],
-                method=lambda m, ids: m.language_model.embed(ids),
-            )
-            hidden, caches = model.apply(
-                {"params": p}, emb, caches, seq_lens, cache_mask,
-                method=lambda m, *a: m.language_model.decode_step(*a),
-            )
-            nxt = sample(head(p, hidden[:, 0]), key).astype(jnp.int32)
-            seq_lens = seq_lens + active.astype(jnp.int32)
-            last_tok = jnp.where(active, nxt, last_tok)
-            return caches, seq_lens, cache_mask, last_tok, nxt
+            return caches, seq_lens, cache_mask, last_tok, toks.T  # [slots, K]
 
         self._admit = admit
         self._step = step
@@ -133,29 +166,47 @@ class ContinuousEngine:
         out = self.loaded.transform(pil_image.convert("RGB"))
         return np.asarray(out, dtype=np.float32)
 
-    def admit(self, slot: int, image: np.ndarray, prompt: str) -> int:
-        """Install a request into ``slot``; returns its first generated token."""
+    def admit_many(self, requests) -> List[int]:
+        """Install up to ``num_slots`` requests in one batched prefill call.
+
+        requests: list of (slot, image, prompt) with distinct free slots.
+        Returns each request's first generated token (same order).
+        """
+        assert 0 < len(requests) <= self.num_slots
         cfg = self.loaded.config
         tok = self.loaded.tokenizer
-        img = np.zeros((1, 3, cfg.image_size, cfg.image_size), np.float32)
-        img[0] = image
-        ids = np.full((1, self.prompt_t), self.pad_id, np.int32)
-        mask = np.zeros((1, self.prompt_t), np.int32)
-        mask[0, : self.nvt] = 1
-        enc = tok.encode(prompt)[: self.max_prompt_len]
-        ids[0, self.nvt:self.nvt + len(enc)] = enc
-        mask[0, : self.nvt + len(enc)] = 1
+        a = self.num_slots  # fixed-shape admission batch
+        img = np.zeros((a, 3, cfg.image_size, cfg.image_size), np.float32)
+        ids = np.full((a, self.prompt_t), self.pad_id, np.int32)
+        mask = np.zeros((a, self.prompt_t), np.int32)
+        valid = np.zeros((a,), bool)
+        used = [s for s, _, _ in requests]
+        leftovers = [s for s in range(self.num_slots) if s not in used]
+        slots = np.asarray(used + leftovers[: a - len(used)], np.int32)
+        for i, (_, image, prompt) in enumerate(requests):
+            img[i] = image
+            mask[i, : self.nvt] = 1
+            enc = tok.encode(prompt)[: self.max_prompt_len]
+            ids[i, self.nvt:self.nvt + len(enc)] = enc
+            mask[i, : self.nvt + len(enc)] = 1
+            valid[i] = True
         self._key, key = jax.random.split(self._key)
         (self.caches, self.seq_lens, self.cache_mask, self.last_tok,
-         first) = self._admit(
+         firsts) = self._admit(
             self.loaded.params, self.caches, self.seq_lens, self.cache_mask,
-            self.last_tok, jnp.int32(slot), jnp.asarray(img), jnp.asarray(ids),
-            jnp.asarray(mask), key,
+            self.last_tok, jnp.asarray(slots), jnp.asarray(valid),
+            jnp.asarray(img), jnp.asarray(ids), jnp.asarray(mask), key,
         )
-        return int(first)
+        firsts = np.asarray(firsts)
+        return [int(firsts[i]) for i in range(len(requests))]
+
+    def admit(self, slot: int, image: np.ndarray, prompt: str) -> int:
+        """Install a request into ``slot``; returns its first generated token."""
+        return self.admit_many([(slot, image, prompt)])[0]
 
     def step(self, active: np.ndarray) -> np.ndarray:
-        """One decode step for all slots; returns the new token per slot."""
+        """One decode call for all slots; returns [num_slots, steps_per_call]
+        new tokens (tokens past a row's EOS are overshoot — callers truncate)."""
         self._key, key = jax.random.split(self._key)
         (self.caches, self.seq_lens, self.cache_mask, self.last_tok,
          nxt) = self._step(
@@ -229,45 +280,55 @@ class ContinuousBatcher:
                 nxt = self._q.get(block=idle)
             except queue.Empty:
                 nxt = None
+            # drain the queue into every free slot, then admit the whole
+            # group with ONE batched prefill dispatch
+            incoming = []
+            n_free = self._slots.count(None)
             while nxt is not None:
-                try:
-                    free = self._slots.index(None)
-                except ValueError:
-                    self._q.put(nxt)  # no slot free: try again next iteration
+                if len(incoming) >= n_free:
+                    self._q.put(nxt)  # no slot free: retry next iteration
                     break
-                slot = _Slot(nxt)
-                try:
-                    first = eng.admit(free, nxt.image, nxt.prompt)
-                except Exception as e:  # noqa: BLE001 — surface to the waiter
-                    nxt.error = e
-                    nxt.event.set()
-                    nxt = None
-                    continue
-                slot.tokens.append(first)
-                self._slots[free] = slot
-                self.stats["admissions"] += 1
-                if (eng.eos_id is not None and first == eng.eos_id) or \
-                        eng.max_new_tokens == 1:
-                    self._finish(free)
+                incoming.append(nxt)
                 try:
                     nxt = self._q.get(block=False)
                 except queue.Empty:
                     nxt = None
+            if incoming:
+                free_slots = [i for i, s in enumerate(self._slots) if s is None]
+                batch = [(free_slots[i], r.image, r.prompt)
+                         for i, r in enumerate(incoming)]
+                try:
+                    firsts = eng.admit_many(batch)
+                except Exception as e:  # noqa: BLE001 — surface to the waiters
+                    for r in incoming:
+                        r.error = e
+                        r.event.set()
+                    incoming = []
+                    firsts = []
+                for (slot_i, _, _), r, first in zip(batch, incoming, firsts):
+                    s = _Slot(r)
+                    s.tokens.append(first)
+                    self._slots[slot_i] = s
+                    self.stats["admissions"] += 1
+                    if (eng.eos_id is not None and first == eng.eos_id) or \
+                            eng.max_new_tokens == 1:
+                        self._finish(slot_i)
             if self._stop:
                 break
             active = np.asarray([s is not None for s in self._slots], bool)
             if not active.any():
                 continue
-            toks = eng.step(active)
+            toks = eng.step(active)  # [slots, steps_per_call]
             self.stats["steps"] += 1
             for i, s in enumerate(self._slots):
                 if s is None:
                     continue
-                s.tokens.append(int(toks[i]))
-                done = (eng.eos_id is not None and int(toks[i]) == eng.eos_id) or \
-                    len(s.tokens) >= eng.max_new_tokens
-                if done:
-                    self._finish(i)
+                for t in toks[i]:
+                    s.tokens.append(int(t))
+                    if (eng.eos_id is not None and int(t) == eng.eos_id) or \
+                            len(s.tokens) >= eng.max_new_tokens:
+                        self._finish(i)
+                        break
 
 
 __all__ = ["ContinuousEngine", "ContinuousBatcher"]

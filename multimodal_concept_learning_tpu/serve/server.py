@@ -82,7 +82,7 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
                 batch_size: int = 8, max_wait_ms: float = 20.0,
                 max_new_tokens: int = 8, max_prompt_len: int = 64,
                 temperature: float = 0.0, top_k=None, top_p=None, seed: int = 0,
-                continuous: bool = False):
+                continuous: bool = False, steps_per_call: int = 4):
     """Build (ThreadingHTTPServer, batcher); caller runs serve_forever().
 
     ``continuous=True`` uses slot-level continuous batching
@@ -102,6 +102,7 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
             loaded, num_slots=batch_size, max_new_tokens=max_new_tokens,
             max_prompt_len=max_prompt_len, temperature=temperature,
             top_k=top_k, top_p=top_p, seed=seed,
+            steps_per_call=steps_per_call,
         )
         batcher = ContinuousBatcher(engine)
     else:
@@ -131,6 +132,9 @@ def main(argv=None):
     parser.add_argument("--continuous", action="store_true",
                         help="slot-level continuous batching instead of "
                              "whole-batch coalescing")
+    parser.add_argument("--steps_per_call", type=int, default=4,
+                        help="continuous mode: tokens decoded per device "
+                             "dispatch (amortizes roundtrip latency)")
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--top_k", type=int, default=None)
     parser.add_argument("--top_p", type=float, default=None)
@@ -144,6 +148,7 @@ def main(argv=None):
         max_new_tokens=args.max_new_tokens, max_prompt_len=args.max_prompt_len,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
         seed=args.sample_seed, continuous=args.continuous,
+        steps_per_call=args.steps_per_call,
     )
     print(f"Serving on http://{args.host}:{args.port} "
           f"(batch_size={args.batch_size}, max_wait_ms={args.max_wait_ms})")

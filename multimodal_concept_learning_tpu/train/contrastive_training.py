@@ -99,6 +99,16 @@ def run_training(model, tokenizer, train_loader, config: ContrastiveTrainingConf
     state = TrainState.create(params, tx)
     train_step = make_clip_train_step(model, tx)
 
+    from multimodal_concept_learning_tpu.train.common import (
+        PreemptionGuard,
+        ResumeManager,
+    )
+
+    resume = ResumeManager(config.results_dir, config.resume)
+    state, start_epoch, meta = resume.restore(state)
+    guard = PreemptionGuard(enabled=config.resume)
+    skip_batches = int(meta.get("skip_batches", 0) or 0)
+
     logger = MetricsLogger(
         enabled=True, use_wandb=config.use_wandb, wandb_project=config.wandb_project,
         wandb_run_name=config.wandb_run_name or config.run_name, wandb_config=vars(config),
@@ -108,13 +118,26 @@ def run_training(model, tokenizer, train_loader, config: ContrastiveTrainingConf
     step_rng = jax.random.fold_in(rng, 3)
     os.makedirs(config.results_dir, exist_ok=True)
 
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
         train_loader.set_epoch(epoch)
         losses = []
-        for batch in prefetch_to_device(train_loader, sharding):
+        data_iter = iter(train_loader)
+        done_in_epoch = 0
+        if epoch == start_epoch and skip_batches:
+            for _ in range(skip_batches):
+                next(data_iter, None)
+            done_in_epoch = skip_batches
+        for batch in prefetch_to_device(data_iter, sharding):
             state, m = train_step(state, batch, step_rng)
+            done_in_epoch += 1
             losses.append(m["loss"])
+            if guard.preempted:
+                resume.save_preempted(state, epoch, done_in_epoch, {})
+                print(f"Preempted (SIGTERM): saved mid-epoch checkpoint "
+                      f"(epoch {epoch + 1}, batch {done_in_epoch}); exiting")
+                logger.finish()
+                return None
         train_loss = float(jnp.stack(losses).mean()) if losses else 0.0
         epoch_time = time.time() - t0
         metrics = {
@@ -127,6 +150,8 @@ def run_training(model, tokenizer, train_loader, config: ContrastiveTrainingConf
             f"Train Loss: {train_loss:.4f}"
         )
         logger.log(metrics)
+        resume.save(state, epoch, {})
+    resume.finalize()
 
     save_checkpoint(os.path.join(config.results_dir, "checkpoints"), state.params, int(state.step))
     logger.finish()
@@ -206,6 +231,8 @@ def main(argv=None):
         collate_fn=collator, seed=config.seed,
     )
     state = run_training(model, tokenizer, train_loader, config, mesh, rng)
+    if state is None:  # graceful preemption: resume later with resume: true
+        return {"preempted": True}
 
     # Zero-shot eval on test split with classification-style labels.
     def eval_collate(batch):

@@ -90,6 +90,8 @@ def main():
     parser.add_argument("--slots", type=int, default=8)
     parser.add_argument("--new", type=int, default=16)
     parser.add_argument("--int8", action="store_true")
+    parser.add_argument("--chunk", type=int, default=1,
+                        help="continuous: tokens per device dispatch")
     parser.add_argument("--mode", choices=("both", "continuous", "batch"),
                         default="both")
     args = parser.parse_args()
@@ -106,7 +108,8 @@ def main():
 
     if args.mode in ("both", "continuous"):
         eng = ContinuousEngine(loaded, num_slots=args.slots,
-                               max_new_tokens=args.new, max_prompt_len=24)
+                               max_new_tokens=args.new, max_prompt_len=24,
+                               steps_per_call=args.chunk)
         b = ContinuousBatcher(eng)
         t0 = time.time()
         b.submit(image, prompt, timeout=1800)  # compile admit+step

@@ -82,6 +82,32 @@ def test_continuous_matches_isolated_generate(loaded):
     assert batcher.stats["requests"] == 5
 
 
+def test_continuous_chunked_steps_same_text(loaded):
+    """steps_per_call > 1 (multiple tokens per device dispatch) must not
+    change any generated text — overshoot past EOS is truncated host-side."""
+    from multimodal_concept_learning_tpu.serve import ServingEngine
+    from multimodal_concept_learning_tpu.serve.continuous import (
+        ContinuousBatcher,
+        ContinuousEngine,
+    )
+
+    n_new, plen = 5, 16
+    ref_engine = ServingEngine(loaded, batch_size=1, max_new_tokens=n_new,
+                               max_prompt_len=plen)
+    imgs = [ref_engine.preprocess_image(_circle_image(COLORS[i % 2]))
+            for i in range(3)]
+    want = [ref_engine.generate([imgs[i]], [p])[0]
+            for i, p in enumerate(_prompts()[:3])]
+
+    engine = ContinuousEngine(loaded, num_slots=2, max_new_tokens=n_new,
+                              max_prompt_len=plen, steps_per_call=3)
+    batcher = ContinuousBatcher(engine)
+    got = [batcher.submit(imgs[i], _prompts()[i], timeout=600)
+           for i in range(3)]
+    batcher.shutdown()
+    assert got == want
+
+
 def test_continuous_early_eos_frees_slot(loaded):
     """A request whose FIRST token is eos retires at admission, and the
     single slot immediately serves the next queued request."""
