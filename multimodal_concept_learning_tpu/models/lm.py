@@ -75,6 +75,12 @@ class LMConfig:
     # streams from HBM.  Lossy; convert a trained float tree with
     # quantize_lm_params.  Embedding / lm_head / norms stay float.
     int8_weights: bool = False
+    # Mixture-of-Experts MLP (framework extension — the reference has no
+    # MoE): 0 = dense GeGLU; >0 replaces every block's MLP with
+    # ops/moe.MoEMLP (top-k routed, dense dispatch, expert kernels stacked
+    # [E,...] so EP shards their leading axis over the mesh's model axis).
+    moe_experts: int = 0
+    moe_top_k: int = 2
     dtype: Any = jnp.bfloat16
 
     def layer_is_sliding(self, i: int) -> bool:
@@ -240,6 +246,19 @@ class LMBlock(nn.Module):
 
     def _mlp(self, h):
         cfg = self.config
+        if cfg.moe_experts > 0:
+            from multimodal_concept_learning_tpu.ops.moe import MoEMLP
+
+            out, aux = MoEMLP(
+                hidden_size=cfg.hidden_size,
+                intermediate_size=cfg.intermediate_size,
+                num_experts=cfg.moe_experts,
+                top_k=cfg.moe_top_k,
+                dtype=cfg.dtype,
+                name="moe",
+            )(h)
+            self.sow("intermediates", "moe_aux", aux)
+            return out
         if cfg.int8_weights:
             from multimodal_concept_learning_tpu.ops.quant import QuantDense
 

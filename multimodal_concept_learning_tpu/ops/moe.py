@@ -1,0 +1,92 @@
+"""Mixture-of-Experts GeGLU MLP with expert parallelism (framework extension).
+
+The reference has no MoE anywhere (SURVEY.md C22: DDP only); this module
+completes the framework's parallelism set (DP / TP / FSDP / PP / SP / EP)
+with a TPU-first expert layer:
+
+- **Dense-dispatch formulation**: every expert runs over every token as one
+  stacked einsum ``[E,H,I]``, and the router's top-k softmax weights zero
+  out non-selected experts in the combine.  No gather/scatter, no capacity
+  dropping, no ragged shapes — exact math, fully static, MXU-shaped.  The
+  cost is E/k x the FLOPs of token-dropping dispatch; that is the right
+  trade at research scale and below ~16 experts (the all-to-all of a
+  dropped-token dispatch only wins when E is large and tokens/expert is
+  small).
+- **Expert parallelism via GSPMD**: the stacked expert kernels shard on
+  their leading E axis (parallel/sharding_rules.py maps ``experts_*`` to
+  the ``model`` mesh axis).  Each device computes its local experts over
+  all tokens and XLA inserts one psum over the expert axis in the combine
+  einsum — the collectives ride ICI, nothing is hand-scheduled.
+
+Router: top-k softmax over expert logits, renormalized over the selected
+experts (Switch/Mixtral convention).  The auxiliary load-balancing loss is
+returned by ``moe_mlp`` for the caller to add (the LM ignores it by
+default; dense dispatch has no dropped tokens so balance only affects
+efficiency under true EP, not correctness).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MoEMLP(nn.Module):
+    """Drop-in GeGLU MLP replacement with ``num_experts`` experts.
+
+    Params: ``router`` (Dense [H, E]) and stacked expert kernels
+    ``experts_gate`` / ``experts_up`` [E, H, I], ``experts_down`` [E, I, H].
+    """
+
+    hidden_size: int
+    intermediate_size: int
+    num_experts: int
+    top_k: int = 2
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jax.Array, jax.Array]:
+        """Returns (output [B,T,H], aux load-balance loss scalar)."""
+        cfg_dtype = self.dtype
+        e, h, i = self.num_experts, self.hidden_size, self.intermediate_size
+        init = nn.initializers.normal(0.02)
+
+        logits = nn.Dense(e, use_bias=False, dtype=jnp.float32,
+                          kernel_init=init, name="router")(x.astype(jnp.float32))
+        # top-k gate: softmax over ALL experts, keep the k largest, renormalize
+        probs = jax.nn.softmax(logits, axis=-1)  # [B,T,E]
+        top_vals, _ = jax.lax.top_k(probs, self.top_k)
+        thresh = top_vals[..., -1:]
+        gates = jnp.where(probs >= thresh, probs, 0.0)
+        gates = gates / jnp.maximum(gates.sum(-1, keepdims=True), 1e-9)
+
+        # Switch-style aux loss: E * sum_e (fraction routed to e) * (mean prob e)
+        frac = (gates > 0).astype(jnp.float32).mean(axis=(0, 1))
+        mean_prob = probs.mean(axis=(0, 1))
+        aux = e * jnp.sum(frac * mean_prob)
+
+        w_gate = self.param("experts_gate", init, (e, h, i))
+        w_up = self.param("experts_up", init, (e, h, i))
+        w_down = self.param("experts_down", init, (e, i, h))
+
+        xd = x.astype(cfg_dtype)
+        # all experts over all tokens; the gate zeros non-selected experts.
+        # Under EP the leading e axis of the kernels is sharded: each device
+        # computes its experts and the final einsum's sum over e is the psum.
+        hidd = jnp.einsum("bth,ehi->beti", xd, w_gate.astype(cfg_dtype))
+        up = jnp.einsum("bth,ehi->beti", xd, w_up.astype(cfg_dtype))
+        act = nn.gelu(hidd, approximate=True) * up
+        down = jnp.einsum("beti,eih->beth", act, w_down.astype(cfg_dtype))
+        out = jnp.einsum("beth,bte->bth", down, gates.astype(cfg_dtype))
+        return out.astype(x.dtype), aux
+
+
+def moe_mlp(x, module: MoEMLP):
+    """Functional convenience wrapper (kept for symmetry with ops/)."""
+    return module(x)
+
+
+__all__ = ["MoEMLP", "moe_mlp"]

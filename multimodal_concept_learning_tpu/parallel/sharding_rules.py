@@ -46,6 +46,11 @@ def _spec_dims(keys, shape) -> Optional[list]:
     if keys and keys[-1] == "scale":
         # int8 per-output-channel scales (ops/quant.py): tiny — replicate
         return None
+    if keys and keys[-1].startswith("experts_"):
+        # MoE stacked expert kernels [E, ...] (ops/moe.py): expert
+        # parallelism = shard the expert axis; XLA's psum over E in the
+        # combine einsum becomes the EP all-reduce
+        return ["M"] + [None] * (len(shape) - 1)
     if "embed_tokens" in keys and "embedding" in keys:
         return ["M", None]
     if any(k in keys for k in ("gate_proj", "up_proj")):

@@ -1,0 +1,136 @@
+"""Mixture-of-Experts MLP + expert parallelism (ops/moe.py).
+
+Pins: the dense-dispatch formulation computes exactly the gate-weighted sum
+of per-expert GeGLU MLPs, top-1 routing reduces to the argmax expert alone,
+the LM integrates it per block, and EP (expert kernels sharded over the
+mesh's model axis) is loss- and grad-equivalent to single-device execution.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_concept_learning_tpu.ops.moe import MoEMLP
+
+
+def _manual_moe(x, params, top_k):
+    """Reference computation in plain numpy-on-jnp."""
+    logits = x.astype(jnp.float32) @ params["router"]["kernel"]
+    probs = jax.nn.softmax(logits, axis=-1)
+    top_vals, _ = jax.lax.top_k(probs, top_k)
+    gates = jnp.where(probs >= top_vals[..., -1:], probs, 0.0)
+    gates = gates / gates.sum(-1, keepdims=True)
+    outs = []
+    e = params["experts_gate"].shape[0]
+    for j in range(e):
+        h = jax.nn.gelu(x @ params["experts_gate"][j], approximate=True) * (
+            x @ params["experts_up"][j])
+        outs.append(h @ params["experts_down"][j])
+    stacked = jnp.stack(outs, axis=-2)  # [B,T,E,H]
+    return jnp.einsum("bteh,bte->bth", stacked, gates)
+
+
+def test_moe_matches_manual():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+    mod = MoEMLP(hidden_size=16, intermediate_size=32, num_experts=4,
+                 top_k=2, dtype=jnp.float32)
+    params = mod.init(jax.random.key(0), x)["params"]
+    out, aux = mod.apply({"params": params}, x)
+    want = _manual_moe(x, params, top_k=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+    assert np.isfinite(float(aux)) and float(aux) > 0
+
+
+def test_moe_top1_selects_argmax_expert():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 3, 8)).astype(np.float32))
+    mod = MoEMLP(hidden_size=8, intermediate_size=16, num_experts=3,
+                 top_k=1, dtype=jnp.float32)
+    params = mod.init(jax.random.key(1), x)["params"]
+    out, _ = mod.apply({"params": params}, x)
+    logits = np.asarray(x.astype(jnp.float32) @ params["router"]["kernel"])
+    choice = logits.argmax(-1)  # [1,3]
+    for t in range(3):
+        j = int(choice[0, t])
+        h = jax.nn.gelu(x[0, t] @ params["experts_gate"][j], approximate=True) * (
+            x[0, t] @ params["experts_up"][j])
+        want = h @ params["experts_down"][j]
+        np.testing.assert_allclose(np.asarray(out[0, t]), np.asarray(want),
+                                   atol=1e-5)
+
+
+def test_lm_moe_forward_and_grads():
+    from multimodal_concept_learning_tpu.models.lm import CausalLM, LMConfig
+
+    cfg = dataclasses.replace(
+        LMConfig.preset("nano", vocab_size=61), dtype=jnp.float32,
+        moe_experts=4, moe_top_k=2,
+    )
+    model = CausalLM(cfg)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(1, 61, size=(2, 7)).astype(np.int32))
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.key(2), ids, mask)["params"]
+    assert "moe" in params["layer_0"]
+    assert params["layer_0"]["moe"]["experts_gate"].shape == (4, 128, 512)
+
+    def loss_fn(p):
+        return (model.apply({"params": p}, ids, mask).astype(jnp.float32) ** 2).mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    # router and every expert kernel receive gradient signal
+    g = grads["layer_0"]["moe"]
+    assert float(jnp.abs(g["router"]["kernel"]).max()) > 0
+    assert float(jnp.abs(g["experts_gate"]).max()) > 0
+
+
+def test_expert_parallel_matches_single_device(eight_devices):
+    from multimodal_concept_learning_tpu.models.lm import CausalLM, LMConfig
+    from multimodal_concept_learning_tpu.parallel import make_mesh
+    from multimodal_concept_learning_tpu.parallel.sharding_rules import (
+        mllm_param_spec,
+        param_shardings,
+        shard_params,
+    )
+
+    cfg = dataclasses.replace(
+        LMConfig.preset("nano", vocab_size=61), dtype=jnp.float32,
+        moe_experts=4, moe_top_k=2,
+    )
+    model = CausalLM(cfg)
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(1, 61, size=(4, 6)).astype(np.int32))
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.key(3), ids, mask)["params"]
+
+    def loss_fn(p, ids, mask):
+        return (model.apply({"params": p}, ids, mask).astype(jnp.float32) ** 2).mean()
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params, ids, mask)
+
+    mesh = make_mesh(eight_devices[:4], axis_names=("data", "model"), shape=(2, 2))
+    sharded = shard_params(params, mesh)
+    # the expert axis is actually sharded over 'model'
+    ep = sharded["layer_0"]["moe"]["experts_gate"]
+    assert not ep.sharding.is_fully_replicated
+    assert ep.addressable_shards[0].data.shape[0] == 2  # 4 experts / 2-way
+
+    fn = jax.jit(jax.value_and_grad(loss_fn),
+                 in_shardings=(param_shardings(params, mesh), None, None))
+    loss, grads = fn(sharded, ids, mask)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    a = np.asarray(grads["layer_0"]["moe"]["experts_down"])
+    b = np.asarray(ref_grads["layer_0"]["moe"]["experts_down"])
+    np.testing.assert_allclose(a, b, atol=2e-5)
+    # spec sanity: experts map to the model axis
+    import jax.tree_util as jtu
+
+    flat = jtu.tree_leaves_with_path(params)
+    specs = {jtu.keystr(p): mllm_param_spec(p, x, mesh) for p, x in flat}
+    moe_specs = [s for k, s in specs.items() if "experts_" in k]
+    assert moe_specs and all(s[0] == "model" for s in moe_specs)
