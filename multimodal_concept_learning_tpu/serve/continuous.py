@@ -248,10 +248,13 @@ class ContinuousBatcher:
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
-    def submit(self, image: np.ndarray, prompt: str, timeout: float = 300.0) -> str:
+    def submit(self, image: np.ndarray, prompt: str, timeout: float = 300.0,
+               on_token=None) -> str:
+        """Blocking; ``on_token(token_id)`` streams each generated token as
+        the decode loop produces it (called from the worker thread)."""
         from multimodal_concept_learning_tpu.serve.engine import _Pending
 
-        p = _Pending(image, prompt)
+        p = _Pending(image, prompt, on_token)
         self._q.put(p)
         if not p.event.wait(timeout):
             raise TimeoutError("generation timed out")
@@ -263,6 +266,14 @@ class ContinuousBatcher:
         self._stop = True
         self._q.put(None)
         self._thread.join(timeout=10)
+
+    @staticmethod
+    def _emit(s, tok: int):
+        if s.pending.on_token is not None:
+            try:
+                s.pending.on_token(tok)
+            except Exception:  # noqa: BLE001 — a bad stream sink can't kill decode
+                s.pending.on_token = None
 
     def _finish(self, i: int):
         slot = self._slots[i]
@@ -308,6 +319,7 @@ class ContinuousBatcher:
                 for (slot_i, _, _), r, first in zip(batch, incoming, firsts):
                     s = _Slot(r)
                     s.tokens.append(first)
+                    self._emit(s, first)
                     self._slots[slot_i] = s
                     self.stats["admissions"] += 1
                     if (eng.eos_id is not None and first == eng.eos_id) or \
@@ -325,6 +337,7 @@ class ContinuousBatcher:
                     continue
                 for t in toks[i]:
                     s.tokens.append(int(t))
+                    self._emit(s, int(t))
                     if (eng.eos_id is not None and int(t) == eng.eos_id) or \
                             len(s.tokens) >= eng.max_new_tokens:
                         self._finish(i)

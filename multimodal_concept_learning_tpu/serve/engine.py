@@ -114,14 +114,18 @@ class ServingEngine:
 
 
 class _Pending:
-    __slots__ = ("image", "prompt", "event", "result", "error")
+    __slots__ = ("image", "prompt", "event", "result", "error", "on_token")
 
-    def __init__(self, image, prompt):
+    def __init__(self, image, prompt, on_token=None):
         self.image = image
         self.prompt = prompt
         self.event = threading.Event()
         self.result = None
         self.error = None
+        # streaming hook: called with each raw generated token id as it is
+        # produced (continuous batcher only; the whole-batch front produces
+        # all tokens at once and never calls it mid-generation)
+        self.on_token = on_token
 
 
 class Batcher:
@@ -136,9 +140,14 @@ class Batcher:
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
-    def submit(self, image: np.ndarray, prompt: str, timeout: float = 300.0) -> str:
-        """Blocking: enqueue and wait for the generated text."""
-        p = _Pending(image, prompt)
+    def submit(self, image: np.ndarray, prompt: str, timeout: float = 300.0,
+               on_token=None) -> str:
+        """Blocking: enqueue and wait for the generated text.
+
+        ``on_token`` is accepted for interface parity with the continuous
+        front but never fires mid-generation here (the whole batch decodes
+        in one device call)."""
+        p = _Pending(image, prompt, on_token)
         self._q.put(p)
         if not p.event.wait(timeout):
             raise TimeoutError("generation timed out")

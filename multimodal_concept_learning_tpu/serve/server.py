@@ -67,12 +67,52 @@ def build_app(batcher):
             except Exception as e:  # noqa: BLE001 — malformed request
                 self._reply(400, {"error": str(e)})
                 return
+            if req.get("stream"):
+                self._stream(image, prompt)
+                return
             try:
                 text = batcher.submit(image, prompt)
             except Exception as e:  # noqa: BLE001 — generation failure
                 self._reply(500, {"error": str(e)})
                 return
             self._reply(200, {"text": text})
+
+        def _stream(self, image, prompt):
+            """NDJSON token stream: one {"token_id": N} line per generated
+            token as the decode loop produces it (continuous mode; the
+            whole-batch front emits everything with the final line), then
+            {"done": true, "text": ...}.  Connection closes at end-of-stream
+            (no Content-Length)."""
+            import queue as _queue
+            import threading as _threading
+
+            tq: "_queue.Queue" = _queue.Queue()
+            holder = {}
+
+            def run():
+                try:
+                    holder["text"] = batcher.submit(image, prompt,
+                                                    on_token=tq.put)
+                except Exception as e:  # noqa: BLE001
+                    holder["error"] = str(e)
+                tq.put(None)
+
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.end_headers()
+            _threading.Thread(target=run, daemon=True).start()
+            while True:
+                tok = tq.get()
+                if tok is None:
+                    break
+                self.wfile.write((json.dumps({"token_id": int(tok)}) + "\n").encode())
+                self.wfile.flush()
+            if "error" in holder:
+                tail = {"done": True, "error": holder["error"]}
+            else:
+                tail = {"done": True, "text": holder.get("text", "")}
+            self.wfile.write((json.dumps(tail) + "\n").encode())
+            self.wfile.flush()
 
     return Handler
 

@@ -145,6 +145,66 @@ def test_continuous_early_eos_frees_slot(loaded):
     assert batcher.stats["requests"] == 2
 
 
+def test_streaming_tokens(loaded):
+    """on_token fires once per generated token, in order, matching the
+    final token list."""
+    from multimodal_concept_learning_tpu.serve import ServingEngine
+    from multimodal_concept_learning_tpu.serve.continuous import (
+        ContinuousBatcher,
+        ContinuousEngine,
+    )
+
+    n_new, plen = 4, 16
+    img = ServingEngine(loaded, batch_size=1, max_new_tokens=1,
+                        max_prompt_len=plen).preprocess_image(
+        _circle_image(COLORS[0]))
+    engine = ContinuousEngine(loaded, num_slots=1, max_new_tokens=n_new,
+                              max_prompt_len=plen)
+    batcher = ContinuousBatcher(engine)
+    streamed = []
+    text = batcher.submit(img, _prompts()[0], timeout=600,
+                          on_token=streamed.append)
+    batcher.shutdown()
+    assert 1 <= len(streamed) <= n_new  # EOS may retire the row early
+    assert engine.decode_text(streamed) == text
+
+
+def test_http_streaming_endpoint(trained_results_dir):
+    import base64
+    import http.client
+    import io
+    import json
+    import threading
+
+    from multimodal_concept_learning_tpu.serve.server import make_server
+
+    httpd, batcher = make_server(
+        trained_results_dir, port=0, batch_size=2, max_new_tokens=3,
+        max_prompt_len=16, continuous=True,
+    )
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        buf = io.BytesIO()
+        _circle_image(COLORS[0]).save(buf, format="PNG")
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/generate", body=json.dumps({
+            "prompt": "Is the color of the circle red?",
+            "image_b64": base64.b64encode(buf.getvalue()).decode(),
+            "stream": True,
+        }), headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        lines = [json.loads(x) for x in r.read().decode().strip().split("\n")]
+        conn.close()
+        assert lines[-1]["done"] is True and "text" in lines[-1]
+        token_lines = [x for x in lines[:-1] if "token_id" in x]
+        assert len(token_lines) >= 1  # streamed at least one token pre-final
+    finally:
+        httpd.shutdown()
+        batcher.shutdown()
+
+
 def test_http_server_continuous_mode(trained_results_dir):
     import base64
     import http.client
