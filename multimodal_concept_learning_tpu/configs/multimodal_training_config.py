@@ -122,4 +122,6 @@ class MultimodalTrainingConfig(YamlConfig):
     device_normalize: bool = False
     scan_lm_layers: bool = False  # nn.scan-stacked LM layers (faster compiles)
     remat_lm_layers: bool = False  # per-layer rematerialization (memory for compute)
+    lm_moe_experts: int = 0  # >0: MoE MLP with this many experts (ops/moe.py)
+    lm_moe_top_k: int = 2
     bf16_params: bool = False  # bf16 param storage + fp32 master weights

@@ -65,6 +65,8 @@ class MLLMConfig:
         scan_lm_layers: bool = False,
         remat_lm_layers: bool = False,
         remat_lm_mlp: bool = False,
+        lm_moe_experts: int = 0,
+        lm_moe_top_k: int = 2,
     ) -> "MLLMConfig":
         vision = dataclasses.replace(ViTConfig.preset(vision_preset), image_size=image_size)
         lm = dataclasses.replace(
@@ -72,6 +74,8 @@ class MLLMConfig:
             scan_layers=scan_lm_layers,
             remat_layers=remat_lm_layers,
             remat_mlp=remat_lm_mlp,
+            moe_experts=lm_moe_experts,
+            moe_top_k=lm_moe_top_k,
         )
         return cls(
             vision=vision,

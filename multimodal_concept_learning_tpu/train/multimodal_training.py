@@ -120,6 +120,8 @@ def init_model_and_tokenizer(config: MultimodalTrainingConfig, rng):
         image_size=config.image_size,
         scan_lm_layers=config.scan_lm_layers,
         remat_lm_layers=getattr(config, "remat_lm_layers", False),
+        lm_moe_experts=getattr(config, "lm_moe_experts", 0),
+        lm_moe_top_k=getattr(config, "lm_moe_top_k", 2),
     )
     model = MLLM(model_config)
 

@@ -89,6 +89,30 @@ def test_lm_moe_forward_and_grads():
     assert float(jnp.abs(g["experts_gate"]).max()) > 0
 
 
+def test_moe_plumbs_through_mllm_config():
+    """lm_moe_experts reaches the LM through MLLMConfig.create and the
+    training-config getattr path used by init_model_and_tokenizer."""
+    from multimodal_concept_learning_tpu.configs import MultimodalTrainingConfig
+    from multimodal_concept_learning_tpu.models.mllm import MLLM, MLLMConfig
+
+    cfg = MLLMConfig.create(vocab_size=61, vision_preset="vit-t-8",
+                            lm_preset="nano", num_vision_tokens=5,
+                            image_size=16, lm_moe_experts=2)
+    assert cfg.lm.moe_experts == 2
+    model = MLLM(cfg)
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(rng.normal(size=(1, 3, 16, 16)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(1, 61, size=(1, 9)).astype(np.int32))
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.key(6), images, ids, mask)["params"]
+    assert "moe" in params["language_model"]["layer_0"]
+    out = model.apply({"params": params}, images, ids, mask)
+    assert np.isfinite(np.asarray(out["hidden_states"])).all()
+
+    tc = MultimodalTrainingConfig.from_params({"lm_moe_experts": 3})
+    assert tc.lm_moe_experts == 3
+
+
 def test_expert_parallel_matches_single_device(eight_devices):
     from multimodal_concept_learning_tpu.models.lm import CausalLM, LMConfig
     from multimodal_concept_learning_tpu.parallel import make_mesh
