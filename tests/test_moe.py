@@ -89,6 +89,68 @@ def test_lm_moe_forward_and_grads():
     assert float(jnp.abs(g["experts_gate"]).max()) > 0
 
 
+def test_moe_decode_matches_full_forward():
+    """KV-cache decode with an MoE LM == full-forward greedy decoding (the
+    MoE MLP is position-independent, so the cache path must be unaffected)."""
+    from multimodal_concept_learning_tpu.models.lm import (
+        CausalLM,
+        LMConfig,
+        init_kv_cache,
+    )
+
+    cfg = dataclasses.replace(
+        LMConfig.preset("nano", vocab_size=61), dtype=jnp.float32,
+        moe_experts=3, moe_top_k=2,
+    )
+    model = CausalLM(cfg)
+    rng = np.random.default_rng(4)
+    b, t, n_new = 2, 6, 4
+    ids = np.asarray(rng.integers(1, 61, size=(b, t)), np.int32)
+    mask = np.ones((b, t), np.int32)
+    params = model.init(jax.random.key(7), jnp.asarray(ids), jnp.asarray(mask))["params"]
+
+    # naive: full forward after each appended token
+    rows = np.arange(b)
+    nids = np.pad(ids, ((0, 0), (0, n_new)))
+    nmask = np.pad(mask, ((0, 0), (0, n_new)))
+    seq_lens = mask.sum(axis=1)
+    want = []
+    for _ in range(n_new):
+        logits = model.apply({"params": params}, jnp.asarray(nids), jnp.asarray(nmask))
+        nxt = np.asarray(jnp.argmax(logits[rows, seq_lens - 1], axis=-1))
+        want.append(nxt)
+        nids[rows, seq_lens] = nxt
+        nmask[rows, seq_lens] = 1
+        seq_lens = seq_lens + 1
+    want = np.stack(want, axis=1)
+
+    # KV-cache path
+    s = t + n_new
+    caches = init_kv_cache(cfg, b, s)
+    pids = jnp.asarray(np.pad(ids, ((0, 0), (0, n_new))))
+    pmask = jnp.asarray(np.pad(mask, ((0, 0), (0, n_new))))
+    embeds = model.apply({"params": params}, pids, method=CausalLM.embed)
+    hidden, caches = model.apply({"params": params}, embeds, pmask, caches,
+                                 method=CausalLM.prefill)
+    seq_lens = jnp.asarray(mask.sum(axis=1))
+    last = jnp.argmax(model.apply({"params": params}, hidden[rows, seq_lens - 1],
+                                  method=CausalLM.lm_head), axis=-1)
+    got = [np.asarray(last)]
+    cache_mask = np.array(pmask)
+    for _ in range(n_new - 1):
+        cache_mask[rows, np.asarray(seq_lens)] = 1
+        embeds = model.apply({"params": params}, last[:, None], method=CausalLM.embed)
+        hidden, caches = model.apply(
+            {"params": params}, embeds, caches, seq_lens, jnp.asarray(cache_mask),
+            method=CausalLM.decode_step,
+        )
+        last = jnp.argmax(model.apply({"params": params}, hidden[:, 0],
+                                      method=CausalLM.lm_head), axis=-1)
+        seq_lens = seq_lens + 1
+        got.append(np.asarray(last))
+    np.testing.assert_array_equal(np.stack(got, axis=1), want)
+
+
 def test_moe_plumbs_through_mllm_config():
     """lm_moe_experts reaches the LM through MLLMConfig.create and the
     training-config getattr path used by init_model_and_tokenizer."""
