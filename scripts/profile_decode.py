@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Device-profile the serving decode path (bf16 vs --int8).
+
+Traces one jitted greedy_generate call (prefill + 33 decode steps at the
+flagship shape) through jax.profiler and prints the per-HLO-category
+breakdown — the evidence behind BASELINE.md's int8 decode numbers.
+
+Usage: python scripts/profile_decode.py [--int8] [--batch 8] [--new 34]
+"""
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--int8", action="store_true")
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--new", type=int, default=34)
+    parser.add_argument("--logdir", type=str, default=None)
+    args = parser.parse_args()
+
+    import dataclasses
+
+    from multimodal_concept_learning_tpu.models import MLLM, MLLMConfig
+    from multimodal_concept_learning_tpu.models.mllm import greedy_generate
+    from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer
+    from multimodal_concept_learning_tpu.utils.profiling import trace
+    from profile_step import summarize
+
+    tokenizer = ConceptTokenizer()
+    tokenizer.add_tokens([f"<ood {i}>" for i in range(1, 91)])
+    config = MLLMConfig.create(
+        vocab_size=len(tokenizer), vision_preset="vit-b-16", lm_preset="gemma3-1b",
+        num_vision_tokens=197, image_size=224,
+    )
+    model = MLLM(config)
+
+    rng = np.random.default_rng(0)
+    B, nvt, text_len = args.batch, 197, 24
+    images = jnp.asarray(rng.normal(size=(B, 3, 224, 224)).astype(np.float32))
+    ids = np.zeros((B, nvt + text_len), np.int32)
+    ids[:, nvt:] = rng.integers(4, len(tokenizer) - 91, size=(B, text_len))
+    mask = np.ones_like(ids)
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    params = jax.jit(model.init)(jax.random.key(0), images, ids, mask)["params"]
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    if args.int8:
+        from multimodal_concept_learning_tpu.ops.quant import quantize_lm_params
+
+        params = dict(params)
+        params["language_model"] = quantize_lm_params(params["language_model"],
+                                                      config.lm)
+        model = MLLM(dataclasses.replace(
+            config, lm=dataclasses.replace(config.lm, int8_weights=True)))
+
+    fn = jax.jit(lambda p, i, t, m: greedy_generate(model, p, i, t, m,
+                                                    max_new_tokens=args.new))
+    _ = np.asarray(fn(params, images, ids, mask))  # compile + warm
+
+    logdir = args.logdir or ("/tmp/prof_decode_int8" if args.int8
+                             else "/tmp/prof_decode_bf16")
+    with trace(logdir):
+        _ = np.asarray(fn(params, images, ids, mask))
+    # per-DECODE-step normalization: n_new - 1 scanned steps (+ prefill,
+    # which pollutes the totals by ~1 step worth — read shares, not ms)
+    summarize(logdir, steps=args.new - 1)
+
+
+if __name__ == "__main__":
+    main()
