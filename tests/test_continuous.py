@@ -145,6 +145,32 @@ def test_continuous_early_eos_frees_slot(loaded):
     assert batcher.stats["requests"] == 2
 
 
+def test_continuous_int8_matches_isolated(trained_results_dir):
+    """The int8 serving mode composes with continuous batching: slot decode
+    over quantized weights == isolated int8 generate."""
+    from multimodal_concept_learning_tpu.serve import (
+        ServingEngine,
+        load_trained_mllm,
+    )
+    from multimodal_concept_learning_tpu.serve.continuous import (
+        ContinuousBatcher,
+        ContinuousEngine,
+    )
+
+    q = load_trained_mllm(trained_results_dir, int8=True, verbose=False)
+    n_new, plen = 3, 16
+    ref = ServingEngine(q, batch_size=1, max_new_tokens=n_new, max_prompt_len=plen)
+    img = ref.preprocess_image(_circle_image(COLORS[1]))
+    want = ref.generate([img], [_prompts()[0]])[0]
+
+    engine = ContinuousEngine(q, num_slots=2, max_new_tokens=n_new,
+                              max_prompt_len=plen, steps_per_call=2)
+    batcher = ContinuousBatcher(engine)
+    got = batcher.submit(img, _prompts()[0], timeout=600)
+    batcher.shutdown()
+    assert got == want
+
+
 def test_streaming_tokens(loaded):
     """on_token fires once per generated token, in order, matching the
     final token list."""
