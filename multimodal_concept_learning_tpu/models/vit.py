@@ -54,6 +54,12 @@ class ViTConfig:
     # q/k/v in the attention einsums' preferred layout (the profiler showed
     # ~8 ms/step of [B,T,H,D] relayout copies on the token-major path).
     attention_layout: str = "bthd"
+    # SERVING ONLY: int8 attention/MLP weights with native int8 MXU matmuls
+    # (ops/quant.py, same scheme as LMConfig.int8_weights).  Patch embed,
+    # norms, and the classifier head stay float.  Takes the standard
+    # (bthd, unfused) attention branch.  Convert a trained float tree with
+    # ops/quant.quantize_vit_params.
+    int8_weights: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -110,12 +116,21 @@ class ViTSelfAttention(nn.Module):
         # three same-input matmuls; an explicitly fused [H, 3H] projection
         # measured 4% SLOWER end-to-end on v5e (slicing + layout overhead),
         # despite raw-matmul MFU favoring the wider shape.
-        dense = lambda name: nn.DenseGeneral(  # noqa: E731
-            features=(cfg.num_attention_heads, head_dim),
-            dtype=cfg.dtype,
-            kernel_init=nn.initializers.normal(cfg.initializer_range),
-            name=name,
-        )
+        if cfg.int8_weights:
+            from multimodal_concept_learning_tpu.ops.quant import QuantDenseGeneral
+
+            dense = lambda name: QuantDenseGeneral(  # noqa: E731
+                features=(cfg.num_attention_heads, head_dim),
+                use_bias=True,
+                name=name,
+            )
+        else:
+            dense = lambda name: nn.DenseGeneral(  # noqa: E731
+                features=(cfg.num_attention_heads, head_dim),
+                dtype=cfg.dtype,
+                kernel_init=nn.initializers.normal(cfg.initializer_range),
+                name=name,
+            )
         q, k, v = dense("query")(x), dense("key")(x), dense("value")(x)
         dropout_rng = (
             self.make_rng("dropout")
@@ -130,6 +145,13 @@ class ViTSelfAttention(nn.Module):
             dropout_rng=dropout_rng,
             deterministic=deterministic,
         )
+        if cfg.int8_weights:
+            from multimodal_concept_learning_tpu.ops.quant import QuantDenseGeneral
+
+            return QuantDenseGeneral(
+                features=(cfg.hidden_size,), axis=(-2, -1), use_bias=True,
+                name="output",
+            )(out)
         return nn.DenseGeneral(
             features=cfg.hidden_size,
             axis=(-2, -1),
@@ -184,6 +206,8 @@ class _AttentionParams(nn.Module):
 
 
 def _fused_attention_ok(cfg: ViTConfig, deterministic: bool) -> bool:
+    if cfg.int8_weights:  # int8 runs the standard (quantized) branch
+        return False
     if not (cfg.fused_attention and deterministic):
         return False
     if cfg.hidden_dropout_prob > 0 or cfg.attention_probs_dropout_prob > 0:
@@ -222,6 +246,7 @@ class ViTBlock(nn.Module):
             )
         elif (
             cfg.attention_layout == "bhtd"
+            and not cfg.int8_weights
             and cfg.hidden_dropout_prob == 0
             and cfg.attention_probs_dropout_prob == 0
         ):
@@ -251,20 +276,22 @@ class ViTBlock(nn.Module):
             h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
             x = x + h
         # Pre-LN MLP (HF ViT layernorm_after)
+        if cfg.int8_weights:
+            from multimodal_concept_learning_tpu.ops.quant import QuantDense
+
+            mlp_dense = lambda feats, name: QuantDense(  # noqa: E731
+                features=feats, use_bias=True, name=name,
+            )
+        else:
+            mlp_dense = lambda feats, name: nn.Dense(  # noqa: E731
+                feats, dtype=cfg.dtype,
+                kernel_init=nn.initializers.normal(cfg.initializer_range),
+                name=name,
+            )
         h = ln("layernorm_after")(x).astype(cfg.dtype)
-        h = nn.Dense(
-            cfg.intermediate_size,
-            dtype=cfg.dtype,
-            kernel_init=nn.initializers.normal(cfg.initializer_range),
-            name="intermediate",
-        )(h)
+        h = mlp_dense(cfg.intermediate_size, "intermediate")(h)
         h = nn.gelu(h, approximate=cfg.gelu_approximate)
-        h = nn.Dense(
-            cfg.hidden_size,
-            dtype=cfg.dtype,
-            kernel_init=nn.initializers.normal(cfg.initializer_range),
-            name="output",
-        )(h)
+        h = mlp_dense(cfg.hidden_size, "output")(h)
         h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
         return x + h
 

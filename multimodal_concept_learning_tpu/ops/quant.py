@@ -65,7 +65,8 @@ def int8_matmul(x: jax.Array, w_q: jax.Array, scale: jax.Array) -> jax.Array:
 
 
 class QuantDense(nn.Module):
-    """Bias-free int8 Dense: params {"kernel": int8 [in, F], "scale": f32 [F]}.
+    """Int8 Dense: params {"kernel": int8 [in, F], "scale": f32 [F]}
+    (+ optional float "bias" [F]).
 
     Initialization produces a quantized random kernel so shapes/dtypes exist;
     real deployments overwrite the params via ``quantize_params`` from a
@@ -73,6 +74,7 @@ class QuantDense(nn.Module):
     """
 
     features: int
+    use_bias: bool = False
     dtype = jnp.bfloat16
 
     @nn.compact
@@ -89,15 +91,22 @@ class QuantDense(nn.Module):
 
         kernel = self.param("kernel", init_kernel)
         scale = self.param("scale", init_scale)
-        return int8_matmul(x, kernel, scale)
+        y = int8_matmul(x, kernel, scale)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class QuantDenseGeneral(nn.Module):
     """Int8 DenseGeneral with multi-dim output features (heads, head_dim) and
-    optional multi-dim contraction axes (the o_proj case)."""
+    optional multi-dim contraction axes (the o_proj case); optional float
+    bias shaped like the feature dims."""
 
     features: Sequence[int]
     axis: Sequence[int] = (-1,)
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -124,7 +133,12 @@ class QuantDenseGeneral(nn.Module):
             tuple(x.shape[a] for a in keep) + (in_dim,)
         )
         y = int8_matmul(xt, kernel, scale)
-        return y.reshape(y.shape[:-1] + tuple(self.features))
+        y = y.reshape(y.shape[:-1] + tuple(self.features))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              tuple(self.features), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 def quantize_params(float_params, quant_template):
@@ -139,7 +153,8 @@ def quantize_params(float_params, quant_template):
     """
     def convert(node_float, node_template):
         if isinstance(node_template, dict):
-            if set(node_template.keys()) == {"kernel", "scale"} and (
+            keys = set(node_template.keys())
+            if keys in ({"kernel", "scale"}, {"kernel", "scale", "bias"}) and (
                 node_template["kernel"].dtype == jnp.int8
             ):
                 w = jnp.asarray(node_float["kernel"])
@@ -151,7 +166,12 @@ def quantize_params(float_params, quant_template):
                 assert w_q.shape == node_template["kernel"].shape, (
                     w_q.shape, node_template["kernel"].shape
                 )
-                return {"kernel": w_q, "scale": scale}
+                out = {"kernel": w_q, "scale": scale}
+                if "bias" in keys:
+                    out["bias"] = jnp.asarray(node_float["bias"], jnp.float32).reshape(
+                        node_template["bias"].shape
+                    )
+                return out
             return {k: convert(node_float[k], node_template[k]) for k in node_template}
         return node_float
 
@@ -181,6 +201,46 @@ def quantize_lm_params(float_params, lm_config):
     return {"params": converted} if "params" in float_params else converted
 
 
+def quantize_vit_params(float_params, vit_config, encoder_only: bool = True):
+    """Trained float ViT params -> the ``int8_weights=True`` layout.
+
+    ``float_params``: a ViTEncoder subtree (``encoder_only=True``, the MLLM
+    vision tower) or a full ViTForImageClassification tree
+    (``encoder_only=False``).  Returns the matching quantized tree.
+    """
+    import dataclasses
+
+    from multimodal_concept_learning_tpu.models.vit import (
+        ViTEncoder,
+        ViTForImageClassification,
+    )
+
+    inner = float_params.get("params", float_params)
+    qcfg = dataclasses.replace(vit_config, int8_weights=True)
+    module = ViTEncoder(qcfg) if encoder_only else ViTForImageClassification(qcfg)
+    dummy = jnp.zeros((1, 3, qcfg.image_size, qcfg.image_size), jnp.float32)
+    template = jax.eval_shape(module.init, jax.random.PRNGKey(0), dummy)["params"]
+    converted = quantize_params(inner, template)
+    return {"params": converted} if "params" in float_params else converted
+
+
+def quantize_mllm_params(float_params, mllm_config, vision: bool = True,
+                         lm: bool = True):
+    """Quantize a full MLLM param tree's towers (projector/norms stay float).
+
+    Returns the tree a ``MLLM`` configured with the corresponding
+    ``int8_weights`` flags applies.
+    """
+    inner = dict(float_params.get("params", float_params))
+    if lm:
+        inner["language_model"] = quantize_lm_params(
+            inner["language_model"], mllm_config.lm)
+    if vision:
+        inner["vision_model"] = quantize_vit_params(
+            inner["vision_model"], mllm_config.vision, encoder_only=True)
+    return {"params": inner} if "params" in float_params else inner
+
+
 __all__ = [
     "quantize_weight",
     "int8_matmul",
@@ -188,4 +248,6 @@ __all__ = [
     "QuantDenseGeneral",
     "quantize_params",
     "quantize_lm_params",
+    "quantize_vit_params",
+    "quantize_mllm_params",
 ]

@@ -32,7 +32,8 @@ class LoadedMLLM(NamedTuple):
 
 
 def load_trained_mllm(results_dir: str, checkpoint: str = "best_model.pt",
-                      int8: bool = False, verbose: bool = True) -> LoadedMLLM:
+                      int8: bool = False, int8_vision: bool = False,
+                      verbose: bool = True) -> LoadedMLLM:
     from multimodal_concept_learning_tpu.checkpoint import (
         load_torch_state_dict,
         mllm_params_from_torch,
@@ -61,20 +62,24 @@ def load_trained_mllm(results_dir: str, checkpoint: str = "best_model.pt",
     if verbose:
         print(f"Loaded checkpoint {ckpt_path}")
 
-    if int8:
+    if int8 or int8_vision:
         from multimodal_concept_learning_tpu.models.mllm import MLLM
-        from multimodal_concept_learning_tpu.ops.quant import quantize_lm_params
+        from multimodal_concept_learning_tpu.ops.quant import quantize_mllm_params
 
-        params = dict(params)
-        params["language_model"] = quantize_lm_params(
-            params["language_model"], model.config.lm
-        )
-        model = MLLM(dataclasses.replace(
-            model.config,
-            lm=dataclasses.replace(model.config.lm, int8_weights=True),
-        ))
+        params = quantize_mllm_params(params, model.config,
+                                      vision=int8_vision, lm=int8)
+        cfg = model.config
+        if int8:
+            cfg = dataclasses.replace(
+                cfg, lm=dataclasses.replace(cfg.lm, int8_weights=True))
+        if int8_vision:
+            cfg = dataclasses.replace(
+                cfg, vision=dataclasses.replace(cfg.vision, int8_weights=True))
+        model = MLLM(cfg)
         if verbose:
-            print("Quantized LM weights to int8 (serving mode)")
+            what = " + ".join((["LM"] if int8 else []) +
+                              (["vision-tower"] if int8_vision else []))
+            print(f"Quantized {what} weights to int8 (serving mode)")
 
     transform = create_transforms(config, is_train=False, seed=config.seed)
     return LoadedMLLM(model, tokenizer, params, config, labels_mapping, transform)

@@ -119,6 +119,7 @@ def build_app(batcher):
 
 def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
                 checkpoint: str = "best_model.pt", int8: bool = False,
+                int8_vision: bool = False,
                 batch_size: int = 8, max_wait_ms: float = 20.0,
                 max_new_tokens: int = 8, max_prompt_len: int = 64,
                 temperature: float = 0.0, top_k=None, top_p=None, seed: int = 0,
@@ -131,7 +132,8 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
     """
     from multimodal_concept_learning_tpu.serve.loader import load_trained_mllm
 
-    loaded = load_trained_mllm(results_dir, checkpoint=checkpoint, int8=int8)
+    loaded = load_trained_mllm(results_dir, checkpoint=checkpoint, int8=int8,
+                               int8_vision=int8_vision)
     if continuous:
         from multimodal_concept_learning_tpu.serve.continuous import (
             ContinuousBatcher,
@@ -169,6 +171,7 @@ def main(argv=None):
     parser.add_argument("--max_new_tokens", type=int, default=8)
     parser.add_argument("--max_prompt_len", type=int, default=64)
     parser.add_argument("--int8", action="store_true")
+    parser.add_argument("--int8_vision", action="store_true")
     parser.add_argument("--continuous", action="store_true",
                         help="slot-level continuous batching instead of "
                              "whole-batch coalescing")
@@ -184,6 +187,7 @@ def main(argv=None):
     httpd, batcher = make_server(
         args.results_dir, port=args.port, host=args.host,
         checkpoint=args.checkpoint, int8=args.int8,
+        int8_vision=args.int8_vision,
         batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
         max_new_tokens=args.max_new_tokens, max_prompt_len=args.max_prompt_len,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,

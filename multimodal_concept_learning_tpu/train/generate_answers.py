@@ -77,6 +77,8 @@ def main(argv=None):
     parser.add_argument("--int8", action="store_true",
                         help="quantize LM weights to int8 for decode (serving "
                              "mode: halves decode HBM traffic, lossy)")
+    parser.add_argument("--int8_vision", action="store_true",
+                        help="also quantize the vision tower (prefill)")
     parser.add_argument("--temperature", type=float, default=0.0,
                         help="0 = greedy (default); >0 samples")
     parser.add_argument("--top_k", type=int, default=None)
@@ -87,7 +89,8 @@ def main(argv=None):
     from multimodal_concept_learning_tpu.serve.loader import load_trained_mllm
 
     model, tokenizer, params, config, labels_mapping, transform = load_trained_mllm(
-        args.results_dir, checkpoint=args.checkpoint, int8=args.int8
+        args.results_dir, checkpoint=args.checkpoint, int8=args.int8,
+        int8_vision=args.int8_vision,
     )
     dataset_cls = (ColorDataset if config.dataset_name == "color_multimodal"
                    else ImageNetDataset)

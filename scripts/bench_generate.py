@@ -36,6 +36,8 @@ def main():
     parser.add_argument("--long", type=int, default=34)
     parser.add_argument("--int8", action="store_true",
                         help="serve the LM with int8 weights (ops/quant.py)")
+    parser.add_argument("--int8_vision", action="store_true",
+                        help="also quantize the vision tower (prefill)")
     args = parser.parse_args()
 
     tokenizer = ConceptTokenizer()
@@ -57,18 +59,23 @@ def main():
     params = jax.jit(model.init)(jax.random.key(0), images, ids, mask)["params"]
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
 
-    if args.int8:
+    if args.int8 or args.int8_vision:
         import dataclasses
 
-        from multimodal_concept_learning_tpu.ops.quant import quantize_lm_params
+        from multimodal_concept_learning_tpu.ops.quant import quantize_mllm_params
 
-        params = dict(params)
-        params["language_model"] = quantize_lm_params(
-            params["language_model"], config.lm
-        )
-        model = MLLM(dataclasses.replace(
-            config, lm=dataclasses.replace(config.lm, int8_weights=True)))
-        print("[gen] int8 LM weights", file=sys.stderr)
+        params = quantize_mllm_params(params, config, vision=args.int8_vision,
+                                      lm=args.int8)
+        cfg = config
+        if args.int8:
+            cfg = dataclasses.replace(
+                cfg, lm=dataclasses.replace(cfg.lm, int8_weights=True))
+        if args.int8_vision:
+            cfg = dataclasses.replace(
+                cfg, vision=dataclasses.replace(cfg.vision, int8_weights=True))
+        model = MLLM(cfg)
+        print(f"[gen] int8 weights (lm={args.int8} vision={args.int8_vision})",
+              file=sys.stderr)
 
     def timed(n_new):
         fn = jax.jit(lambda p, i, t, m: greedy_generate(

@@ -72,6 +72,72 @@ def test_quantize_lm_params_forward_close():
     assert (jnp.argmax(flogits[:, -1], -1) == jnp.argmax(qlogits[:, -1], -1)).all()
 
 
+def test_quantize_vit_params_forward_close():
+    """Float ViT classifier -> int8 tower: logits stay cosine-close and the
+    argmax class is preserved."""
+    import dataclasses as dc
+
+    from multimodal_concept_learning_tpu.models.vit import (
+        ViTConfig,
+        ViTForImageClassification,
+    )
+    from multimodal_concept_learning_tpu.ops.quant import quantize_vit_params
+
+    rng = np.random.default_rng(4)
+    fcfg = ViTConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                     num_attention_heads=2, patch_size=8, image_size=16,
+                     num_labels=5, dtype=jnp.float32)
+    fmodel = ViTForImageClassification(fcfg)
+    x = jnp.asarray(rng.normal(size=(3, 3, 16, 16)).astype(np.float32))
+    fparams = fmodel.init(jax.random.key(4), x)["params"]
+
+    qparams = quantize_vit_params(fparams, fcfg, encoder_only=False)
+    qmodel = ViTForImageClassification(dc.replace(fcfg, int8_weights=True))
+    flog = np.asarray(fmodel.apply({"params": fparams}, x))
+    qlog = np.asarray(qmodel.apply({"params": qparams}, x))
+    cos = (flog * qlog).sum(-1) / (
+        np.linalg.norm(flog, axis=-1) * np.linalg.norm(qlog, axis=-1))
+    assert cos.min() > 0.99, cos
+    assert (flog.argmax(-1) == qlog.argmax(-1)).all()
+
+
+def test_quantize_mllm_params_both_towers():
+    """quantize_mllm_params converts both towers; the int8 MLLM forward is
+    close to float and the serving loader's int8_vision flag applies it."""
+    import dataclasses as dc
+
+    from multimodal_concept_learning_tpu.models.mllm import MLLM, MLLMConfig
+    from multimodal_concept_learning_tpu.models.vit import ViTConfig
+    from multimodal_concept_learning_tpu.ops.quant import quantize_mllm_params
+
+    rng = np.random.default_rng(5)
+    vision = ViTConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                       num_attention_heads=2, patch_size=8, image_size=16,
+                       num_labels=0, dtype=jnp.float32)
+    lm = dataclasses.replace(LMConfig.preset("nano", vocab_size=61),
+                             dtype=jnp.float32)
+    config = MLLMConfig(vision=vision, lm=lm, num_vision_tokens=5,
+                        max_answer_tokens=2, dtype=jnp.float32)
+    fmodel = MLLM(config)
+    images = jnp.asarray(rng.normal(size=(2, 3, 16, 16)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(1, 61, size=(2, 11)).astype(np.int32))
+    mask = jnp.ones_like(ids)
+    fparams = fmodel.init(jax.random.key(5), images, ids, mask)["params"]
+
+    qparams = quantize_mllm_params(fparams, config, vision=True, lm=True)
+    assert qparams["language_model"]["layer_0"]["self_attn"]["q_proj"]["kernel"].dtype == jnp.int8
+    assert qparams["vision_model"]["layer_0"]["attention"]["query"]["kernel"].dtype == jnp.int8
+    qmodel = MLLM(dc.replace(
+        config,
+        lm=dc.replace(lm, int8_weights=True),
+        vision=dc.replace(vision, int8_weights=True),
+    ))
+    fh = np.asarray(fmodel.apply({"params": fparams}, images, ids, mask)["hidden_states"])
+    qh = np.asarray(qmodel.apply({"params": qparams}, images, ids, mask)["hidden_states"])
+    cos = (fh * qh).sum(-1) / (np.linalg.norm(fh, axis=-1) * np.linalg.norm(qh, axis=-1))
+    assert cos.min() > 0.98, cos.min()
+
+
 def test_int8_decode_matches_full_forward():
     rng = np.random.default_rng(2)
     cfg = _lm_config(True)

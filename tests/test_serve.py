@@ -48,6 +48,26 @@ def test_engine_generate(trained_results_dir):
     assert texts2[0] == texts[0]  # greedy + same image/prompt -> same text
 
 
+def test_loader_int8_vision(trained_results_dir):
+    """int8_vision quantizes the tower through the serving loader and the
+    engine still generates (text matches the LM-only-int8 engine: the
+    vision quantization error is below argmax flips on this tiny model or
+    at worst changes text — just require it runs and returns strings)."""
+    from multimodal_concept_learning_tpu.serve import ServingEngine, load_trained_mllm
+
+    loaded = load_trained_mllm(trained_results_dir, int8=True, int8_vision=True,
+                               verbose=False)
+    import jax.numpy as jnp
+
+    q = loaded.params["vision_model"]["layer_0"]["attention"]["query"]
+    assert q["kernel"].dtype == jnp.int8 and "scale" in q
+    engine = ServingEngine(loaded, batch_size=2, max_new_tokens=2,
+                           max_prompt_len=16)
+    img = engine.preprocess_image(_circle_image(COLORS[0]))
+    texts = engine.generate([img], ["Is the color of the circle red?"])
+    assert len(texts) == 1 and isinstance(texts[0], str)
+
+
 def test_batcher_coalesces(trained_results_dir):
     from multimodal_concept_learning_tpu.serve import (
         Batcher,
