@@ -284,20 +284,24 @@ class ContinuousBatcher:
 
     def _worker(self):
         eng = self.engine
+        holdover = None  # request seen while no slot was free (keeps FIFO)
         while not self._stop:
             # block when completely idle; otherwise drain without waiting
-            idle = all(s is None for s in self._slots)
-            try:
-                nxt = self._q.get(block=idle)
-            except queue.Empty:
-                nxt = None
+            idle = holdover is None and all(s is None for s in self._slots)
+            if holdover is not None:
+                nxt, holdover = holdover, None
+            else:
+                try:
+                    nxt = self._q.get(block=idle)
+                except queue.Empty:
+                    nxt = None
             # drain the queue into every free slot, then admit the whole
             # group with ONE batched prefill dispatch
             incoming = []
             n_free = self._slots.count(None)
             while nxt is not None:
                 if len(incoming) >= n_free:
-                    self._q.put(nxt)  # no slot free: retry next iteration
+                    holdover = nxt  # no slot free: admit first next iteration
                     break
                 incoming.append(nxt)
                 try:
