@@ -93,6 +93,94 @@ def test_resume_manager_mid_epoch_roundtrip(tmp_path):
     assert "skip_batches" not in meta
 
 
+def test_multimodal_sigterm_preempt_and_resume(dataset_dir, tmp_path, capsys):
+    """Same contract for the multimodal trainer's (separately wired) loop."""
+    import json as _json
+
+    import yaml as _yaml
+
+    labels_path = str(tmp_path / "labels.json")
+    with open(labels_path, "w") as f:
+        _json.dump({"r255g0b0": "red", "r0g255b0": "<ood 1>"}, f)
+    results_dir = str(tmp_path / "mm_preempt")
+    cfg = {
+        "mapping_path": os.path.join(dataset_dir, "train_mapping.csv"),
+        "image_root": dataset_dir,
+        "labels_mapping_path": labels_path,
+        "prompt_template": "Is the color of the circle {class_name}?",
+        "dataset_name": "color_multimodal",
+        "vision_model_name": "vit-t-8",
+        "language_model_name": "nano",
+        "num_vision_tokens": 17,
+        "image_size": 32,
+        "trainable_params_setting": "language_embed_only",
+        "epochs": 500,
+        "batch_size": 4,
+        "effective_batch_size": 4,
+        "learning_rate": 5e-3,
+        "results_dir": results_dir,
+        "seed": 0,
+        "num_workers": 1,
+        "train_transforms": ["ToTensor"],
+        "val_transforms": ["ToTensor"],
+        "use_wandb": False,
+        "resume": True,
+    }
+    cfg_path = tmp_path / "mm_preempt.yaml"
+    cfg_path.write_text(_yaml.safe_dump(cfg))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu'; "
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "from multimodal_concept_learning_tpu.train.multimodal_training import main; "
+        f"main(['--config_path', {str(cfg_path)!r}])"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], env=env, cwd="/root/repo",
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    orbax_dir = os.path.join(results_dir, "orbax")
+    deadline = time.time() + 600
+    try:
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                break
+            committed = [
+                d for d in (os.listdir(orbax_dir) if os.path.isdir(orbax_dir) else [])
+                if d.startswith("step_") and d.split("_")[1].isdigit()
+            ]
+            if committed:
+                proc.send_signal(signal.SIGTERM)
+                break
+            time.sleep(0.05)
+        else:
+            raise AssertionError("no checkpoint appeared within the deadline")
+        out, _ = proc.communicate(timeout=180)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate(timeout=60)
+
+    assert proc.returncode == 0, f"trainer did not exit cleanly:\n{out[-2000:]}"
+    assert "Preempted (SIGTERM): saved mid-epoch checkpoint" in out
+    meta = json.load(open(os.path.join(orbax_dir, "loop_meta.json")))
+    pe = meta["preempt_epoch"]
+
+    from multimodal_concept_learning_tpu.train.multimodal_training import main
+
+    capsys.readouterr()
+    cfg["epochs"] = pe + 2
+    cfg2 = tmp_path / "mm_resume.yaml"
+    cfg2.write_text(_yaml.safe_dump(cfg))
+    main(["--config_path", str(cfg2)])
+    out = capsys.readouterr().out
+    assert f"Resuming from epoch {pe} checkpoint" in out
+    assert "mid-epoch: skipping" in out
+    assert f"Epoch {pe + 2}/{pe + 2}" in out
+
+
 def test_vision_sigterm_preempt_and_resume(dataset_dir, tmp_path, capsys):
     """SIGTERM the trainer mid-run: it must exit cleanly with a mid-epoch
     checkpoint, and a rerun must resume from that exact (epoch, batch)."""
