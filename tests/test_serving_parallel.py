@@ -75,16 +75,20 @@ def test_sharded_generate_matches_single_device(eight_devices):
 
 
 def test_sharded_generate_int8(eight_devices):
-    from multimodal_concept_learning_tpu.ops.quant import quantize_lm_params
+    """Both towers int8 + mesh sharding (the quant scales replicate; the
+    2-D quant kernels take the shape-aware TP specs)."""
+    from multimodal_concept_learning_tpu.models.mllm import MLLM
+    from multimodal_concept_learning_tpu.ops.quant import quantize_mllm_params
 
     fmodel, config = _mllm()
     images, ids, mask = _prompt(config)
     fparams = fmodel.init(jax.random.key(1), images, ids, mask)["params"]
-    qparams = dict(fparams)
-    qparams["language_model"] = quantize_lm_params(
-        fparams["language_model"], config.lm
-    )
-    qmodel, _ = _mllm(int8=True)
+    qparams = quantize_mllm_params(fparams, fmodel.config, vision=True, lm=True)
+    qmodel = MLLM(dataclasses.replace(
+        fmodel.config,
+        lm=dataclasses.replace(config.lm, int8_weights=True),
+        vision=dataclasses.replace(fmodel.config.vision, int8_weights=True),
+    ))
     n_new = 4
 
     want = np.asarray(greedy_generate(qmodel, qparams, images, ids, mask, n_new))
