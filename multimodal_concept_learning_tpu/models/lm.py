@@ -213,11 +213,16 @@ class LMAttention(nn.Module):
             if decode_slots is None:  # prefill: bulk write into slots [0:T]
                 ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
                 cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
-            else:  # decode: per-row scatter at each row's next free slot
+            elif decode_slots.ndim == 1:  # decode: per-row scatter at the next free slot
                 rows = jnp.arange(x.shape[0])
                 ck = ck.at[rows, decode_slots].set(k[:, 0].astype(ck.dtype))
                 cv = cv.at[rows, decode_slots].set(v[:, 0].astype(cv.dtype))
                 k, v = ck, cv  # attend against the whole cache
+            else:  # chunk decode: [B, G] slots (speculative verify/draft)
+                rows = jnp.arange(x.shape[0])[:, None]
+                ck = ck.at[rows, decode_slots].set(k.astype(ck.dtype))
+                cv = cv.at[rows, decode_slots].set(v.astype(cv.dtype))
+                k, v = ck, cv
             new_cache = {"k": ck, "v": cv}
 
         out = multi_head_attention(q, k, v, bias=bias, scale=scale, deterministic=deterministic)
@@ -538,6 +543,65 @@ class CausalLM(nn.Module):
                 decode_slots=seq_lens,
             )
             new_caches.append(c)
+        return self.final_norm(x), tuple(new_caches)
+
+    def decode_chunk(
+        self,
+        inputs_embeds: jax.Array,
+        caches,
+        start_lens: jax.Array,
+        cache_mask: jax.Array,
+        num_layers: Optional[int] = None,
+    ):
+        """Forward G tokens per row against the KV cache (speculative decode).
+
+        inputs_embeds: [B, G, H] embeddings of the rows' next G tokens.
+        start_lens: [B] committed length per row — token i goes to slot
+          start+i with rope position start+i.
+        cache_mask: [B, S] marking ONLY the committed prefix (slots
+          < start); the chunk's own slots become attendable causally within
+          the call (token i sees slots j in [start, start+i]), so the caller
+          never has to roll the mask back after a rejected speculation.
+        num_layers: run only the first N layers (the early-exit draft path;
+          None = full model).  Shares final_norm either way.
+        Returns (hidden [B, G, H], updated caches) — caches are written at
+        the chunk slots for the layers that ran.
+        """
+        cfg = self.config
+        assert not cfg.scan_layers, "decode_chunk supports the plain-layers path"
+        b, g, _ = inputs_embeds.shape
+        s = cache_mask.shape[1]
+        slots = jnp.arange(s)[None, None, :]                      # [1,1,S]
+        qpos = start_lens[:, None] + jnp.arange(g)[None, :]       # [B,G]
+        neg = jnp.float32(-1e30)
+        prefix = cache_mask.astype(bool)[:, None, :] & (
+            slots[:, 0] < start_lens[:, None, None])              # [B,1,S]
+        within = (slots[0] <= qpos[:, :, None]) & (
+            slots[0] >= start_lens[:, None, None])                # [B,G,S]
+        attendable = prefix | within
+        bias_global = jnp.where(attendable, 0.0, neg)[:, None, :, :]  # [B,1,G,S]
+        rope_global = rope_tables(qpos, cfg.head_dim, cfg.rope_theta)
+        if cfg.sliding_window is not None:
+            in_window = qpos[:, :, None] - slots[0] < cfg.sliding_window
+            bias_sliding = bias_global + jnp.where(in_window, 0.0, neg)[:, None, :, :]
+            rope_sliding = rope_tables(qpos, cfg.head_dim, cfg.rope_local_theta)
+        else:
+            bias_sliding, rope_sliding = bias_global, rope_global
+
+        x = inputs_embeds.astype(cfg.dtype)
+        n_layers = cfg.num_layers if num_layers is None else num_layers
+        new_caches = list(caches)
+        for i in range(n_layers):
+            layer = self.layers[i]
+            sliding = cfg.layer_is_sliding(i)
+            x, c = layer(
+                x,
+                bias_sliding if sliding else bias_global,
+                rope_sliding if sliding else rope_global,
+                cache=caches[i],
+                decode_slots=qpos,
+            )
+            new_caches[i] = c
         return self.final_norm(x), tuple(new_caches)
 
     def lm_head(self, hidden: jax.Array) -> jax.Array:

@@ -1,0 +1,189 @@
+"""Self-speculative decoding: early-exit draft + full-model verification.
+
+No separate draft model (LayerSkip-style): the draft is the SAME network's
+first ``draft_layers`` layers + shared final norm + head, so it costs zero
+extra memory and its layer-l KV entries are bitwise those of the full model
+— the verify pass simply overwrites the chunk slots for every layer.
+
+Greedy-exact by construction: each iteration the draft proposes
+``draft_len - 1`` continuation tokens cheaply, then ONE full-model
+``decode_chunk`` forward over ``[last_tok, d_1..d_{g-1}]`` produces the
+full model's greedy successor of every prefix; the longest agreeing prefix
+plus the first corrected token commit (1..g tokens per iteration).  The
+output token sequence is therefore EXACTLY what token-by-token greedy
+decoding produces — speculation only changes how many full-model dispatches
+it takes (tests pin the equality).
+
+Cache bookkeeping is free of rollbacks: ``CausalLM.decode_chunk`` only
+treats the committed prefix (caller's cache_mask) plus the chunk's own
+causally-ordered slots as attendable, so rejected speculative K/V simply
+remain masked out and are overwritten by the next chunk.
+
+The reference cannot decode at all (its eval is teacher-forced argmax,
+src/multimodal/multimodal_training.py:273-303); this is a framework
+serving extension on top of models/lm.decode_chunk.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_concept_learning_tpu.models.lm import CausalLM, init_kv_cache
+from multimodal_concept_learning_tpu.models.mllm import MLLM
+
+
+def _build_fns(model: MLLM, draft_layers: int, draft_len: int):
+    """Jitted draft-step and verify-chunk functions (static shapes)."""
+
+    def head(p, h):
+        return model.apply({"params": p}, h,
+                           method=lambda m, x: m.language_model.lm_head(x))
+
+    def embed(p, ids):
+        return model.apply({"params": p}, ids,
+                           method=lambda m, i: m.language_model.embed(i))
+
+    @jax.jit
+    def draft_step(p, tok, caches, start_lens, spec_mask):
+        """One early-exit draft step: consume ``tok``, propose the next."""
+        emb = embed(p, tok[:, None])
+        hidden, caches = model.apply(
+            {"params": p}, emb, caches, start_lens, spec_mask,
+            method=lambda m, *a: m.language_model.decode_chunk(
+                *a, num_layers=draft_layers),
+        )
+        nxt = jnp.argmax(head(p, hidden[:, 0]), axis=-1).astype(jnp.int32)
+        rows = jnp.arange(tok.shape[0])
+        spec_mask = spec_mask.at[rows, start_lens].set(1)
+        return nxt, caches, spec_mask
+
+    @jax.jit
+    def verify_chunk(p, chunk_toks, caches, start_lens, cache_mask):
+        """Full-model forward over the g chunk tokens; returns the greedy
+        successor of every prefix plus the updated caches."""
+        emb = embed(p, chunk_toks)
+        hidden, caches = model.apply(
+            {"params": p}, emb, caches, start_lens, cache_mask,
+            method=lambda m, *a: m.language_model.decode_chunk(*a),
+        )
+        t = jnp.argmax(head(p, hidden), axis=-1).astype(jnp.int32)  # [B, g]
+        return t, caches
+
+    del draft_len
+    return draft_step, verify_chunk
+
+
+def speculative_generate(
+    model: MLLM,
+    params,
+    images: jax.Array,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    max_new_tokens: int,
+    draft_layers: int,
+    draft_len: int = 4,
+    eos_id: Optional[int] = None,
+    pad_id: int = 0,
+    channels_last: bool = False,
+    return_stats: bool = False,
+):
+    """Greedy generation via self-speculation; token-exact vs greedy_generate.
+
+    draft_layers: early-exit depth of the draft (1..num_layers).
+    draft_len: chunk size g — the draft proposes g-1 tokens per iteration,
+      and 1..g tokens commit per full-model dispatch.
+    """
+    assert 1 <= draft_layers <= model.config.lm.num_layers
+    assert draft_len >= 2
+    b, t = input_ids.shape
+    g = draft_len
+    cache_len = t + max_new_tokens + g + 1
+    caches = init_kv_cache(model.config.lm, b, cache_len)
+    draft_step, verify_chunk = _build_fns(model, draft_layers, g)
+
+    hidden, caches = model.apply(
+        {"params": params}, images, input_ids, attention_mask, caches,
+        channels_last, method=MLLM.prefill,
+    )
+    rows = np.arange(b)
+    seq_lens = np.asarray(attention_mask.sum(axis=1), np.int64)
+    last_hidden = hidden[jnp.arange(b), jnp.asarray(seq_lens) - 1]
+    first = np.asarray(jnp.argmax(model.apply(
+        {"params": params}, last_hidden,
+        method=lambda m, h: m.language_model.lm_head(h)), axis=-1))
+
+    out = [[int(first[i])] for i in range(b)]
+    done = np.asarray([eos_id is not None and int(first[i]) == eos_id
+                       for i in range(b)])
+    last_tok = first.astype(np.int32)
+    committed = seq_lens.copy()  # KV-cached tokens per row (prompt only)
+    cache_mask = np.zeros((b, cache_len), np.int32)
+    cache_mask[:, :t] = np.asarray(attention_mask)
+    iters = full_calls = 0
+
+    while not all(done[i] or len(out[i]) >= max_new_tokens for i in range(b)):
+        iters += 1
+        start = jnp.asarray(committed.astype(np.int32))
+        # -- draft: propose g-1 continuations with the first K layers ------
+        spec_mask = jnp.asarray(cache_mask)
+        toks = [jnp.asarray(last_tok)]
+        dtok = toks[0]
+        dstart = start
+        for _ in range(g - 1):
+            dtok, caches, spec_mask = draft_step(params, dtok, caches,
+                                                 dstart, spec_mask)
+            toks.append(dtok)
+            dstart = dstart + 1
+        chunk = jnp.stack(toks, axis=1)  # [B, g] = [last_tok, d_1..d_{g-1}]
+
+        # -- verify: one full-model chunk forward --------------------------
+        tfull, caches = verify_chunk(params, chunk, caches, start,
+                                     jnp.asarray(cache_mask))
+        full_calls += 1
+        tfull_np = np.asarray(tfull)
+        chunk_np = np.asarray(chunk)
+
+        # -- per-row accept + commit ---------------------------------------
+        for i in rows:
+            if done[i] or len(out[i]) >= max_new_tokens:
+                continue
+            m = 0
+            while m < g - 1 and chunk_np[i, m + 1] == tfull_np[i, m]:
+                m += 1
+            c = m + 1  # committed tokens t_1..t_c
+            for j in range(c):
+                if len(out[i]) >= max_new_tokens or done[i]:
+                    c = j
+                    break
+                tok = int(tfull_np[i, j])
+                out[i].append(tok)
+                if eos_id is not None and tok == eos_id:
+                    done[i] = True
+            if c == 0:
+                continue
+            cache_mask[i, committed[i]:committed[i] + c] = 1
+            committed[i] += c
+            last_tok[i] = tfull_np[i, c - 1]
+
+    tokens = np.full((b, max_new_tokens), pad_id, np.int32)
+    for i in rows:
+        row = out[i][:max_new_tokens]
+        tokens[i, :len(row)] = row
+        if eos_id is not None and eos_id in row:
+            stop = row.index(eos_id)
+            tokens[i, stop + 1:] = pad_id
+    if return_stats:
+        total = sum(len(o) for o in out)
+        return jnp.asarray(tokens), {
+            "iterations": iters,
+            "full_model_calls": full_calls,
+            "tokens_per_full_call": total / max(1, full_calls),
+        }
+    return jnp.asarray(tokens)
+
+
+__all__ = ["speculative_generate"]

@@ -84,7 +84,13 @@ def main(argv=None):
     parser.add_argument("--top_k", type=int, default=None)
     parser.add_argument("--top_p", type=float, default=None)
     parser.add_argument("--sample_seed", type=int, default=0)
+    parser.add_argument("--draft_layers", type=int, default=0,
+                        help=">0: self-speculative greedy decoding with this "
+                             "early-exit draft depth (models/speculative.py)")
+    parser.add_argument("--draft_len", type=int, default=4)
     args = parser.parse_args(argv)
+    if args.draft_layers > 0 and args.temperature > 0:
+        parser.error("--draft_layers implies greedy (temperature 0)")
 
     from multimodal_concept_learning_tpu.serve.loader import load_trained_mllm
 
@@ -119,13 +125,24 @@ def main(argv=None):
     eos_id = getattr(tokenizer, "eos_token_id", None)
     pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
 
-    gen_fn = jax.jit(
-        lambda p, img, ids, mask, key: generate(
-            model, p, img, ids, mask, max_new_tokens=args.max_new_tokens,
-            eos_id=eos_id, pad_id=pad_id, key=key,
-            temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+    if args.draft_layers > 0:
+        from multimodal_concept_learning_tpu.models.speculative import (
+            speculative_generate,
         )
-    )
+
+        gen_fn = lambda p, img, ids, mask, key: speculative_generate(  # noqa: E731
+            model, p, img, ids, mask, max_new_tokens=args.max_new_tokens,
+            draft_layers=args.draft_layers, draft_len=args.draft_len,
+            eos_id=eos_id, pad_id=pad_id,
+        )
+    else:
+        gen_fn = jax.jit(
+            lambda p, img, ids, mask, key: generate(
+                model, p, img, ids, mask, max_new_tokens=args.max_new_tokens,
+                eos_id=eos_id, pad_id=pad_id, key=key,
+                temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+            )
+        )
     sample_key = jax.random.key(args.sample_seed)
 
     out_path = args.output or os.path.join(args.results_dir, "generations.jsonl")

@@ -1,0 +1,78 @@
+"""Self-speculative decoding == greedy decoding, token for token.
+
+speculative_generate's output must be EXACTLY greedy_generate's for every
+(draft_layers, draft_len) setting — speculation may only change how many
+full-model dispatches it takes.  Covers the full Gemma-3 feature set
+(qk-norm, sandwich norms, sliding window), ragged right-padded prompts,
+and EOS retirement.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_concept_learning_tpu.models.lm import LMConfig
+from multimodal_concept_learning_tpu.models.mllm import MLLM, MLLMConfig, greedy_generate
+from multimodal_concept_learning_tpu.models.speculative import speculative_generate
+from multimodal_concept_learning_tpu.models.vit import ViTConfig
+
+
+@pytest.fixture(scope="module")
+def setup():
+    vision = ViTConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                       num_attention_heads=2, patch_size=8, image_size=16,
+                       num_labels=0, dtype=jnp.float32)
+    lm = dataclasses.replace(
+        LMConfig.preset("nano", vocab_size=97), dtype=jnp.float32,
+        num_layers=4, use_qk_norm=True, sandwich_norms=True,
+        sliding_window=6, sliding_window_pattern=2, query_pre_attn_scalar=32.0,
+    )
+    config = MLLMConfig(vision=vision, lm=lm, num_vision_tokens=5,
+                        max_answer_tokens=2, dtype=jnp.float32)
+    model = MLLM(config)
+    rng = np.random.default_rng(11)
+    b, text_len = 3, 7
+    nvt = config.num_vision_tokens
+    images = jnp.asarray(rng.normal(size=(b, 3, 16, 16)).astype(np.float32))
+    ids = np.zeros((b, nvt + text_len), np.int32)
+    ids[:, nvt:] = rng.integers(4, 97, size=(b, text_len))
+    mask = np.ones_like(ids)
+    mask[1, -3:] = 0  # ragged right padding
+    ids[mask == 0] = 0
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    params = model.init(jax.random.key(12), images, ids, mask)["params"]
+    return model, params, images, ids, mask
+
+
+@pytest.mark.parametrize("draft_layers,draft_len", [(1, 2), (2, 4), (4, 3)])
+def test_speculative_matches_greedy(setup, draft_layers, draft_len):
+    model, params, images, ids, mask = setup
+    n_new = 8
+    want = np.asarray(greedy_generate(model, params, images, ids, mask, n_new))
+    got, stats = speculative_generate(
+        model, params, images, ids, mask, n_new,
+        draft_layers=draft_layers, draft_len=draft_len, return_stats=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert stats["full_model_calls"] >= 1
+    # draft_layers == num_layers: the draft IS the full model, so every
+    # proposal is accepted and each iteration commits draft_len tokens
+    if draft_layers == model.config.lm.num_layers:
+        assert stats["tokens_per_full_call"] >= draft_len
+
+
+def test_speculative_eos(setup):
+    model, params, images, ids, mask = setup
+    n_new = 6
+    free = np.asarray(greedy_generate(model, params, images, ids, mask, n_new))
+    eos = int(free[0, 1])  # some token that actually occurs
+    want = np.asarray(greedy_generate(model, params, images, ids, mask, n_new,
+                                      eos_id=eos, pad_id=0))
+    got = np.asarray(speculative_generate(
+        model, params, images, ids, mask, n_new,
+        draft_layers=2, draft_len=3, eos_id=eos, pad_id=0,
+    ))
+    np.testing.assert_array_equal(got, want)
