@@ -10,10 +10,19 @@ ancestor coloring at the requested depth with a tab20-family palette
 all/regular/ood token subsets at one target epoch, named
 ``{epoch}_{label}_umap_{2d,3d}.png`` (:343-377).
 
-TPU re-designs: checkpoints are read directly for the embedding tensor
-(no per-epoch model reconstruction), and the subword mean-pooling is one
-vectorized segment-mean over a padded id matrix instead of a Python loop
-per token.
+Re-designs vs the reference (deliberately different machinery):
+- The WordNet is-a graph is interned to integer ids once
+  (:class:`WordNetHierarchy`); ancestor resolution for ALL tokens is a
+  single vectorized lifting fixpoint over a ``primary_parent`` array
+  instead of a per-token Python path walk.
+- Palette assignment is one ordered-dedup comprehension over
+  ``frontier + resolved parents`` instead of an incremental claim counter.
+  (Corner-case delta: a token with no frontier ancestor anchors to its own
+  wnid and never serves as another token's ancestor.)
+- Checkpoints are read directly for the embedding tensor (no per-epoch
+  model reconstruction), discovered declaratively by
+  :func:`discover_checkpoints`, and the subword mean-pooling is one
+  vectorized segment-mean over a padded id matrix.
 """
 
 from __future__ import annotations
@@ -21,14 +30,16 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 from collections import Counter
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, List, Optional, Sequence, Set
 
 import matplotlib
 
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
+from matplotlib.colors import to_hex
 from matplotlib.lines import Line2D
 
 from multimodal_concept_learning_tpu.analysis.projection import Projector
@@ -42,126 +53,174 @@ from multimodal_concept_learning_tpu.tokenizer import load_tokenizer
 
 FALLBACK_COLOR = "#636363"
 DEFAULT_LEGEND_MAX = 12
+_PALETTE_CMAPS = ("tab20", "tab20b", "tab20c", "Set3")
 
 
-# -- WordNet hierarchy (parity :44-96) --------------------------------------
+# -- WordNet hierarchy --------------------------------------------------------
 
 
-def load_wordnet_hierarchy(data_dir: str):
-    devkit_dir = os.path.join(data_dir, "ILSVRC2012_devkit_t12", "data")
-    isa_path = os.path.join(devkit_dir, "wordnet.is_a.txt")
-    words_path = os.path.join(devkit_dir, "words.txt")
+class WordNetHierarchy:
+    """ILSVRC2012-devkit WordNet is-a graph over interned integer ids.
 
-    parent_to_children: Dict[str, List[str]] = {}
-    child_to_parents: Dict[str, List[str]] = {}
-    with open(isa_path) as f:
-        for line in f:
-            parent, child = line.strip().split()
-            parent_to_children.setdefault(parent, []).append(child)
-            child_to_parents.setdefault(child, []).append(parent)
+    The devkit ships ``wordnet.is_a.txt`` (parent child pairs) and
+    ``words.txt`` (wnid<TAB>gloss).  Interning the wnids once lets every
+    graph question below be answered with array ops: roots are a boolean
+    mask, depth frontiers are repeated edge selections, and
+    nearest-claimed-ancestor for a whole token batch is a lifting fixpoint
+    on the ``primary_parent`` array (first-listed parent, matching the
+    reference's choice of ``child_to_parents[c][0]``).
+    """
 
-    wnid_to_name: Dict[str, str] = {}
-    with open(words_path) as f:
-        for line in f:
-            parts = line.strip().split("\t")
-            if not parts:
-                continue
-            wnid_to_name[parts[0]] = " ".join(parts[1:]) if len(parts) > 1 else parts[0]
+    def __init__(self, data_dir: str):
+        devkit = os.path.join(data_dir, "ILSVRC2012_devkit_t12", "data")
+        raw = np.loadtxt(os.path.join(devkit, "wordnet.is_a.txt"), dtype=str)
+        pairs = raw.reshape(-1, 2)
 
-    return parent_to_children, child_to_parents, wnid_to_name
+        self.wnids: List[str] = list(dict.fromkeys(pairs.ravel().tolist()))
+        self._index = {w: i for i, w in enumerate(self.wnids)}
+        n = len(self.wnids)
+        e_parent = np.fromiter((self._index[p] for p in pairs[:, 0]), np.int64, len(pairs))
+        e_child = np.fromiter((self._index[c] for c in pairs[:, 1]), np.int64, len(pairs))
+        self._edges = (e_parent, e_child)
 
+        # primary parent = FIRST listed parent of each child; write edges in
+        # reverse so earlier lines win the slot.
+        primary = np.full(n, -1, np.int64)
+        primary[e_child[::-1]] = e_parent[::-1]
+        self.primary_parent = primary
 
-def find_root_nodes(parent_to_children) -> List[str]:
-    all_children = {c for children in parent_to_children.values() for c in children}
-    return [p for p in parent_to_children if p not in all_children]
+        appears_as_parent = np.zeros(n, bool)
+        appears_as_parent[e_parent] = True
+        self._root_ids = np.flatnonzero(appears_as_parent & (primary < 0))
 
+        self.names: Dict[str, str] = {}
+        with open(os.path.join(devkit, "words.txt")) as f:
+            for line in f:
+                cols = line.strip().split("\t")
+                if cols and cols[0]:
+                    self.names[cols[0]] = " ".join(cols[1:]) or cols[0]
 
-def get_nodes_at_depth(parent_to_children, root_nodes, depth: int) -> List[str]:
-    if depth <= 0:
-        return root_nodes
-    current = list(root_nodes)
-    for _ in range(depth):
-        next_level = [c for node in current for c in parent_to_children.get(node, [])]
-        if not next_level:
-            break
-        current = next_level
-    return current
+    @property
+    def roots(self) -> List[str]:
+        return [self.wnids[i] for i in self._root_ids]
 
+    def frontier(self, depth: int) -> List[str]:
+        """Wnids exactly ``depth`` is-a steps below the roots.
 
-def get_path_to_root(wnid: str, child_to_parents) -> List[str]:
-    path = [wnid]
-    current = wnid
-    while current in child_to_parents and child_to_parents[current]:
-        current = child_to_parents[current][0]
-        path.append(current)
-    return path
+        ``depth <= 0`` (or walking past the deepest leaves) yields the
+        roots themselves, mirroring the reference's fallback.
+        """
+        e_parent, e_child = self._edges
+        level = self._root_ids
+        for _ in range(max(depth, 0)):
+            below = e_child[np.isin(e_parent, level)]
+            if below.size == 0:
+                break
+            level = below
+        if depth > 0 and np.array_equal(level, self._root_ids):
+            return self.roots
+        return [self.wnids[i] for i in level]
+
+    def nearest_claimed_ancestor(
+        self, wnids: Sequence[Optional[str]], claimed: Set[str]
+    ) -> List[Optional[str]]:
+        """For each wnid, the closest node (inclusive) on its primary-parent
+        chain that belongs to ``claimed``; None when the chain tops out
+        without a hit or the wnid is unknown.
+
+        Vectorized: all chains are lifted one level per iteration, frozen as
+        soon as they land on a claimed node, until nothing can move.
+        """
+        claimed_mask = np.zeros(len(self.wnids) + 1, bool)
+        for w in claimed:
+            i = self._index.get(w)
+            if i is not None:
+                claimed_mask[i] = True
+
+        cur = np.fromiter((self._index.get(w, -1) for w in wnids), np.int64, len(wnids))
+        settled = claimed_mask[cur] | (cur < 0)
+        while True:
+            lifted = np.where(cur >= 0, self.primary_parent[cur], -1)
+            movable = ~settled & (lifted >= 0)
+            if not movable.any():
+                break
+            cur = np.where(movable, lifted, cur)
+            settled |= claimed_mask[cur] | ~movable
+        hit = claimed_mask[cur] & (cur >= 0)
+        return [self.wnids[i] if ok else None for i, ok in zip(cur, hit)]
 
 
 def build_palette() -> List[str]:
-    qualitative = []
-    for name in ["tab20", "tab20b", "tab20c", "Set3"]:
-        cmap = plt.get_cmap(name)
-        qualitative.extend([cmap(i) for i in range(cmap.N)])
-    return [
-        "#%02x%02x%02x" % (int(r * 255), int(g * 255), int(b * 255))
-        for r, g, b, *_ in qualitative
-    ] or [FALLBACK_COLOR]
+    colors = [to_hex(c) for name in _PALETTE_CMAPS for c in plt.get_cmap(name).colors]
+    return colors or [FALLBACK_COLOR]
 
 
-def get_path_based_colors(
-    token_names, token_to_wnid, parent_to_children, child_to_parents, wnid_to_name, depth
+def color_tokens_by_ancestor(
+    hierarchy: WordNetHierarchy,
+    token_names: Sequence[str],
+    token_to_wnid: Dict[str, str],
+    depth: int,
 ):
-    """Color each token by its ancestor at ``depth`` (parity :99-151)."""
-    root_nodes = find_root_nodes(parent_to_children)
-    target_nodes = get_nodes_at_depth(parent_to_children, root_nodes, depth) or list(root_nodes)
+    """Color each token by its WordNet ancestor at ``depth``.
 
+    Returns ``(token_to_color, token_to_parent, parent_to_color)``.  Tokens
+    whose chain misses the frontier anchor to their own wnid (or, lacking
+    one, to the token string itself); palette slots go to frontier nodes
+    first, then to the remaining anchors in token order.
+    """
+    frontier = hierarchy.frontier(depth)
+    wnids = [token_to_wnid.get(t) for t in token_names]
+    ancestors = hierarchy.nearest_claimed_ancestor(wnids, set(frontier))
+
+    token_to_parent = {
+        t: anc or wnid or t for t, wnid, anc in zip(token_names, wnids, ancestors)
+    }
     palette = build_palette()
-    parent_to_color: Dict[str, str] = {}
-    token_to_parent: Dict[str, str] = {}
-    token_to_color: Dict[str, str] = {}
-    color_index = 0
-
-    def claim_color(parent_id: str) -> str:
-        nonlocal color_index
-        if parent_id not in parent_to_color:
-            parent_to_color[parent_id] = palette[color_index % len(palette)]
-            color_index += 1
-        return parent_to_color[parent_id]
-
-    for node in target_nodes:
-        claim_color(node)
-
-    for token in token_names:
-        wnid = token_to_wnid.get(token)
-        parent_choice = wnid
-        if wnid:
-            path = get_path_to_root(wnid, child_to_parents)
-            parent_choice = next((n for n in path if n in parent_to_color), wnid)
-        if parent_choice is None:
-            parent_choice = token
-        token_to_parent[token] = parent_choice
-        token_to_color[token] = claim_color(parent_choice)
-
+    ordered = dict.fromkeys([*frontier, *token_to_parent.values()])
+    parent_to_color = {p: palette[i % len(palette)] for i, p in enumerate(ordered)}
+    token_to_color = {t: parent_to_color[p] for t, p in token_to_parent.items()}
     return token_to_color, token_to_parent, parent_to_color
 
 
 # -- embeddings --------------------------------------------------------------
 
+_EPOCH_FILE = re.compile(r"epoch_(\d+)_model\.pt$")
 
-def _sort_epochs(epoch_names: Iterable[str]) -> List[str]:
-    names = list(epoch_names)
-    has_initial = "initial" in names
-    if has_initial:
-        names.remove("initial")
-    names.sort(key=lambda n: int(n.split("_")[1]) if n.startswith("epoch_") else 0)
-    if has_initial:
-        names.insert(0, "initial")
-    return names
+
+def _epoch_sort_key(name: str):
+    if name == "initial":
+        return (-1, 0)
+    m = re.match(r"epoch_(\d+)", name)
+    return (0, int(m.group(1)) if m else 0)
+
+
+def discover_checkpoints(models_dir: str, max_epochs: Optional[int]):
+    """Ordered ``(epoch_name, path)`` pairs: 'initial' first when present,
+    then numbered epochs ascending, capped at ``max_epochs``."""
+    found = []
+    initial = os.path.join(models_dir, "initial_model.pt")
+    if os.path.exists(initial):
+        found.append(("initial", initial))
+
+    numbered = sorted(
+        (int(m.group(1)), f)
+        for f in os.listdir(models_dir)
+        if (m := _EPOCH_FILE.fullmatch(f))
+    )
+    if max_epochs is not None:
+        numbered = numbered[:max_epochs]
+        print(f"Limiting to {len(numbered)} epoch checkpoints")
+    found.extend(
+        (f"epoch_{num}", os.path.join(models_dir, f)) for num, f in numbered
+    )
+    return found
 
 
 def load_token_embeddings(results_dir: str, max_epochs: Optional[int] = None):
-    """Direct embedding-tensor reads (+ --max_epochs cap, parity :218-220)."""
+    """Read the embedding matrix straight out of each saved checkpoint
+    (reference :180-232 rebuilds the whole MLLM per epoch instead)."""
     models_dir = os.path.join(results_dir, "models")
+
     config_path = os.path.join(models_dir, "training_config.json")
     if not os.path.exists(config_path):
         raise FileNotFoundError(f"Training config not found at {config_path}")
@@ -175,25 +234,11 @@ def load_token_embeddings(results_dir: str, max_epochs: Optional[int] = None):
     print(f"Loaded tokenizer with vocabulary size {len(tokenizer)}")
 
     embeddings_by_epoch: Dict[str, np.ndarray] = {}
-    initial_path = os.path.join(models_dir, "initial_model.pt")
-    if os.path.exists(initial_path):
-        embeddings_by_epoch["initial"] = load_torch_state_dict(initial_path)[EMBED_KEY]
-        print(f"Loaded initial embeddings {embeddings_by_epoch['initial'].shape}")
-
-    epoch_files = [
-        f for f in os.listdir(models_dir) if f.startswith("epoch_") and f.endswith("_model.pt")
-    ]
-    epoch_files.sort(key=lambda n: int(n.split("_")[1]))
-    if max_epochs is not None:
-        epoch_files = epoch_files[:max_epochs]
-        print(f"Limiting to {len(epoch_files)} epoch checkpoints")
-
-    for epoch_file in epoch_files:
-        epoch_num = epoch_file.split("_")[1]
-        embeddings_by_epoch[f"epoch_{epoch_num}"] = load_torch_state_dict(
-            os.path.join(models_dir, epoch_file)
-        )[EMBED_KEY]
-        print(f"Loaded epoch {epoch_num} embeddings {embeddings_by_epoch[f'epoch_{epoch_num}'].shape}")
+    for epoch_name, path in discover_checkpoints(models_dir, max_epochs):
+        matrix = load_torch_state_dict(path)[EMBED_KEY]
+        embeddings_by_epoch[epoch_name] = matrix
+        shown = "initial" if epoch_name == "initial" else f"epoch {epoch_name.split('_')[1]}"
+        print(f"Loaded {shown} embeddings {matrix.shape}")
 
     return embeddings_by_epoch, tokenizer, config
 
@@ -227,14 +272,14 @@ def average_embeddings_for_tokens(
 
 
 def select_epoch(embeddings_by_epoch, requested_epoch: Optional[str]) -> str:
-    epochs = _sort_epochs(embeddings_by_epoch.keys())
-    if not epochs:
-        raise ValueError("No embedding checkpoints were loaded.")
-    if requested_epoch and requested_epoch in embeddings_by_epoch:
+    if requested_epoch in embeddings_by_epoch:
         return requested_epoch
+    ordered = sorted(embeddings_by_epoch, key=_epoch_sort_key)
+    if not ordered:
+        raise ValueError("No embedding checkpoints were loaded.")
     if requested_epoch:
         print(f"Requested epoch '{requested_epoch}' not found; falling back to final epoch")
-    return epochs[-1]
+    return ordered[-1]
 
 
 # -- figures ------------------------------------------------------------------
@@ -251,16 +296,16 @@ def _project(embeddings: np.ndarray, n_components: int) -> np.ndarray:
 
 
 def add_parent_legend(ax, parents, parent_to_color, wnid_to_name):
-    counts = Counter(parents)
-    handles, labels = [], []
-    for parent, _ in counts.most_common(DEFAULT_LEGEND_MAX):
-        handles.append(
-            Line2D([0], [0], marker="o", color="none",
-                   markerfacecolor=parent_to_color.get(parent, FALLBACK_COLOR), markersize=6)
-        )
-        labels.append(wnid_to_name.get(parent, parent))
-    if handles:
-        ax.legend(handles, labels, title="WordNet parent", loc="best", fontsize=8)
+    top = Counter(parents).most_common(DEFAULT_LEGEND_MAX)
+    if not top:
+        return
+    swatches = [
+        Line2D([0], [0], marker="o", color="none", markersize=6,
+               markerfacecolor=parent_to_color.get(p, FALLBACK_COLOR))
+        for p, _ in top
+    ]
+    ax.legend(swatches, [wnid_to_name.get(p, p) for p, _ in top],
+              title="WordNet parent", loc="best", fontsize=8)
 
 
 def save_umap_figures(
@@ -322,7 +367,7 @@ def main(argv=None) -> None:
     print(f"Loading embeddings from {args.results_dir}")
     print(f"Saving plots to {args.output_dir}")
 
-    parent_to_children, child_to_parents, wnid_to_name = load_wordnet_hierarchy(args.data_dir)
+    hierarchy = WordNetHierarchy(args.data_dir)
     embeddings_by_epoch, tokenizer, config = load_token_embeddings(
         args.results_dir, args.max_epochs
     )
@@ -346,9 +391,8 @@ def main(argv=None) -> None:
 
     print(f"\nAssigning colors using WordNet hierarchy level {args.parent_level}")
     all_tokens = ood_tokens + regular_tokens
-    token_to_color, token_to_parent, parent_to_color = get_path_based_colors(
-        all_tokens, token_to_wnid, parent_to_children, child_to_parents, wnid_to_name,
-        args.parent_level,
+    token_to_color, token_to_parent, parent_to_color = color_tokens_by_ancestor(
+        hierarchy, all_tokens, token_to_wnid, args.parent_level
     )
 
     if not all_tokens:
@@ -370,7 +414,7 @@ def main(argv=None) -> None:
     print("\nGenerating projection figures...")
     common = dict(
         token_to_color=token_to_color, token_to_parent=token_to_parent,
-        parent_to_color=parent_to_color, wnid_to_name=wnid_to_name,
+        parent_to_color=parent_to_color, wnid_to_name=hierarchy.names,
         output_dir=args.output_dir, epoch_name=target_epoch,
     )
     if combined is not None and combined.shape[0] >= 3:
