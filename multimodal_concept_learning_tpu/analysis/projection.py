@@ -1,19 +1,195 @@
-"""2D/3D embedding projection with a dependency fallback chain.
+"""2D/3D embedding projection with a from-scratch nonlinear backend.
 
 The reference uses umap-learn (token_embedding_analysis.py:330-344); this
-image does not ship it, so the projector prefers UMAP when importable and
-falls back to sklearn PCA (always available) with the identical
-fit/transform API the analysis code needs.  The backend used is printed so
-plots are never silently comparing different projections.
+image does not ship it.  Instead of silently downgrading to PCA (the round-2
+state), :class:`Projector` now prefers umap-learn when importable and
+otherwise runs :class:`NeighborEmbedding` — a self-contained UMAP-equivalent
+(k-NN fuzzy graph, adaptive bandwidths, cross-entropy attract/repulse SGD
+layout, out-of-sample transform) — so the analysis CLIs always produce
+nonlinear neighborhood-preserving maps.  The backend used is printed so plots
+are never silently comparing different projections.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+from typing import Optional
+
 import numpy as np
+
+_ATTRACT_CLIP = 4.0  # per-step coordinate update clip, as in UMAP
+
+
+def _fit_curve_params(min_dist: float, spread: float = 1.0):
+    """Least-squares fit of the low-dim similarity curve 1/(1 + a d^{2b})
+    to the target exp(-(d - min_dist)/spread) piecewise template."""
+    d = np.linspace(0.0, 3.0 * spread, 300)
+    target = np.where(d < min_dist, 1.0, np.exp(-(d - min_dist) / spread))
+    try:
+        from scipy.optimize import curve_fit
+
+        (a, b), _ = curve_fit(
+            lambda x, a, b: 1.0 / (1.0 + a * x ** (2.0 * b)), d, target,
+            p0=(1.0, 1.0), maxfev=5000,
+        )
+        return float(a), float(b)
+    except Exception:
+        return 1.577, 0.8951  # the standard values for min_dist=0.1, spread=1
+
+
+def _knn(matrix: np.ndarray, k: int):
+    """(distances, indices) of the k nearest OTHER rows for each row."""
+    from sklearn.neighbors import NearestNeighbors
+
+    nn = NearestNeighbors(n_neighbors=min(k + 1, len(matrix)))
+    nn.fit(matrix)
+    dist, idx = nn.kneighbors(matrix)
+    return dist[:, 1:], idx[:, 1:]  # drop self
+
+
+def _membership_strengths(dist: np.ndarray):
+    """Per-row adaptive fuzzy membership of each neighbor, UMAP-style.
+
+    rho_i is the distance to the nearest neighbor; sigma_i is binary-searched
+    (vectorized over all rows at once) so that the smoothed neighbor count
+    sums to log2(k).
+    """
+    n, k = dist.shape
+    rho = dist[:, 0:1]
+    target = np.log2(max(k, 2))
+    lo = np.full((n, 1), 1e-8)
+    hi = np.full((n, 1), 1e4)
+    sigma = np.ones((n, 1))
+    shifted = np.maximum(dist - rho, 0.0)
+    for _ in range(64):
+        total = np.exp(-shifted / sigma).sum(axis=1, keepdims=True)
+        hi = np.where(total > target, sigma, hi)
+        lo = np.where(total > target, lo, sigma)
+        sigma = 0.5 * (lo + hi)
+    return np.exp(-shifted / sigma)
+
+
+def _symmetrized_edges(idx: np.ndarray, strengths: np.ndarray):
+    """Fuzzy-union symmetrization W = P + P^T - P∘P^T as an edge list.
+
+    Returns (heads, tails, weights) with each undirected pair listed once.
+    """
+    n, k = idx.shape
+    heads = np.repeat(np.arange(n), k)
+    tails = idx.ravel()
+    p = np.zeros((n, n))
+    p[heads, tails] = strengths.ravel()
+    w = p + p.T - p * p.T
+    hh, tt = np.nonzero(np.triu(w, 1))
+    return hh, tt, w[hh, tt]
+
+
+@dataclass
+class NeighborEmbedding:
+    """From-scratch UMAP-equivalent: fuzzy k-NN graph + SGD force layout.
+
+    fit(): build the symmetrized fuzzy graph over the training rows, start
+    from a scaled PCA layout, and run ``n_epochs`` of vectorized
+    cross-entropy gradient steps — every edge attracts with its membership
+    weight, and ``negative_rate`` uniform non-edges per edge repulse.
+
+    transform(): place new rows at the membership-weighted mean of their
+    k-NN anchors' embeddings, then refine them for ``n_epochs // 3`` steps
+    against the FROZEN training layout.
+    """
+
+    n_components: int = 2
+    n_neighbors: int = 15
+    min_dist: float = 0.1
+    n_epochs: int = 300
+    learning_rate: float = 1.0
+    negative_rate: int = 5
+    random_state: int = 42
+    _train_x: Optional[np.ndarray] = field(default=None, repr=False)
+    _train_y: Optional[np.ndarray] = field(default=None, repr=False)
+
+    def _layout_step(self, y, heads, tails, weights, alpha, rng, movable_tails):
+        a, b = self._curve
+        diff = y[heads] - y[tails]
+        d2 = np.maximum((diff ** 2).sum(axis=1, keepdims=True), 1e-12)
+        # attractive CE gradient through Phi(d) = 1/(1 + a d^{2b})
+        att = (-2.0 * a * b * d2 ** (b - 1.0)) / (1.0 + a * d2 ** b)
+        pull = np.clip(att * weights[:, None] * diff, -_ATTRACT_CLIP, _ATTRACT_CLIP)
+        np.add.at(y, heads, alpha * pull)
+        if movable_tails:
+            np.add.at(y, tails, -alpha * pull)
+
+        neg = rng.integers(0, len(self._train_y), size=(len(heads), self.negative_rate))
+        for col in range(self.negative_rate):
+            rdiff = y[heads] - self._train_y[neg[:, col]]
+            rd2 = np.maximum((rdiff ** 2).sum(axis=1, keepdims=True), 1e-12)
+            rep = (2.0 * b) / ((0.001 + rd2) * (1.0 + a * rd2 ** b))
+            push = np.clip(rep * rdiff, -_ATTRACT_CLIP, _ATTRACT_CLIP)
+            np.add.at(y, heads, alpha * push)
+
+    def fit(self, x: np.ndarray) -> "NeighborEmbedding":
+        x = np.asarray(x, dtype=np.float64)
+        rng = np.random.default_rng(self.random_state)
+        self._curve = _fit_curve_params(self.min_dist)
+        k = max(2, min(self.n_neighbors, len(x) - 1))
+        dist, idx = _knn(x, k)
+        heads, tails, weights = _symmetrized_edges(idx, _membership_strengths(dist))
+
+        from sklearn.decomposition import PCA
+
+        dims = min(self.n_components, len(x), x.shape[1])
+        init = PCA(n_components=dims, random_state=self.random_state).fit_transform(x)
+        if dims < self.n_components:
+            init = np.pad(init, ((0, 0), (0, self.n_components - dims)))
+        span = np.abs(init).max() or 1.0
+        y = (init / span) * 10.0 + rng.normal(scale=1e-4, size=(len(x), self.n_components))
+
+        self._train_y = y
+        for epoch in range(self.n_epochs):
+            alpha = self.learning_rate * (1.0 - epoch / self.n_epochs)
+            self._layout_step(y, heads, tails, weights, alpha, rng, movable_tails=True)
+        self._train_x = x
+        return self
+
+    def transform(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        if self._train_x is None:
+            raise RuntimeError("NeighborEmbedding.transform called before fit")
+        if x.shape == self._train_x.shape and np.allclose(x, self._train_x):
+            return self._train_y.copy()
+
+        rng = np.random.default_rng(self.random_state + 1)
+        k = max(2, min(self.n_neighbors, len(self._train_x)))
+        from sklearn.neighbors import NearestNeighbors
+
+        nn = NearestNeighbors(n_neighbors=k).fit(self._train_x)
+        dist, idx = nn.kneighbors(x)
+        strengths = _membership_strengths(np.maximum(dist, 1e-12))
+        norm = strengths.sum(axis=1, keepdims=True)
+        y_new = (strengths[:, :, None] * self._train_y[idx]).sum(axis=1) / norm
+
+        # refine: new points attract their anchors, training layout frozen
+        n_new = len(x)
+        heads = np.repeat(np.arange(n_new), k)
+        anchor = idx.ravel() + n_new  # offset into the concatenated layout
+        weights = (strengths / norm).ravel()
+        y = np.concatenate([y_new, self._train_y], axis=0)
+        epochs = max(self.n_epochs // 3, 30)
+        for epoch in range(epochs):
+            alpha = self.learning_rate * (1.0 - epoch / epochs)
+            self._layout_step(y, heads, anchor, weights, alpha, rng, movable_tails=False)
+        return y[:n_new]
+
+    def fit_transform(self, x: np.ndarray) -> np.ndarray:
+        return self.fit(x)._train_y.copy()
 
 
 class Projector:
-    """fit-on-reference / transform-many projector (UMAP or PCA backend)."""
+    """fit-on-reference / transform-many projector.
+
+    Backend preference: umap-learn when importable (parity with the
+    reference), else the from-scratch :class:`NeighborEmbedding`.
+    """
 
     def __init__(self, n_components: int = 2, random_state: int = 42, n_neighbors: int = 15):
         self.n_components = n_components
@@ -23,6 +199,7 @@ class Projector:
         self.backend = None
 
     def _build(self, n_samples: int):
+        neighbors = min(self.n_neighbors, max(2, n_samples - 1))
         try:  # pragma: no cover - umap not installed in CI image
             import umap
 
@@ -30,15 +207,14 @@ class Projector:
             return umap.UMAP(
                 n_components=self.n_components,
                 random_state=self.random_state,
-                n_neighbors=min(self.n_neighbors, max(2, n_samples - 1)),
+                n_neighbors=neighbors,
             )
         except ImportError:
-            from sklearn.decomposition import PCA
-
-            self.backend = "pca"
-            return PCA(
-                n_components=min(self.n_components, n_samples),
+            self.backend = "neighbor-embedding (from-scratch umap)"
+            return NeighborEmbedding(
+                n_components=self.n_components,
                 random_state=self.random_state,
+                n_neighbors=neighbors,
             )
 
     def fit(self, x: np.ndarray) -> "Projector":
