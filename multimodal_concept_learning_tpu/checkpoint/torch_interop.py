@@ -260,6 +260,13 @@ def hf_vit_sd_to_timm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
                 continue
         out[key] = arr
     for fused_key, parts in pending_qkv.items():
+        missing = [nm for nm in ("query", "key", "value") if nm not in parts]
+        if missing:
+            raise ValueError(
+                f"Cannot re-fuse {fused_key}: state dict is missing the "
+                f"{'/'.join(missing)} projection(s) for this block "
+                f"(have: {sorted(parts)}) — truncated or filtered checkpoint?"
+            )
         out[fused_key] = np.concatenate(
             [parts["query"], parts["key"], parts["value"]], axis=0
         )
@@ -304,6 +311,14 @@ def _lm_entry_to_torch(rel: str, arr: np.ndarray):
             return f"{base}.self_attn.{sub}.weight", arr.reshape(h, -1).T
         if parts[1] in ("gate_proj", "up_proj", "down_proj"):
             return f"{base}.mlp.{parts[1]}.weight", arr.T
+        if parts[1] == "moe":
+            # Framework-extension MoE layer (ops/moe.py): no HF reference
+            # naming exists, so use a stable scheme that round-trips through
+            # _lm_entry_from_torch (kernels transposed, stacked expert
+            # tensors stored verbatim).
+            if parts[2] == "router":
+                return f"{base}.moe.router.weight", arr.T
+            return f"{base}.moe.{parts[2]}", arr
         if parts[1] in (
             "input_layernorm",
             "post_attention_layernorm",

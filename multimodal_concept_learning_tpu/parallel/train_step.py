@@ -97,8 +97,18 @@ def make_classifier_eval_step(model, label_smoothing: float = 0.0) -> Callable:
     return jax.jit(step)
 
 
+MOE_AUX_COEF = 0.01  # Switch-convention load-balance coefficient
+
+
 def make_mllm_train_step(model, tx: optax.GradientTransformation) -> Callable:
-    """MLLM step: sparse answer CE over the composite model."""
+    """MLLM step: sparse answer CE over the composite model.
+
+    When the LM routes through MoE experts, the sown per-layer Switch aux
+    losses are added at ``MOE_AUX_COEF`` so the router cannot collapse onto
+    few experts (which would waste EP sharding; round-2 advisor finding).
+    """
+    moe_on = getattr(getattr(model, "config", None), "lm", None) is not None and \
+        model.config.lm.moe_experts > 0
 
     def step(state: TrainState, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
@@ -107,7 +117,7 @@ def make_mllm_train_step(model, tx: optax.GradientTransformation) -> Callable:
         images = images_from_batch(batch, channels_last=nhwc)
 
         def loss_fn(params):
-            out = model.apply(
+            out, inter = model.apply(
                 {"params": params},
                 images,
                 batch["input_ids"],
@@ -116,8 +126,19 @@ def make_mllm_train_step(model, tx: optax.GradientTransformation) -> Callable:
                 deterministic=False,
                 channels_last=nhwc,
                 rngs={"dropout": dropout_rng},
+                mutable=["intermediates"],
             )
-            return out["loss"]
+            loss = out["loss"]
+            if moe_on:
+                aux_leaves = [
+                    v for path, v in jax.tree_util.tree_leaves_with_path(inter)
+                    if any(getattr(k, "key", None) == "moe_aux" for k in path)
+                ]
+                if aux_leaves:
+                    loss = loss + MOE_AUX_COEF * sum(
+                        jnp.mean(a) for a in aux_leaves
+                    ) / len(aux_leaves)
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -334,7 +334,20 @@ class ContinuousBatcher:
             active = np.asarray([s is not None for s in self._slots], bool)
             if not active.any():
                 continue
-            toks = eng.step(active)  # [slots, steps_per_call]
+            try:
+                toks = eng.step(active)  # [slots, steps_per_call]
+            except Exception as e:  # noqa: BLE001
+                # A device-side failure mid-step invalidates the engine's
+                # donated-buffer state: fail every in-flight request with the
+                # error (instead of dying silently and hanging submit()) and
+                # stop the worker — the engine cannot be trusted after this.
+                for i, s in enumerate(self._slots):
+                    if s is not None:
+                        s.pending.error = e
+                        s.pending.event.set()
+                        self._slots[i] = None
+                self._stop = True
+                break
             self.stats["steps"] += 1
             for i, s in enumerate(self._slots):
                 if s is None:

@@ -264,3 +264,28 @@ def test_http_server_continuous_mode(trained_results_dir):
     finally:
         httpd.shutdown()
         batcher.shutdown()
+
+
+def test_step_failure_fails_inflight_requests(loaded):
+    """A device-side failure in eng.step must surface to every in-flight
+    submit() as the error, not as a silent worker death + timeout hang
+    (round-2 advisor finding)."""
+    from multimodal_concept_learning_tpu.serve.continuous import (
+        ContinuousBatcher,
+        ContinuousEngine,
+    )
+
+    engine = ContinuousEngine(loaded, num_slots=2, max_new_tokens=8,
+                              max_prompt_len=16)
+
+    boom = RuntimeError("simulated device failure")
+
+    def exploding_step(active):
+        raise boom
+
+    engine.step = exploding_step
+    batcher = ContinuousBatcher(engine)
+    img = engine.preprocess_image(_circle_image(COLORS[0]))
+    with pytest.raises(RuntimeError, match="simulated device failure"):
+        batcher.submit(img, _prompts()[0], timeout=30)
+    batcher.shutdown()

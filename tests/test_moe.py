@@ -175,6 +175,56 @@ def test_moe_plumbs_through_mllm_config():
     assert tc.lm_moe_experts == 3
 
 
+def test_moe_aux_loss_enters_training_objective():
+    """With lm_moe_experts > 0 the train step must include the Switch aux
+    load-balance term: router params receive gradient even when the router
+    cannot affect the CE loss through a collapsed path, and the step loss
+    exceeds the bare CE loss by the aux term (round-2 advisor finding)."""
+    import optax
+
+    from multimodal_concept_learning_tpu.models.mllm import MLLM, MLLMConfig
+    from multimodal_concept_learning_tpu.parallel.train_step import (
+        MOE_AUX_COEF,
+        TrainState,
+        make_mllm_train_step,
+    )
+
+    cfg = MLLMConfig.create(vocab_size=61, vision_preset="vit-t-8",
+                            lm_preset="nano", num_vision_tokens=5,
+                            image_size=16, lm_moe_experts=2)
+    model = MLLM(cfg)
+    rng = np.random.default_rng(7)
+    batch = {
+        "images": jnp.asarray(rng.normal(size=(2, 3, 16, 16)).astype(np.float32)),
+        "input_ids": jnp.asarray(rng.integers(1, 61, size=(2, 9)).astype(np.int32)),
+        "attention_mask": jnp.ones((2, 9), jnp.int32),
+        "labels": jnp.full((2, 9), -100, jnp.int32).at[:, -1].set(3),
+    }
+    params = model.init(jax.random.key(0), batch["images"], batch["input_ids"],
+                        batch["attention_mask"])["params"]
+    # read everything needed from params BEFORE the step donates them
+    bare = model.apply({"params": params}, batch["images"], batch["input_ids"],
+                       batch["attention_mask"], batch["labels"],
+                       deterministic=False,
+                       rngs={"dropout": jax.random.key(2)})["loss"]
+    bare = float(bare)
+    before = np.asarray(params["language_model"]["layer_0"]["moe"]["router"]["kernel"])
+
+    tx = optax.sgd(1e-3)
+    state = TrainState.create(params, tx)
+    step = make_mllm_train_step(model, tx)
+    new_state, metrics = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # step loss = CE + coef * mean(aux); aux >= 1 by construction (Switch
+    # normalization: E * sum(frac * prob) >= 1), so the gap must be positive
+    gap = float(metrics["loss"]) - bare
+    assert gap > 0.5 * MOE_AUX_COEF, f"aux term missing from objective (gap={gap})"
+
+    # router must move under the step
+    after = np.asarray(new_state.params["language_model"]["layer_0"]["moe"]["router"]["kernel"])
+    assert float(np.abs(after - before).max()) > 0
+
+
 def test_expert_parallel_matches_single_device(eight_devices):
     from multimodal_concept_learning_tpu.models.lm import CausalLM, LMConfig
     from multimodal_concept_learning_tpu.parallel import make_mesh

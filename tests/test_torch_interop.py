@@ -160,3 +160,36 @@ def test_vocab_remap_reference_checkpoint():
     np.testing.assert_array_equal(new_emb[5], src_emb[12])  # <ood 1>
     np.testing.assert_array_equal(new_emb[6], 0.0)          # dst-only token keeps template
     np.testing.assert_array_equal(out["projector.weight"], sd["projector.weight"])
+
+
+def test_moe_lm_params_roundtrip_torch():
+    """MoE layers (framework extension) must survive the torch checkpoint
+    round-trip — training with lm_moe_experts crashed at save before this
+    mapping existed."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_concept_learning_tpu.checkpoint.torch_interop import (
+        lm_params_from_torch,
+        lm_params_to_torch,
+    )
+    from multimodal_concept_learning_tpu.models import CausalLM, LMConfig
+
+    cfg = dataclasses.replace(LMConfig.preset("nano", vocab_size=64),
+                              num_layers=2, moe_experts=2, moe_top_k=1,
+                              dtype=jnp.float32)
+    lm = CausalLM(cfg)
+    ids = jnp.ones((1, 5), jnp.int32)
+    params = lm.init(jax.random.key(0), ids)["params"]
+    sd = lm_params_to_torch(params)
+    assert any(".moe.router.weight" in k for k in sd)
+    assert any(".moe.experts_down" in k for k in sd)
+    back = lm_params_from_torch(sd, params)
+    for (pa, la), (pb, lb) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(back),
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la), err_msg=str(pa))
