@@ -68,7 +68,9 @@ MLLM_OOD = 90
 MLLM_REPEATS = 3
 
 
-def build_clip():
+def build_clip(vision_overrides=None, clip_overrides=None):
+    import dataclasses
+
     config = CLIPConfig.create(
         vocab_size=VOCAB,
         vision_preset="vit-b-32",
@@ -79,6 +81,12 @@ def build_clip():
         context_length=CONTEXT,
         embed_dim=512,
     )
+    if vision_overrides:
+        config = dataclasses.replace(
+            config, vision=dataclasses.replace(config.vision, **vision_overrides)
+        )
+    if clip_overrides:
+        config = dataclasses.replace(config, **clip_overrides)
     model = CLIPModel(config)
 
     rng = np.random.default_rng(0)

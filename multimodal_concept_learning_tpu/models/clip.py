@@ -35,6 +35,11 @@ class CLIPConfig:
     context_length: int = 77
     embed_dim: int = 512
     dtype: Any = jnp.bfloat16
+    # Token-major Pallas attention core in the text tower (same kernel the
+    # vision tower engages via ViTConfig.attention_layout="pallas_core");
+    # the text tower's [B,77,8,64] relayout copies are the single largest
+    # data-formatting bucket of the CLIP step (BASELINE.md round-3 profile).
+    text_attention_core: bool = False
 
     @classmethod
     def create(
@@ -70,19 +75,51 @@ class TextBlock(nn.Module):
     width: int
     heads: int
     dtype: Any
+    use_core_attention: bool = False
 
     @nn.compact
-    def __call__(self, x, bias):
+    def __call__(self, x, bias, attention_mask=None):
         h = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x).astype(self.dtype)
         head_dim = self.width // self.heads
-        proj = lambda name: nn.DenseGeneral(  # noqa: E731
-            features=(self.heads, head_dim), dtype=self.dtype,
-            kernel_init=nn.initializers.normal(0.02), name=name,
-        )
-        q, k, v = proj("q")(h), proj("k")(h), proj("v")(h)
-        a = multi_head_attention(q, k, v, bias=bias)
-        a = nn.DenseGeneral(features=self.width, axis=(-2, -1), dtype=self.dtype,
-                            kernel_init=nn.initializers.normal(0.02), name="out")(a)
+        if self.use_core_attention:
+            # Same param tree as the DenseGeneral path, but packed token-major
+            # qkv through the Pallas attention core — no head-split relayouts.
+            from multimodal_concept_learning_tpu.models.vit import _ParamHolder
+            from multimodal_concept_learning_tpu.ops.attention_core import (
+                attention_core_padded,
+            )
+
+            init = nn.initializers.normal(0.02)
+            w = self.width
+            kq, bq = _ParamHolder((w, self.heads, head_dim), (self.heads, head_dim),
+                                  init, name="q")()
+            kk, bk = _ParamHolder((w, self.heads, head_dim), (self.heads, head_dim),
+                                  init, name="k")()
+            kv, bv = _ParamHolder((w, self.heads, head_dim), (self.heads, head_dim),
+                                  init, name="v")()
+            ko, bo = _ParamHolder((self.heads, head_dim, w), (w,), init, name="out")()
+            wqkv = jnp.concatenate(
+                [kq.reshape(w, -1), kk.reshape(w, -1), kv.reshape(w, -1)], axis=1
+            ).astype(self.dtype)
+            bqkv = jnp.concatenate(
+                [bq.reshape(-1), bk.reshape(-1), bv.reshape(-1)]
+            ).astype(self.dtype)
+            qkv = h @ wqkv + bqkv
+            interpret = jax.devices()[0].platform != "tpu"
+            attn = attention_core_padded(
+                qkv, self.heads, causal=True, kv_mask=attention_mask,
+                interpret=interpret,
+            )
+            a = attn @ ko.reshape(-1, w).astype(self.dtype) + bo.astype(self.dtype)
+        else:
+            proj = lambda name: nn.DenseGeneral(  # noqa: E731
+                features=(self.heads, head_dim), dtype=self.dtype,
+                kernel_init=nn.initializers.normal(0.02), name=name,
+            )
+            q, k, v = proj("q")(h), proj("k")(h), proj("v")(h)
+            a = multi_head_attention(q, k, v, bias=bias)
+            a = nn.DenseGeneral(features=self.width, axis=(-2, -1), dtype=self.dtype,
+                                kernel_init=nn.initializers.normal(0.02), name="out")(a)
         x = x + a
         h = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x).astype(self.dtype)
         h = nn.Dense(self.width * 4, dtype=self.dtype,
@@ -106,9 +143,14 @@ class TextEncoder(nn.Module):
         pos = self.param("positional_embedding", nn.initializers.normal(0.01),
                          (cfg.context_length, cfg.text_width))
         x = x + pos[None, :t].astype(cfg.dtype)
-        bias = make_attention_bias(attention_mask, causal=True, q_len=t, k_len=t)
+        if cfg.text_attention_core:
+            bias = None  # mask semantics live in the kernel (causal + kv_mask)
+        else:
+            bias = make_attention_bias(attention_mask, causal=True, q_len=t, k_len=t)
         for i in range(cfg.text_layers):
-            x = TextBlock(cfg.text_width, cfg.text_heads, cfg.dtype, name=f"block_{i}")(x, bias)
+            x = TextBlock(cfg.text_width, cfg.text_heads, cfg.dtype,
+                          use_core_attention=cfg.text_attention_core,
+                          name=f"block_{i}")(x, bias, attention_mask=attention_mask)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
         # Pool at the last valid token (CLIP pools at EOT).
         if attention_mask is not None:

@@ -1,0 +1,232 @@
+"""Token-major attention core (Pallas TPU) for short sequences.
+
+Motivation (BASELINE.md round-2/3 profile): ~14% of the CLIP ViT-B/32 step
+is `bf16[B,T,H,D]` relayout copies that XLA inserts between the token-major
+q/k/v projection outputs and the head-major attention einsums — copies that
+survived every XLA-level intervention (head-major einsums, stacked-QKV
+projection, padded widths).  The structural cause: a projection matmul's
+natural output is token-major `[B·T, H·D]` while the score matmul batches
+over `(B, heads)`, and no XLA layout satisfies both.
+
+This kernel dissolves the conflict by computing the attention core
+    attn = softmax(q kᵀ / sqrt(dh) + mask) v        (per sample, per head)
+directly on the packed token-major projection output:
+
+    qkv [B, T_pad, 3·H·D]  →  attn [B, T_pad, H·D]
+
+Head splitting happens on VMEM-resident lane slices (register shuffles, no
+HBM traffic), scores/softmax stay in fp32 VMEM, and the output is written
+token-major so the o-projection consumes it without a relayout.
+Differences from the round-2 fused-sublayer kernel
+(ops/fused_attention_block.py, measured −6%): no weights inside the kernel
+(nothing refetched per grid step) and per-sample `[T,T]` score tiles batched
+over the block (no flattened `[R,R]` block-diagonal waste).
+
+Backward is the mirror kernel: recompute the probabilities from the saved
+qkv (cheap at these T), emit dqkv token-major; all dW/dx matmuls stay in
+XLA where they already run at ~97% of peak.
+
+Masking: key columns ≥ ``t_real`` are always masked; ``causal=True`` adds a
+causal mask (text towers); ``kv_mask`` [B, T_pad] (nonzero = valid) masks
+per-sample padded keys.  Pad/invalid rows produce uniform-attention outputs
+but zero gradient flows to them through the caller's slice to `[:, :T]`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _base_mask(t_pad: int, t_real: int, causal: bool):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad), 1)
+    ok = cols < t_real
+    if causal:
+        ok &= cols <= rows
+    return ok
+
+
+def _sample_mask(t_pad, t_real, causal, kvm):
+    """[bblk, T, T] bool valid-key mask for each sample in the block."""
+    base = _base_mask(t_pad, t_real, causal)[None]
+    if kvm is None:
+        return base
+    return base & (kvm[:, None, :] != 0)
+
+
+def _heads_of(qkv, h, hd, dh):
+    q = qkv[:, :, h * dh:(h + 1) * dh]
+    k = qkv[:, :, hd + h * dh:hd + (h + 1) * dh]
+    v = qkv[:, :, 2 * hd + h * dh:2 * hd + (h + 1) * dh]
+    return q, k, v
+
+
+def _probs(q, k, mask, dh):
+    """Batched masked softmax(q kᵀ / sqrt(dh)) in fp32; [bblk, T, T]."""
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * (dh ** -0.5)
+    s = jnp.where(mask, s, _NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(qkv_ref, kvm_ref, out_ref, *, heads, dh, t_real, causal):
+    _, t_pad, hd3 = qkv_ref.shape
+    hd = hd3 // 3
+    qkv = qkv_ref[:]
+    cdt = qkv.dtype
+    mask = _sample_mask(t_pad, t_real, causal, kvm_ref[:, 0, :])
+    outs = []
+    for h in range(heads):
+        q, k, v = _heads_of(qkv, h, hd, dh)
+        p = _probs(q, k, mask, dh)
+        outs.append(
+            jax.lax.dot_general(
+                p.astype(cdt), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)
+        )
+    out_ref[:] = jnp.concatenate(outs, axis=-1)
+
+
+def _bwd_kernel(qkv_ref, kvm_ref, da_ref, dqkv_ref, *, heads, dh, t_real, causal):
+    _, t_pad, hd3 = qkv_ref.shape
+    hd = hd3 // 3
+    qkv = qkv_ref[:]
+    da = da_ref[:]
+    cdt = qkv.dtype
+    mask = _sample_mask(t_pad, t_real, causal, kvm_ref[:, 0, :])
+    parts_q, parts_k, parts_v = [], [], []
+    for h in range(heads):
+        q, k, v = _heads_of(qkv, h, hd, dh)
+        dah = da[:, :, h * dh:(h + 1) * dh]
+        p = _probs(q, k, mask, dh)
+        dp = jax.lax.dot_general(
+            dah, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds16 = (ds * dh ** -0.5).astype(cdt)
+        parts_q.append(
+            jax.lax.dot_general(
+                ds16, k, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)
+        )
+        parts_k.append(
+            jax.lax.dot_general(
+                ds16, q, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)
+        )
+        parts_v.append(
+            jax.lax.dot_general(
+                p.astype(cdt), dah, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)
+        )
+    dqkv_ref[:] = jnp.concatenate(parts_q + parts_k + parts_v, axis=-1)
+
+
+def _pick_bblk(batch: int, t_pad: int, hd3: int, budget_mib: int = 6) -> int:
+    """Largest per-program sample block under a VMEM working-set budget."""
+    for bblk in (32, 16, 8, 4, 2, 1):
+        if batch % bblk:
+            continue
+        # qkv + out + dqkv in the compute dtype (2B) + fp32 score tiles
+        work = bblk * t_pad * hd3 * 2 * 3 + bblk * t_pad * t_pad * 4 * 2
+        if work < budget_mib * 1024 * 1024:
+            return bblk
+    return 1
+
+
+def _core_call(kernel_fn, qkv, extra, out_feats, heads, t_real, causal,
+               interpret):
+    b, t_pad, hd3 = qkv.shape
+    dh = (hd3 // 3) // heads
+    bblk = _pick_bblk(b, t_pad, hd3)
+    kernel = functools.partial(
+        kernel_fn, heads=heads, dh=dh, t_real=t_real, causal=causal
+    )
+    row = lambda feats: pl.BlockSpec(  # noqa: E731
+        (bblk, t_pad, feats), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    # kvm rides as [B, 1, T_pad] so the trailing block dims equal the array
+    # dims (the TPU lowering requires (8,128)-divisible or full-dim blocks)
+    kvm_spec = pl.BlockSpec((bblk, 1, t_pad), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bblk,),
+        in_specs=[row(qkv.shape[-1]), kvm_spec]
+        + [row(op.shape[-1]) for op in extra],
+        out_specs=row(out_feats),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, out_feats), qkv.dtype),
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _attention_core(qkv, kvm, heads: int, t_real: int, causal: bool,
+                    interpret: bool):
+    hd = qkv.shape[-1] // 3
+    return _core_call(_fwd_kernel, qkv, (), hd, heads, t_real, causal,
+                      interpret)(qkv, kvm)
+
+
+def _core_fwd(qkv, kvm, heads, t_real, causal, interpret):
+    return _attention_core(qkv, kvm, heads, t_real, causal, interpret), (qkv, kvm)
+
+
+def _core_bwd(heads, t_real, causal, interpret, res, d_out):
+    qkv, kvm = res
+    dqkv = _core_call(_bwd_kernel, qkv, (d_out.astype(qkv.dtype),),
+                      qkv.shape[-1], heads, t_real, causal, interpret)(
+        qkv, kvm, d_out.astype(qkv.dtype)
+    )
+    return dqkv, np.zeros(kvm.shape, jax.dtypes.float0)
+
+
+_attention_core.defvjp(_core_fwd, _core_bwd)
+
+
+def attention_core(qkv, heads: int, t_real: int, causal: bool = False,
+                   kv_mask=None, interpret: bool = False):
+    """Packed token-major attention: qkv [B, T_pad, 3·H·D] → [B, T_pad, H·D].
+
+    T_pad must be a sublane multiple (16 for bf16).  ``kv_mask`` [B, T_pad]
+    (nonzero = valid key) masks per-sample padding; pass None when all of
+    ``[:t_real]`` is valid.
+    """
+    b, t_pad, _ = qkv.shape
+    if kv_mask is None:
+        kvm = jnp.ones((b, t_pad), jnp.int32)
+    else:
+        kvm = kv_mask.astype(jnp.int32)
+        if kvm.shape[1] != t_pad:
+            kvm = jnp.pad(kvm, ((0, 0), (0, t_pad - kvm.shape[1])))
+    return _attention_core(qkv, kvm[:, None, :], heads, t_real, causal, interpret)
+
+
+def attention_core_padded(qkv, heads: int, causal: bool = False,
+                          kv_mask=None, interpret: bool = False):
+    """Any-T wrapper: pads T to the sublane tile, runs the kernel, slices back."""
+    b, t, hd3 = qkv.shape
+    t_pad = _round_up(t, 16)
+    if t_pad != t:
+        qkv = jnp.pad(qkv, ((0, 0), (0, t_pad - t), (0, 0)))
+    out = attention_core(qkv, heads, t, causal, kv_mask, interpret)
+    return out[:, :t] if t_pad != t else out

@@ -1,0 +1,55 @@
+"""A/B the ViT attention-layout variants on the real CLIP train step.
+
+Round-3 probe (VERDICT item 3b): the device profile attributes ~14% of the
+CLIP step to [B,T,H,D] q/k/v relayout copies.  This script measures the
+candidate layouts end-to-end on-chip with the exact bench.py methodology
+(scanned steps, donated state, scalar-fetch fencing).
+
+Usage: python scripts/bench_attn_layout.py [bthd qkv_fused bhtd]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import bench
+
+
+def run(layout: str) -> float:
+    """layout: a ViTConfig.attention_layout value, or "core_both" = the
+    Pallas attention core in BOTH towers."""
+    if layout == "core_both":
+        vis, clip = {"attention_layout": "pallas_core"}, {"text_attention_core": True}
+    elif layout == "bthd":
+        vis, clip = None, None
+    else:
+        vis, clip = {"attention_layout": layout}, None
+    state, batch, scan_steps = bench.build_clip(vision_overrides=vis, clip_overrides=clip)
+    t0 = time.time()
+    state, losses = scan_steps(state, batch)
+    warm = float(losses[-1])
+    print(f"[{layout}] compile+warmup {time.time() - t0:.1f}s loss={warm:.4f}",
+          file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(bench.REPEATS):
+        state, losses = scan_steps(state, batch)
+    final = float(losses[-1])
+    elapsed = time.time() - t0
+    ips = bench.BATCH * bench.INNER * bench.REPEATS / elapsed
+    print(f"[{layout}] imgs/s/chip={ips:.0f} loss={final:.4f}")
+    return ips
+
+
+if __name__ == "__main__":
+    layouts = sys.argv[1:] or ["bthd", "qkv_fused"]
+    results = {}
+    for layout in layouts:
+        results[layout] = run(layout)
+    base = results.get("bthd")
+    for layout, ips in results.items():
+        rel = f" ({100 * (ips / base - 1):+.1f}% vs bthd)" if base and layout != "bthd" else ""
+        print(f"{layout:12s} {ips:8.0f} imgs/s/chip{rel}")

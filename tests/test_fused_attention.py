@@ -140,10 +140,12 @@ def test_pad_tokens_get_zero_gradient(force_fused):
 
 
 @pytest.mark.parametrize("t", [50, 77])
-def test_bhtd_layout_matches_bthd(t):
-    """Head-major attention formulation == DenseGeneral token-major path."""
+@pytest.mark.parametrize("layout", ["bhtd", "qkv_fused", "pallas_core"])
+def test_alternate_layouts_match_bthd(t, layout):
+    """Head-major / stacked-QKV attention formulations == DenseGeneral
+    token-major path (same param tree, same math)."""
     cfg_ref = _cfg(False)
-    cfg_bhtd = dataclasses.replace(_cfg(False), attention_layout="bhtd")
+    cfg_bhtd = dataclasses.replace(_cfg(False), attention_layout=layout)
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(size=(3, t, cfg_ref.hidden_size)).astype(np.float32))
     block_ref, block_b = ViTBlock(cfg_ref), ViTBlock(cfg_bhtd)
@@ -162,3 +164,46 @@ def test_bhtd_layout_matches_bthd(t):
     ):
         assert pr == pb
         np.testing.assert_allclose(np.asarray(lb), np.asarray(lr), atol=5e-4, rtol=1e-3, err_msg=str(pr))
+
+
+def test_text_block_core_attention_matches_standard():
+    """CLIP text tower: Pallas-core path == DenseGeneral+bias path, including
+    per-sample key padding and the causal mask, fwd and param grads."""
+    from multimodal_concept_learning_tpu.models.clip import TextBlock
+    from multimodal_concept_learning_tpu.ops.attention import make_attention_bias
+
+    width, heads, t = 128, 4, 21
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(3, t, width)).astype(np.float32))
+    mask = np.ones((3, t), np.int32)
+    mask[1, 15:] = 0
+    mask[2, 5:] = 0
+    mask = jnp.asarray(mask)
+    bias = make_attention_bias(mask, causal=True, q_len=t, k_len=t)
+
+    ref_block = TextBlock(width, heads, jnp.float32)
+    core_block = TextBlock(width, heads, jnp.float32, use_core_attention=True)
+    params = ref_block.init(jax.random.key(0), x, bias)
+    assert jax.tree_util.tree_map(lambda a: a.shape,
+                                  core_block.init(jax.random.key(0), x, None, attention_mask=mask)) == \
+        jax.tree_util.tree_map(lambda a: a.shape, params)
+
+    y_ref = ref_block.apply(params, x, bias)
+    y_core = core_block.apply(params, x, None, attention_mask=mask)
+    # compare only valid rows: pad-query rows differ (uniform attention vs
+    # bias path) but are dropped by the EOT pooling / loss masking downstream
+    valid = np.asarray(mask, bool)
+    np.testing.assert_allclose(np.asarray(y_core)[valid], np.asarray(y_ref)[valid],
+                               atol=2e-5, rtol=1e-5)
+
+    cot = jnp.asarray(rng.normal(size=x.shape).astype(np.float32)) * mask[:, :, None]
+    g_ref = jax.grad(lambda p: jnp.sum(ref_block.apply(p, x, bias) * cot))(params)
+    g_core = jax.grad(lambda p: jnp.sum(
+        core_block.apply(p, x, None, attention_mask=mask) * cot))(params)
+    for (pr, lr), (pc, lc) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_core),
+    ):
+        assert pr == pc
+        np.testing.assert_allclose(np.asarray(lc), np.asarray(lr), atol=5e-4,
+                                   rtol=1e-3, err_msg=str(pr))
