@@ -175,7 +175,15 @@ class ContinuousEngine:
         assert 0 < len(requests) <= self.num_slots
         cfg = self.loaded.config
         tok = self.loaded.tokenizer
-        a = self.num_slots  # fixed-shape admission batch
+        # Bucketed admission width: the prefill program is compiled per
+        # power-of-two batch shape, so a 1-request admit pays a 1-wide vision
+        # prefill, not a num_slots-wide one.  (Round-3 serving simulation
+        # showed full-width admits throttle the continuous front's
+        # throughput: each freed slot re-paid the whole prefill.)
+        a = 1
+        while a < len(requests):
+            a *= 2
+        a = min(a, self.num_slots)
         img = np.zeros((a, 3, cfg.image_size, cfg.image_size), np.float32)
         ids = np.full((a, self.prompt_t), self.pad_id, np.int32)
         mask = np.zeros((a, self.prompt_t), np.int32)

@@ -1,0 +1,300 @@
+"""Discrete-event comparison of the two serving fronts (VERDICT r2 weak #6).
+
+On the dev tunnel every device call costs ~55 ms of dispatch latency, so the
+end-to-end burst bench measures the tunnel, not the scheduler
+(BASELINE.md).  This script separates the two: device-side per-program
+costs are calibrated ON-CHIP (--calibrate), then a discrete-event
+simulation replays streaming Poisson arrivals with heterogeneous generation
+lengths under any dispatch overhead — 1 ms (real TPU VM) or 55 ms (tunnel)
+— and reports sustained req/s and latency percentiles for both fronts:
+
+- whole-batch: collect up to B requests, one generate() call runs ALL
+  max_new tokens for the batch (ServingEngine semantics — fixed length,
+  late joiners wait for the next batch).
+- continuous: slot-level batching; admits are batched prefills into free
+  slots, every step advances all active slots steps_per_call tokens,
+  finished slots free immediately (ContinuousEngine semantics).
+
+Usage:
+  python scripts/bench_serve_sim.py --calibrate [--int8]   # on-chip costs
+  python scripts/bench_serve_sim.py [--t_admit1 .. --t_step ..]  # simulate
+"""
+
+from __future__ import annotations
+
+import argparse
+import heapq
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+# Device-cost defaults (seconds), overridable from --calibrate output.
+DEFAULTS = dict(
+    t_admit1=0.060,    # batched prefill, 1 request (vision tower dominates)
+    t_admit_per=0.015, # marginal cost per extra request in one admit call
+    t_step=0.0022,     # one decode call advancing all slots 1 token (bf16)
+    t_gen=0.135,       # whole-batch generate(): prefill + max_new decode steps
+)
+
+
+# ---------------------------------------------------------------------------
+# Simulation
+# ---------------------------------------------------------------------------
+
+
+def _arrivals(n, rate, max_new, rng):
+    """Poisson arrivals with heterogeneous generation lengths 4..max_new."""
+    times = np.cumsum(rng.exponential(1.0 / rate, size=n))
+    lengths = rng.integers(4, max_new + 1, size=n)
+    return times, lengths
+
+
+def sim_whole_batch(times, lengths, *, batch_size, dispatch, t_gen,
+                    max_wait=0.020):
+    """ServingEngine front: fixed-length generate over collected batches."""
+    n = len(times)
+    done = np.zeros(n)
+    free_at = 0.0
+    i = 0
+    while i < n:
+        # earliest the next batch can start: device free AND first request here
+        start = max(free_at, times[i])
+        # collect whatever arrived by then; if not full, wait up to max_wait
+        j = np.searchsorted(times, start, side="right")
+        if j - i < batch_size:
+            j = np.searchsorted(times, start + max_wait, side="right")
+        j = min(j, i + batch_size)
+        start = max(start, times[j - 1])
+        end = start + dispatch + t_gen
+        done[i:j] = end
+        free_at = end
+        i = j
+    return done - times
+
+
+def _bucket(k):
+    a = 1
+    while a < k:
+        a *= 2
+    return a
+
+
+def sim_continuous(times, lengths, *, num_slots, dispatch, t_admit,
+                   t_step, steps_per_call=1):
+    """ContinuousBatcher front: batched admits + slotwise chunked steps.
+
+    ``t_admit`` maps power-of-two admission widths to the bucketed prefill
+    cost (ContinuousEngine compiles one program per bucket)."""
+    n = len(times)
+    done = np.zeros(n)
+    slots = []  # list of [request_idx, tokens_remaining]
+    clock = 0.0
+    i = 0
+    while i < n or slots:
+        # admit as many waiting requests as there are free slots (one call)
+        free = num_slots - len(slots)
+        waiting = np.searchsorted(times, clock, side="right") - i
+        k = min(free, waiting)
+        if k == 0 and not slots:
+            clock = times[i]  # idle: jump to next arrival
+            continue
+        if k > 0:
+            clock += dispatch + t_admit[min(_bucket(k), num_slots)]
+            for r in range(i, i + k):
+                slots.append([r, int(lengths[r]) - 1])  # prefill emits 1 tok
+            i += k
+            # requests finishing on their first token
+            slots = [s for s in slots if s[1] > 0 or not _finish(s, clock, done)]
+        if not slots:
+            continue
+        clock += dispatch + t_step * steps_per_call
+        for s in slots:
+            s[1] -= steps_per_call
+        slots = [s for s in slots if s[1] > 0 or not _finish(s, clock, done)]
+    return done - times
+
+
+def _finish(slot, clock, done):
+    done[slot[0]] = clock
+    return True  # always drop from the active list
+
+
+def admit_costs(args):
+    """Per-bucket admit costs: --t_admit_list "w:cost,w:cost" (from
+    --calibrate) or the linear fallback t_admit1 + t_admit_per*(w-1)."""
+    if args.t_admit_list:
+        return {int(kv.split(":")[0]): float(kv.split(":")[1])
+                for kv in args.t_admit_list.split(",")}
+    w, out = 1, {}
+    while w <= args.slots:
+        out[w] = args.t_admit1 + args.t_admit_per * (w - 1)
+        w *= 2
+    return out
+
+
+def run_sim(args):
+    rng = np.random.default_rng(0)
+    rows = []
+    for dispatch in args.dispatch:
+        for rate in args.rates:
+            times, lengths = _arrivals(args.n, rate, args.max_new, rng)
+            lat_wb = sim_whole_batch(
+                times, lengths, batch_size=args.batch, dispatch=dispatch,
+                t_gen=args.t_gen)
+            lat_ct = sim_continuous(
+                times, lengths, num_slots=args.slots, dispatch=dispatch,
+                t_admit=admit_costs(args), t_step=args.t_step,
+                steps_per_call=args.steps_per_call)
+            for front, lat in (("whole-batch", lat_wb), ("continuous", lat_ct)):
+                span = (times + lat).max() - times.min()
+                rows.append(dict(
+                    dispatch_ms=dispatch * 1e3, offered_rps=rate, front=front,
+                    achieved_rps=round(len(times) / span, 1),
+                    p50_ms=round(float(np.percentile(lat, 50)) * 1e3, 1),
+                    p95_ms=round(float(np.percentile(lat, 95)) * 1e3, 1),
+                ))
+    print(f"{'disp':>6} {'offered':>8} {'front':>12} {'rps':>7} {'p50ms':>8} {'p95ms':>8}")
+    for r in rows:
+        print(f"{r['dispatch_ms']:6.0f} {r['offered_rps']:8.1f} {r['front']:>12} "
+              f"{r['achieved_rps']:7.1f} {r['p50_ms']:8.1f} {r['p95_ms']:8.1f}")
+    print(json.dumps(rows))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# On-chip calibration
+# ---------------------------------------------------------------------------
+
+
+def calibrate(args):
+    """Measure the per-program costs on the real chip with flagship weights.
+
+    Wall times include this link's dispatch latency; the dispatch itself is
+    measured with a trivial jitted scalar fetch and subtracted, leaving
+    device-side estimates to feed the simulation."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from multimodal_concept_learning_tpu.configs import MultimodalTrainingConfig
+    from multimodal_concept_learning_tpu.serve.continuous import ContinuousEngine
+    from multimodal_concept_learning_tpu.serve.engine import ServingEngine
+    from multimodal_concept_learning_tpu.serve.loader import LoadedMLLM
+    from multimodal_concept_learning_tpu.models import MLLM, MLLMConfig
+    from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer
+
+    rng = np.random.default_rng(0)
+
+    # dispatch latency of this link
+    trivial = jax.jit(lambda x: x + 1)
+    _ = float(trivial(jnp.float32(0)))
+    t0 = time.time()
+    reps = 20
+    for _ in range(reps):
+        _ = float(trivial(jnp.float32(0)))
+    dispatch = (time.time() - t0) / reps
+    print(f"[cal] dispatch latency: {dispatch * 1e3:.1f} ms", file=sys.stderr)
+
+    tokenizer = ConceptTokenizer()
+    tokenizer.add_tokens([f"<ood {i}>" for i in range(1, 91)])
+    config = MLLMConfig.create(
+        vocab_size=len(tokenizer), vision_preset="vit-b-16",
+        lm_preset="gemma3-1b", num_vision_tokens=197, image_size=224,
+    )
+    model = MLLM(config)
+    images = jnp.asarray(rng.normal(size=(1, 3, 224, 224)).astype(np.float32))
+    ids = jnp.zeros((1, 197 + 16), jnp.int32)
+    params = jax.jit(model.init)(jax.random.key(0), images, ids,
+                                 jnp.ones_like(ids))["params"]
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    if args.int8:
+        import dataclasses
+
+        from multimodal_concept_learning_tpu.ops.quant import quantize_mllm_params
+
+        params = quantize_mllm_params(params, config, vision=True, lm=True)
+        config = dataclasses.replace(
+            config,
+            lm=dataclasses.replace(config.lm, int8_weights=True),
+            vision=dataclasses.replace(config.vision, int8_weights=True),
+        )
+        model = MLLM(config)
+
+    tcfg = MultimodalTrainingConfig.from_params(
+        {"num_vision_tokens": 197, "image_size": 224})
+    loaded = LoadedMLLM(model=model, tokenizer=tokenizer, params=params,
+                        config=tcfg, labels_mapping={}, transform=None)
+
+    def timed(fn, reps=5):
+        fn()  # warmup/compile
+        t0 = time.time()
+        for _ in range(reps):
+            fn()
+        return (time.time() - t0) / reps
+
+    pimg = rng.normal(size=(3, 224, 224)).astype(np.float32)
+    prompt = "Is the color of the circle red?"
+
+    eng = ContinuousEngine(loaded, num_slots=args.slots,
+                          max_new_tokens=args.max_new, max_prompt_len=16,
+                          steps_per_call=args.steps_per_call)
+
+    admit_walls = {}
+    w = 1
+    while w <= args.slots:
+        admit_walls[w] = timed(lambda w=w: eng.admit_many(
+            [(s, pimg, prompt) for s in range(w)]))
+        w *= 2
+    active = np.ones(args.slots, bool)
+    wall_step = timed(lambda: eng.step(active))
+
+    serving = ServingEngine(loaded, batch_size=args.batch,
+                            max_new_tokens=args.max_new, max_prompt_len=16)
+    wall_gen = timed(lambda: serving.generate([pimg] * args.batch,
+                                              [prompt] * args.batch), reps=3)
+
+    t_admit = {w: max(t - dispatch, 1e-4) for w, t in admit_walls.items()}
+    out = dict(
+        dispatch=dispatch,
+        t_admit_list=",".join(f"{w}:{t:.4f}" for w, t in t_admit.items()),
+        t_step=max(wall_step - dispatch, 1e-4),
+        t_gen=max(wall_gen - dispatch, 1e-3),
+        slots=args.slots, batch=args.batch, max_new=args.max_new,
+        steps_per_call=args.steps_per_call, int8=args.int8,
+    )
+    print(json.dumps(out))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--calibrate", action="store_true")
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--max_new", type=int, default=32)
+    ap.add_argument("--steps_per_call", type=int, default=1)
+    ap.add_argument("--n", type=int, default=3000, help="simulated requests")
+    ap.add_argument("--rates", type=float, nargs="+",
+                    default=[10, 25, 50, 100, 200])
+    ap.add_argument("--dispatch", type=float, nargs="+", default=[0.001, 0.055])
+    ap.add_argument("--t_admit_list", type=str, default="",
+                    help="per-bucket admit costs 'w:sec,w:sec' from --calibrate")
+    for k, v in DEFAULTS.items():
+        ap.add_argument(f"--{k}", type=float, default=v)
+    args = ap.parse_args()
+    if args.calibrate:
+        calibrate(args)
+    else:
+        run_sim(args)
+
+
+if __name__ == "__main__":
+    main()
