@@ -1,0 +1,152 @@
+"""Speculative-decoding acceptance sweep (VERDICT r2 weak #4).
+
+Round 2 demonstrated full 16/16 acceptance only on a trivially predictable
+trained color checkpoint.  This script measures acceptance on workloads with
+entropy, sweeping draft_layers x draft_len:
+
+  --results_dir DIR   a trained checkpoint (e.g. an UNDERTRAINED many-class
+                      run whose generations are not yet deterministic)
+  --random            the flagship shape (ViT-B/16 + Gemma-3-1b arch) with
+                      random weights — maximum-entropy worst case
+
+Reported per config: acceptance rate = accepted draft tokens / proposed
+(= (tokens_per_full_call - 1) / (draft_len - 1)), full-model dispatches vs
+plain greedy, and wall time vs greedy_generate on the same link.  Output
+ends with one JSON line for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+
+from multimodal_concept_learning_tpu.models.mllm import greedy_generate  # noqa: E402
+from multimodal_concept_learning_tpu.models.speculative import (  # noqa: E402
+    speculative_generate,
+)
+
+
+def _flagship_random(batch):
+    from multimodal_concept_learning_tpu.models import MLLM, MLLMConfig
+    from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer
+
+    tokenizer = ConceptTokenizer()
+    tokenizer.add_tokens([f"<ood {i}>" for i in range(1, 91)])
+    config = MLLMConfig.create(
+        vocab_size=len(tokenizer), vision_preset="vit-b-16",
+        lm_preset="gemma3-1b", num_vision_tokens=197, image_size=224,
+    )
+    model = MLLM(config)
+    rng = np.random.default_rng(0)
+    nvt, text_len = 197, 16
+    images = jnp.asarray(rng.normal(size=(batch, 3, 224, 224)).astype(np.float32))
+    ids = np.zeros((batch, nvt + text_len), np.int32)
+    ids[:, nvt:] = rng.integers(4, len(tokenizer) - 91, size=(batch, text_len))
+    mask = np.ones_like(ids)
+    params = jax.jit(model.init)(jax.random.key(0), images, jnp.asarray(ids),
+                                 jnp.asarray(mask))["params"]
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    return model, params, images, jnp.asarray(ids), jnp.asarray(mask), None
+
+
+def _trained(results_dir, batch):
+    from multimodal_concept_learning_tpu.serve.loader import load_trained_mllm
+
+    loaded = load_trained_mllm(results_dir, verbose=False)
+    model, params, tok = loaded.model, loaded.params, loaded.tokenizer
+    cfg = loaded.config
+    nvt = cfg.num_vision_tokens
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(
+        rng.normal(size=(batch, 3, cfg.image_size, cfg.image_size)).astype(np.float32))
+    prompts = ["What is the color of the circle?"] * batch
+    plen = 16
+    ids = np.zeros((batch, nvt + plen), np.int32)
+    mask = np.zeros_like(ids)
+    mask[:, :nvt] = 1
+    for i, p in enumerate(prompts):
+        enc = tok.encode(p)[:plen]
+        ids[i, nvt:nvt + len(enc)] = enc
+        mask[i, :nvt + len(enc)] = 1
+    eos = getattr(tok, "eos_token_id", None)
+    return model, params, images, jnp.asarray(ids), jnp.asarray(mask), eos
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--results_dir", type=str, default=None)
+    ap.add_argument("--random", action="store_true")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--max_new", type=int, default=24)
+    ap.add_argument("--draft_layers", type=int, nargs="+", default=[1, 2, 4])
+    ap.add_argument("--draft_len", type=int, nargs="+", default=[4, 8])
+    args = ap.parse_args()
+
+    if args.random:
+        workload = "flagship-random"
+        model, params, images, ids, mask, eos = _flagship_random(args.batch)
+    else:
+        assert args.results_dir, "need --results_dir or --random"
+        workload = args.results_dir
+        model, params, images, ids, mask, eos = _trained(args.results_dir, args.batch)
+
+    # plain greedy reference: token-exactness anchor + wall-time baseline
+    t0 = time.time()
+    want = np.asarray(greedy_generate(model, params, images, ids, mask,
+                                      args.max_new, eos_id=eos))
+    print(f"[spec] greedy compile+run {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    want = np.asarray(greedy_generate(model, params, images, ids, mask,
+                                      args.max_new, eos_id=eos))
+    t_greedy = time.time() - t0
+    greedy_dispatches = args.max_new  # one full-model call per token
+
+    rows = []
+    for dl in args.draft_layers:
+        for g in args.draft_len:
+            t0 = time.time()
+            got, stats = speculative_generate(
+                model, params, images, ids, mask, args.max_new,
+                draft_layers=dl, draft_len=g, eos_id=eos, return_stats=True)
+            warm = time.time() - t0
+            t0 = time.time()
+            got, stats = speculative_generate(
+                model, params, images, ids, mask, args.max_new,
+                draft_layers=dl, draft_len=g, eos_id=eos, return_stats=True)
+            t_spec = time.time() - t0
+            got = np.asarray(got)
+            exact = bool((got == want).all())
+            tpfc = stats["tokens_per_full_call"]  # batch-aggregate
+            per_row = tpfc / args.batch  # committed tokens per call per row
+            acceptance = min(max((per_row - 1.0) / (g - 1), 0.0), 1.0)
+            rows.append(dict(
+                workload=workload, draft_layers=dl, draft_len=g,
+                acceptance=round(float(acceptance), 3),
+                tokens_per_row_call=round(float(per_row), 2),
+                full_calls=stats["full_model_calls"],
+                greedy_dispatches=greedy_dispatches,
+                dispatch_reduction=round(
+                    greedy_dispatches / max(1, stats["full_model_calls"]), 2),
+                wall_vs_greedy=round(t_spec / t_greedy, 2),
+                token_exact=exact,
+            ))
+            print(f"[spec] L={dl} g={g}: acceptance={acceptance:.1%} "
+                  f"tok/row/full-call={per_row:.2f} full_calls={stats['full_model_calls']} "
+                  f"(greedy {greedy_dispatches}) wall x{t_spec / t_greedy:.2f} "
+                  f"exact={exact} (warm {warm:.1f}s)")
+    print(json.dumps({"t_greedy_s": round(t_greedy, 2), "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
