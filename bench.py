@@ -27,6 +27,13 @@ documented estimates of the PyTorch reference stack on its actual hardware
 (RTX 3090, AMP): CLIP ViT-B/32 contrastive fwd+bwd ≈ 1000 images/sec/GPU;
 the MLLM shape ≈ 33 images/sec/GPU (≈0.7 TFLOP/img at 30-40% effective MFU
 of 71 bf16 TFLOPs).  Per-chip vs per-GPU.
+
+FEASIBILITY BOUND (CLIP metric): the measured step costs 5.57 TFLOP for 128
+image-text pairs = 43.5 GFLOP/pair, so even at a physically impossible 100%
+MFU one 197-TFLOPS v5e tops out at 4529 img/s = 4.53x the 1000-img/s GPU
+estimate — the >=5x north star is arithmetically unreachable for this
+workload on one chip by ANY optimization; it would require changing the
+workload (bigger model/batch mix) or >1 chip.  The MLLM metric is past 6x.
 """
 
 from __future__ import annotations
