@@ -1,0 +1,60 @@
+"""A/B the Pallas attention core on the MLLM's frozen vision tower.
+
+The MLLM train step is 91% matmul time (BASELINE.md), so the layout-copy
+headroom is far smaller than CLIP's — but the ViT-B/16 tower (197 tokens →
+pads to 208) still pays token-major→head-major relayouts in its forward.
+This script measures the full bench.py MLLM step with and without
+``attention_layout="pallas_core"`` on the tower.
+
+Usage: python scripts/bench_mllm_attn_core.py
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import bench
+
+
+def run(core: bool) -> float:
+    import multimodal_concept_learning_tpu.models.mllm as mllm_mod
+
+    orig = mllm_mod.MLLMConfig.create.__func__
+
+    if core:
+        def create_core(cls, *a, **kw):
+            cfg = orig(cls, *a, **kw)
+            return dataclasses.replace(
+                cfg, vision=dataclasses.replace(
+                    cfg.vision, attention_layout="pallas_core"))
+        mllm_mod.MLLMConfig.create = classmethod(create_core)
+    try:
+        state, batch, scan_steps = bench.build_mllm()
+    finally:
+        mllm_mod.MLLMConfig.create = classmethod(orig)
+
+    t0 = time.time()
+    state, losses = scan_steps(state, batch)
+    warm = float(losses[-1])
+    print(f"[mllm-{'core' if core else 'base'}] compile+warmup "
+          f"{time.time() - t0:.1f}s loss={warm:.4f}", file=sys.stderr)
+    t0 = time.time()
+    for _ in range(bench.MLLM_REPEATS):
+        state, losses = scan_steps(state, batch)
+    final = float(losses[-1])
+    elapsed = time.time() - t0
+    ips = bench.MLLM_BATCH * bench.INNER * bench.MLLM_REPEATS / elapsed
+    print(f"[mllm-{'core' if core else 'base'}] imgs/s/chip={ips:.1f} "
+          f"loss={final:.4f}")
+    return ips
+
+
+if __name__ == "__main__":
+    base = run(False)
+    core = run(True)
+    print(f"base {base:.1f} vs pallas_core tower {core:.1f} "
+          f"({100 * (core / base - 1):+.1f}%)")
