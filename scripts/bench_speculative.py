@@ -7,7 +7,14 @@ entropy, sweeping draft_layers x draft_len:
   --results_dir DIR   a trained checkpoint (e.g. an UNDERTRAINED many-class
                       run whose generations are not yet deterministic)
   --random            the flagship shape (ViT-B/16 + Gemma-3-1b arch) with
-                      random weights — maximum-entropy worst case
+                      random weights (--init_scale >1 scales the init)
+  --small_chaotic     6-layer small-LM MLLM at 4x init scale — the one regime
+                      measured to produce genuinely entropic greedy
+                      generations in this env (the deep qk-normed flagship is
+                      dynamically stable at ANY init scale: repeated-token
+                      fixed point; and every trained/undertrained checkpoint
+                      of the reference workload generates single-answer
+                      tokens + low-entropy continuations)
 
 Reported per config: acceptance rate = accepted draft tokens / proposed
 (= (tokens_per_full_call - 1) / (draft_len - 1)), full-model dispatches vs
@@ -37,7 +44,7 @@ from multimodal_concept_learning_tpu.models.speculative import (  # noqa: E402
 )
 
 
-def _flagship_random(batch):
+def _flagship_random(batch, init_scale=1.0):
     from multimodal_concept_learning_tpu.models import MLLM, MLLMConfig
     from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer
 
@@ -56,21 +63,66 @@ def _flagship_random(batch):
     mask = np.ones_like(ids)
     params = jax.jit(model.init)(jax.random.key(0), images, jnp.asarray(ids),
                                  jnp.asarray(mask))["params"]
-    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    # init_scale > 1 pushes the random network into a chaotic regime where
+    # greedy generations are genuinely entropic (scale 1 random inits
+    # converge to a repeated-token fixed point — measured: 1 unique token;
+    # at 4x, ~43 unique tokens with self-repetition 0.30 on the small probe)
+    params = jax.tree_util.tree_map(
+        lambda x: (x * init_scale).astype(jnp.bfloat16), params)
     return model, params, images, jnp.asarray(ids), jnp.asarray(mask), None
 
 
+def _small_chaotic(batch):
+    """6-layer 'small' MLLM at 4x init: 43 unique tokens / self-repetition
+    0.30 over a 16-token greedy probe (vs 1 unique token at 1x)."""
+    from multimodal_concept_learning_tpu.models import MLLM, MLLMConfig
+
+    config = MLLMConfig.create(vocab_size=512, vision_preset="vit-t-8",
+                               lm_preset="small", num_vision_tokens=17,
+                               image_size=32)
+    model = MLLM(config)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(batch, 3, 32, 32)).astype(np.float32))
+    ids = np.zeros((batch, 17 + 8), np.int32)
+    ids[:, 17:] = rng.integers(4, 500, size=(batch, 8))
+    mask = jnp.ones_like(jnp.asarray(ids))
+    params = model.init(jax.random.key(0), images, jnp.asarray(ids), mask)["params"]
+    params = jax.tree_util.tree_map(lambda x: x * 4.0, params)
+    return model, params, images, jnp.asarray(ids), mask, None
+
+
 def _trained(results_dir, batch):
+    """Load a trained checkpoint and REAL validation images of distinct
+    classes (random-noise inputs collapse every generation to one repeated
+    token — zero-entropy workload, measured)."""
+    import csv
+    import os
+
+    from PIL import Image
+
     from multimodal_concept_learning_tpu.serve.loader import load_trained_mllm
 
     loaded = load_trained_mllm(results_dir, verbose=False)
     model, params, tok = loaded.model, loaded.params, loaded.tokenizer
     cfg = loaded.config
     nvt = cfg.num_vision_tokens
-    rng = np.random.default_rng(1)
-    images = jnp.asarray(
-        rng.normal(size=(batch, 3, cfg.image_size, cfg.image_size)).astype(np.float32))
-    prompts = ["What is the color of the circle?"] * batch
+
+    mapping = cfg.mapping_path.replace("train_mapping", "val_mapping")
+    if not os.path.exists(mapping):
+        mapping = cfg.mapping_path
+    by_class = {}
+    with open(mapping) as f:
+        for row in csv.DictReader(f):
+            by_class.setdefault(row["class_name"], row["image_path"])
+    picks = list(by_class.values())
+    imgs = []
+    for i in range(batch):
+        path = os.path.join(cfg.image_root, picks[i % len(picks)])
+        imgs.append(np.asarray(loaded.transform(Image.open(path).convert("RGB")),
+                               np.float32))
+    images = jnp.asarray(np.stack(imgs))
+
+    prompts = ["What is the color of the circle? It is"] * batch
     plen = 16
     ids = np.zeros((batch, nvt + plen), np.int32)
     mask = np.zeros_like(ids)
@@ -87,15 +139,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--results_dir", type=str, default=None)
     ap.add_argument("--random", action="store_true")
+    ap.add_argument("--small_chaotic", action="store_true")
+    ap.add_argument("--init_scale", type=float, default=1.0,
+                    help="with --random: scale the init (>1 = chaotic regime)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--max_new", type=int, default=24)
     ap.add_argument("--draft_layers", type=int, nargs="+", default=[1, 2, 4])
     ap.add_argument("--draft_len", type=int, nargs="+", default=[4, 8])
     args = ap.parse_args()
 
-    if args.random:
-        workload = "flagship-random"
-        model, params, images, ids, mask, eos = _flagship_random(args.batch)
+    if args.small_chaotic:
+        workload = "small-mllm-chaotic-x4"
+        model, params, images, ids, mask, eos = _small_chaotic(args.batch)
+    elif args.random:
+        workload = f"flagship-random-x{args.init_scale:g}"
+        model, params, images, ids, mask, eos = _flagship_random(
+            args.batch, args.init_scale)
     else:
         assert args.results_dir, "need --results_dir or --random"
         workload = args.results_dir
