@@ -52,31 +52,13 @@ class CLIPConfig:
         text_heads: int = 8,
         context_length: int = 77,
         embed_dim: int = 512,
-        attention_layout: Optional[str] = None,
-        text_attention_core: Optional[bool] = None,
     ) -> "CLIPConfig":
         # tanh GELU in the image tower: the CLIP family is a framework
         # addition with no HF-ViT parity constraint (OpenAI CLIP itself uses
         # QuickGELU, not erf), and the erf backward costs 2.3% end-to-end on
         # v5e (BASELINE.md round-2 ablations).
-        #
-        # On TPU both towers default to the token-major Pallas attention
-        # core (+8.5% measured end-to-end, BASELINE.md round 3); elsewhere
-        # the XLA path stays default (the kernel would run interpreted).
-        if attention_layout is None or text_attention_core is None:
-            try:
-                import jax
-
-                on_tpu = jax.devices()[0].platform == "tpu"
-            except Exception:  # noqa: BLE001
-                on_tpu = False
-            if attention_layout is None:
-                attention_layout = "pallas_core" if on_tpu else "bthd"
-            if text_attention_core is None:
-                text_attention_core = on_tpu
         vision = dataclasses.replace(
-            ViTConfig.preset(vision_preset), image_size=image_size,
-            gelu_approximate=True, attention_layout=attention_layout,
+            ViTConfig.preset(vision_preset), image_size=image_size, gelu_approximate=True
         )
         return cls(
             vision=vision,
@@ -86,7 +68,6 @@ class CLIPConfig:
             text_heads=text_heads,
             context_length=context_length,
             embed_dim=embed_dim,
-            text_attention_core=text_attention_core,
         )
 
 
@@ -97,7 +78,7 @@ class TextBlock(nn.Module):
     use_core_attention: bool = False
 
     @nn.compact
-    def __call__(self, x, bias, attention_mask=None, t_real=None):
+    def __call__(self, x, bias, attention_mask=None):
         h = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x).astype(self.dtype)
         head_dim = self.width // self.heads
         if self.use_core_attention:
@@ -125,20 +106,10 @@ class TextBlock(nn.Module):
             ).astype(self.dtype)
             qkv = h @ wqkv + bqkv
             interpret = jax.devices()[0].platform != "tpu"
-            if t_real is not None:  # encoder pre-padded the token dim
-                from multimodal_concept_learning_tpu.ops.attention_core import (
-                    attention_core,
-                )
-
-                attn = attention_core(
-                    qkv, self.heads, t_real, causal=True,
-                    kv_mask=attention_mask, interpret=interpret,
-                )
-            else:
-                attn = attention_core_padded(
-                    qkv, self.heads, causal=True, kv_mask=attention_mask,
-                    interpret=interpret,
-                )
+            attn = attention_core_padded(
+                qkv, self.heads, causal=True, kv_mask=attention_mask,
+                interpret=interpret,
+            )
             a = attn @ ko.reshape(-1, w).astype(self.dtype) + bo.astype(self.dtype)
         else:
             proj = lambda name: nn.DenseGeneral(  # noqa: E731
@@ -172,23 +143,14 @@ class TextEncoder(nn.Module):
         pos = self.param("positional_embedding", nn.initializers.normal(0.01),
                          (cfg.context_length, cfg.text_width))
         x = x + pos[None, :t].astype(cfg.dtype)
-        t_real = None
         if cfg.text_attention_core:
             bias = None  # mask semantics live in the kernel (causal + kv_mask)
-            # pad the token dim once for the whole stack (see ViTEncoder)
-            t_pad = -(-t // 16) * 16
-            if t_pad != t:
-                x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
-            t_real = t
         else:
             bias = make_attention_bias(attention_mask, causal=True, q_len=t, k_len=t)
         for i in range(cfg.text_layers):
             x = TextBlock(cfg.text_width, cfg.text_heads, cfg.dtype,
                           use_core_attention=cfg.text_attention_core,
-                          name=f"block_{i}")(x, bias, attention_mask=attention_mask,
-                                             t_real=t_real)
-        if t_real is not None and x.shape[1] != t:
-            x = x[:, :t]
+                          name=f"block_{i}")(x, bias, attention_mask=attention_mask)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
         # Pool at the last valid token (CLIP pools at EOT).
         if attention_mask is not None:

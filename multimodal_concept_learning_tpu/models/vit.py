@@ -228,10 +228,7 @@ class ViTBlock(nn.Module):
     config: ViTConfig
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, t_real: Optional[int] = None):
-        """``t_real``: with the pallas_core layout, the number of REAL tokens
-        when ``x`` arrives pre-padded to the sublane tile (the encoder pads
-        once for the whole stack instead of each block paying pad+slice)."""
+    def __call__(self, x, deterministic: bool = True):
         cfg = self.config
         ln_dtype = jnp.float32 if cfg.ln_fp32_stats else cfg.dtype
         ln = lambda name: nn.LayerNorm(  # noqa: E731
@@ -281,17 +278,9 @@ class ViTBlock(nn.Module):
             ).astype(cfg.dtype)
             qkv = h @ wqkv + bqkv
             interpret = jax.devices()[0].platform != "tpu"
-            if t_real is not None:
-                from multimodal_concept_learning_tpu.ops.attention_core import (
-                    attention_core,
-                )
-
-                attn = attention_core(qkv, cfg.num_attention_heads, t_real,
-                                      interpret=interpret)
-            else:
-                attn = attention_core_padded(
-                    qkv, cfg.num_attention_heads, interpret=interpret
-                )
+            attn = attention_core_padded(
+                qkv, cfg.num_attention_heads, interpret=interpret
+            )
             out = attn @ ko.reshape(-1, H).astype(cfg.dtype) + bo.astype(cfg.dtype)
             x = x + out
         elif (
@@ -445,27 +434,9 @@ class ViTEncoder(nn.Module):
         x = x + pos.astype(cfg.dtype)
         x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
 
-        # With the Pallas attention core, pad the token dim to the sublane
-        # tile ONCE for the whole stack (each block otherwise pays its own
-        # pad+slice around the kernel; ~0.6 ms/step of pad ops in the CLIP
-        # profile).  Pad rows flow inertly through LN/MLP and are masked out
-        # of every softmax via t_real; CLS pooling reads row 0.
-        t_real = None
-        t = x.shape[1]
-        if cfg.attention_layout == "pallas_core" and not cfg.int8_weights \
-                and cfg.hidden_dropout_prob == 0 \
-                and cfg.attention_probs_dropout_prob == 0:
-            t_pad = -(-t // 16) * 16
-            if t_pad != t:
-                x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
-            t_real = t
-
         for i in range(cfg.num_hidden_layers):
-            x = ViTBlock(cfg, name=f"layer_{i}")(x, deterministic=deterministic,
-                                                 t_real=t_real)
+            x = ViTBlock(cfg, name=f"layer_{i}")(x, deterministic=deterministic)
 
-        if t_real is not None and x.shape[1] != t:
-            x = x[:, :t]
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layernorm")(x)
         return x
 

@@ -207,58 +207,3 @@ def test_text_block_core_attention_matches_standard():
         assert pr == pc
         np.testing.assert_allclose(np.asarray(lc), np.asarray(lr), atol=5e-4,
                                    rtol=1e-3, err_msg=str(pr))
-
-
-def test_encoder_prepadded_core_matches_standard():
-    """Full ViTEncoder with pallas_core (tokens pre-padded once for the
-    stack) == the standard encoder, output and grads."""
-    from multimodal_concept_learning_tpu.models.vit import ViTEncoder
-
-    cfg_ref = _cfg(False)  # 32px / patch 8 -> 17 tokens, pads to 32
-    cfg_core = dataclasses.replace(cfg_ref, attention_layout="pallas_core",
-                                   num_hidden_layers=2)
-    cfg_ref = dataclasses.replace(cfg_ref, num_hidden_layers=2)
-    rng = np.random.default_rng(11)
-    imgs = jnp.asarray(rng.normal(size=(2, 3, 32, 32)).astype(np.float32))
-    enc_ref, enc_core = ViTEncoder(cfg_ref), ViTEncoder(cfg_core)
-    params = enc_ref.init(jax.random.key(0), imgs)
-    y_ref = enc_ref.apply(params, imgs)
-    y_core = enc_core.apply(params, imgs)
-    assert y_core.shape == y_ref.shape
-    np.testing.assert_allclose(np.asarray(y_core), np.asarray(y_ref),
-                               atol=3e-5, rtol=1e-5)
-
-    cot = jnp.asarray(rng.normal(size=y_ref.shape).astype(np.float32))
-    g_ref = jax.grad(lambda p: jnp.sum(enc_ref.apply(p, imgs) * cot))(params)
-    g_core = jax.grad(lambda p: jnp.sum(enc_core.apply(p, imgs) * cot))(params)
-    for (pr, lr), (pc, lc) in zip(
-        jax.tree_util.tree_leaves_with_path(g_ref),
-        jax.tree_util.tree_leaves_with_path(g_core),
-    ):
-        assert pr == pc
-        np.testing.assert_allclose(np.asarray(lc), np.asarray(lr), atol=1e-3,
-                                   rtol=1e-3, err_msg=str(pr))
-
-
-def test_text_encoder_prepadded_core_matches_standard():
-    """Full TextEncoder with text_attention_core (pre-padded stack) == the
-    bias-path encoder on padded per-sample masks."""
-    from multimodal_concept_learning_tpu.models.clip import CLIPConfig, TextEncoder
-
-    vision = _cfg(False)
-    base = CLIPConfig(vision=vision, vocab_size=128, text_width=64,
-                      text_layers=2, text_heads=2, context_length=21,
-                      embed_dim=32, dtype=jnp.float32)
-    core = dataclasses.replace(base, text_attention_core=True)
-    rng = np.random.default_rng(12)
-    ids = jnp.asarray(rng.integers(1, 128, size=(3, 21)).astype(np.int32))
-    mask = np.ones((3, 21), np.int32)
-    mask[1, 15:] = 0
-    mask[2, 5:] = 0
-    mask = jnp.asarray(mask)
-    enc_ref, enc_core = TextEncoder(base), TextEncoder(core)
-    params = enc_ref.init(jax.random.key(0), ids, mask)
-    y_ref = enc_ref.apply(params, ids, mask)
-    y_core = enc_core.apply(params, ids, mask)
-    np.testing.assert_allclose(np.asarray(y_core), np.asarray(y_ref),
-                               atol=3e-5, rtol=1e-5)
