@@ -52,13 +52,31 @@ class CLIPConfig:
         text_heads: int = 8,
         context_length: int = 77,
         embed_dim: int = 512,
+        attention_layout: Optional[str] = None,
+        text_attention_core: Optional[bool] = None,
     ) -> "CLIPConfig":
         # tanh GELU in the image tower: the CLIP family is a framework
         # addition with no HF-ViT parity constraint (OpenAI CLIP itself uses
         # QuickGELU, not erf), and the erf backward costs 2.3% end-to-end on
         # v5e (BASELINE.md round-2 ablations).
+        #
+        # On TPU both towers default to the token-major Pallas attention
+        # core (+8.5% measured end-to-end, BASELINE.md round 3); elsewhere
+        # the XLA path stays default (the kernel would run interpreted).
+        if attention_layout is None or text_attention_core is None:
+            try:
+                import jax
+
+                on_tpu = jax.devices()[0].platform == "tpu"
+            except Exception:  # noqa: BLE001
+                on_tpu = False
+            if attention_layout is None:
+                attention_layout = "pallas_core" if on_tpu else "bthd"
+            if text_attention_core is None:
+                text_attention_core = on_tpu
         vision = dataclasses.replace(
-            ViTConfig.preset(vision_preset), image_size=image_size, gelu_approximate=True
+            ViTConfig.preset(vision_preset), image_size=image_size,
+            gelu_approximate=True, attention_layout=attention_layout,
         )
         return cls(
             vision=vision,
@@ -68,6 +86,7 @@ class CLIPConfig:
             text_heads=text_heads,
             context_length=context_length,
             embed_dim=embed_dim,
+            text_attention_core=text_attention_core,
         )
 
 
