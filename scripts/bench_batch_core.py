@@ -1,0 +1,45 @@
+"""CLIP batch sweep with the Pallas attention core (round 3).
+
+Round 2 found batch 128 optimal: 256+ triggered XLA auto-remat.  The
+attention core changed the activation calculus — the fp32 [B,H,T,T]
+probability tensors now live in kernel VMEM instead of HBM residuals (only
+packed qkv is saved for the custom VJP), so the remat threshold may have
+moved.  Re-sweep batch with the core as configured (TPU defaults).
+
+Usage: python scripts/bench_batch_core.py [128 192 256]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import bench
+
+
+def run(batch: int) -> float:
+    bench.BATCH = batch
+    state, b, scan_steps = bench.build_clip()
+    t0 = time.time()
+    state, losses = scan_steps(state, b)
+    warm = float(losses[-1])
+    print(f"[b{batch}] compile+warmup {time.time() - t0:.1f}s loss={warm:.4f}",
+          file=sys.stderr)
+    t0 = time.time()
+    for _ in range(bench.REPEATS):
+        state, losses = scan_steps(state, b)
+    final = float(losses[-1])
+    ips = batch * bench.INNER * bench.REPEATS / (time.time() - t0)
+    print(f"[b{batch}] imgs/s/chip={ips:.0f} loss={final:.4f}")
+    return ips
+
+
+if __name__ == "__main__":
+    batches = [int(x) for x in sys.argv[1:]] or [128, 192, 256]
+    results = {b: run(b) for b in batches}
+    base = results.get(128)
+    for b, ips in results.items():
+        rel = f" ({100 * (ips / base - 1):+.1f}% vs 128)" if base and b != 128 else ""
+        print(f"batch {b:4d}: {ips:8.0f} imgs/s/chip{rel}")

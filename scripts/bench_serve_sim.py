@@ -83,11 +83,14 @@ def _bucket(k):
 
 
 def sim_continuous(times, lengths, *, num_slots, dispatch, t_admit,
-                   t_step, steps_per_call=1):
+                   t_step, steps_per_call=1, admit_wait=0.0):
     """ContinuousBatcher front: batched admits + slotwise chunked steps.
 
     ``t_admit`` maps power-of-two admission widths to the bucketed prefill
-    cost (ContinuousEngine compiles one program per bucket)."""
+    cost (ContinuousEngine compiles one program per bucket).
+    ``admit_wait``: admission hysteresis — while decode can proceed, defer
+    admitting fewer requests than free slots until the oldest waiting
+    request has aged this long (batches prefills under load)."""
     n = len(times)
     done = np.zeros(n)
     slots = []  # list of [request_idx, tokens_remaining]
@@ -101,6 +104,9 @@ def sim_continuous(times, lengths, *, num_slots, dispatch, t_admit,
         if k == 0 and not slots:
             clock = times[i]  # idle: jump to next arrival
             continue
+        if 0 < k < free and slots and admit_wait > 0 \
+                and (clock - times[i]) < admit_wait:
+            k = 0  # hysteresis: keep decoding, let the admit group grow
         if k > 0:
             clock += dispatch + t_admit[min(_bucket(k), num_slots)]
             for r in range(i, i + k):
@@ -147,7 +153,8 @@ def run_sim(args):
             lat_ct = sim_continuous(
                 times, lengths, num_slots=args.slots, dispatch=dispatch,
                 t_admit=admit_costs(args), t_step=args.t_step,
-                steps_per_call=args.steps_per_call)
+                steps_per_call=args.steps_per_call,
+                admit_wait=args.admit_wait)
             for front, lat in (("whole-batch", lat_wb), ("continuous", lat_ct)):
                 span = (times + lat).max() - times.min()
                 rows.append(dict(
@@ -285,6 +292,8 @@ def main():
     ap.add_argument("--rates", type=float, nargs="+",
                     default=[10, 25, 50, 100, 200])
     ap.add_argument("--dispatch", type=float, nargs="+", default=[0.001, 0.055])
+    ap.add_argument("--admit_wait", type=float, default=0.0,
+                    help="continuous-front admission hysteresis (seconds)")
     ap.add_argument("--t_admit_list", type=str, default="",
                     help="per-bucket admit costs 'w:sec,w:sec' from --calibrate")
     for k, v in DEFAULTS.items():
