@@ -23,10 +23,10 @@ def run(layout: str) -> float:
     Pallas attention core in BOTH towers."""
     if layout == "core_both":
         vis, clip = {"attention_layout": "pallas_core"}, {"text_attention_core": True}
-    elif layout == "bthd":
-        vis, clip = None, None
     else:
-        vis, clip = {"attention_layout": layout}, None
+        # explicit override: CLIPConfig.create defaults to the Pallas core
+        # on TPU, so the baseline layouts must be forced
+        vis, clip = {"attention_layout": layout}, {"text_attention_core": False}
     state, batch, scan_steps = bench.build_clip(vision_overrides=vis, clip_overrides=clip)
     t0 = time.time()
     state, losses = scan_steps(state, batch)
