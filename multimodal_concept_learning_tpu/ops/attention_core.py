@@ -35,6 +35,7 @@ but zero gradient flows to them through the caller's slice to `[:, :T]`.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
+
+
+def _block_diag_default() -> bool:
+    """Merge the sample block into the score-matmul row/col dims?
+
+    The per-(sample, head) ``[T,T]`` tiles are latency-bound (BASELINE.md
+    round-3 profile: the kernels' many small dots underutilize the MXU), so
+    computing one ``[bblk*T, bblk*T]`` block-diagonal score tile per head —
+    4x waste FLOPs on an otherwise idle MXU, cross-sample entries masked —
+    can win.  Resolved per-call so benchmarks can A/B via the env knob.
+    """
+    return os.environ.get("MCL_ATTN_CORE_BD", "0") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -141,23 +154,123 @@ def _bwd_kernel(qkv_ref, kvm_ref, da_ref, dqkv_ref, *, heads, dh, t_real, causal
     dqkv_ref[:] = jnp.concatenate(parts_q + parts_k + parts_v, axis=-1)
 
 
-def _pick_bblk(batch: int, t_pad: int, hd3: int, budget_mib: int = 6) -> int:
-    """Largest per-program sample block under a VMEM working-set budget."""
+def _flat_mask(bblk, t_pad, t_real, causal, kvm_row):
+    """[R, R] bool valid-key mask for the sample-merged (block-diagonal)
+    formulation, R = bblk * t_pad.  Rows/cols index (sample, token) pairs;
+    cross-sample entries are invalid by construction.  ``kvm_row`` is the
+    already-flattened per-block key mask [1, R] (flattened outside the
+    kernel: Mosaic cannot reshape sublane data into lanes)."""
+    r = bblk * t_pad
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
+    tok_c = cols % t_pad
+    ok = (rows // t_pad == cols // t_pad) & (tok_c < t_real)
+    if causal:
+        ok &= tok_c <= rows % t_pad
+    if kvm_row is not None:
+        ok &= kvm_row != 0
+    return ok
+
+
+def _fwd_kernel_bd(qkv_ref, kvm_ref, out_ref, *, heads, dh, t_real, causal):
+    bblk, t_pad, hd3 = qkv_ref.shape
+    hd = hd3 // 3
+    flat = qkv_ref[:].reshape(bblk * t_pad, hd3)
+    cdt = flat.dtype
+    mask = _flat_mask(bblk, t_pad, t_real, causal, kvm_ref[0])
+    outs = []
+    for h in range(heads):
+        q = flat[:, h * dh:(h + 1) * dh]
+        k = flat[:, hd + h * dh:hd + (h + 1) * dh]
+        v = flat[:, 2 * hd + h * dh:2 * hd + (h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (dh ** -0.5)
+        s = jnp.where(mask, s, _NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(
+            jnp.dot(p.astype(cdt), v, preferred_element_type=jnp.float32).astype(cdt)
+        )
+    out_ref[:] = jnp.concatenate(outs, axis=-1).reshape(bblk, t_pad, hd)
+
+
+def _bwd_kernel_bd(qkv_ref, kvm_ref, da_ref, dqkv_ref, *, heads, dh, t_real,
+                   causal):
+    bblk, t_pad, hd3 = qkv_ref.shape
+    hd = hd3 // 3
+    flat = qkv_ref[:].reshape(bblk * t_pad, hd3)
+    da = da_ref[:].reshape(bblk * t_pad, hd)
+    cdt = flat.dtype
+    mask = _flat_mask(bblk, t_pad, t_real, causal, kvm_ref[0])
+    parts_q, parts_k, parts_v = [], [], []
+    for h in range(heads):
+        q = flat[:, h * dh:(h + 1) * dh]
+        k = flat[:, hd + h * dh:hd + (h + 1) * dh]
+        v = flat[:, 2 * hd + h * dh:2 * hd + (h + 1) * dh]
+        dah = da[:, h * dh:(h + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (dh ** -0.5)
+        s = jnp.where(mask, s, _NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        dp = jax.lax.dot_general(
+            dah, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds16 = (ds * dh ** -0.5).astype(cdt)
+        parts_q.append(
+            jnp.dot(ds16, k, preferred_element_type=jnp.float32).astype(cdt)
+        )
+        parts_k.append(
+            jax.lax.dot_general(
+                ds16, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)
+        )
+        parts_v.append(
+            jax.lax.dot_general(
+                p.astype(cdt), dah, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)
+        )
+    dqkv_ref[:] = jnp.concatenate(parts_q + parts_k + parts_v, axis=-1).reshape(
+        bblk, t_pad, hd3
+    )
+
+
+def _pick_bblk(batch: int, t_pad: int, io_feats: int, budget_mib: int = 6,
+               block_diag: bool = False) -> int:
+    """Largest per-program sample block under a VMEM working-set budget.
+
+    ``io_feats`` = summed trailing feature dims of every in/out operand, so
+    the forward kernel (qkv in, attn out) sizes independently of the backward
+    (qkv + dout in, dqkv out) instead of both paying the worst case.
+    """
+    forced = os.environ.get("MCL_ATTN_CORE_BBLK")
+    if forced:
+        return min(int(forced), batch)
     for bblk in (32, 16, 8, 4, 2, 1):
         if batch % bblk:
             continue
-        # qkv + out + dqkv in the compute dtype (2B) + fp32 score tiles
-        work = bblk * t_pad * hd3 * 2 * 3 + bblk * t_pad * t_pad * 4 * 2
+        # operands in the compute dtype (2B) + fp32 score tiles (block-
+        # diagonal formulation holds one [bblk*T, bblk*T] tile)
+        score = (bblk * t_pad) ** 2 if block_diag else bblk * t_pad * t_pad
+        work = bblk * t_pad * io_feats * 2 + score * 4 * 2
         if work < budget_mib * 1024 * 1024:
             return bblk
     return 1
 
 
 def _core_call(kernel_fn, qkv, extra, out_feats, heads, t_real, causal,
-               interpret):
+               interpret, block_diag=False):
     b, t_pad, hd3 = qkv.shape
     dh = (hd3 // 3) // heads
-    bblk = _pick_bblk(b, t_pad, hd3)
+    io_feats = hd3 + out_feats + sum(op.shape[-1] for op in extra)
+    bblk = _pick_bblk(b, t_pad, io_feats, block_diag=block_diag)
     kernel = functools.partial(
         kernel_fn, heads=heads, dh=dh, t_real=t_real, causal=causal
     )
@@ -165,10 +278,21 @@ def _core_call(kernel_fn, qkv, extra, out_feats, heads, t_real, causal,
         (bblk, t_pad, feats), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     # kvm rides as [B, 1, T_pad] so the trailing block dims equal the array
-    # dims (the TPU lowering requires (8,128)-divisible or full-dim blocks)
-    kvm_spec = pl.BlockSpec((bblk, 1, t_pad), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    # dims (the TPU lowering requires (8,128)-divisible or full-dim blocks).
+    # The block-diagonal kernels need the block's kvm flattened to one [1, R]
+    # lane row — done OUT here (XLA reshape) because Mosaic cannot move
+    # sublane data into lanes inside the kernel.
+    if block_diag:
+        # leading singleton keeps the last two block dims equal to the array
+        # dims (the TPU lowering's divisible-or-full requirement)
+        kvm_spec = pl.BlockSpec((1, 1, bblk * t_pad), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        adapt = lambda kvm: kvm.reshape(b // bblk, 1, bblk * t_pad)  # noqa: E731
+    else:
+        kvm_spec = pl.BlockSpec((bblk, 1, t_pad), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        adapt = lambda kvm: kvm  # noqa: E731
+    call = pl.pallas_call(
         kernel,
         grid=(b // bblk,),
         in_specs=[row(qkv.shape[-1]), kvm_spec]
@@ -177,24 +301,31 @@ def _core_call(kernel_fn, qkv, extra, out_feats, heads, t_real, causal,
         out_shape=jax.ShapeDtypeStruct((b, t_pad, out_feats), qkv.dtype),
         interpret=interpret,
     )
+    return lambda qkv_, kvm_, *extra_: call(qkv_, adapt(kvm_), *extra_)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _attention_core(qkv, kvm, heads: int, t_real: int, causal: bool,
-                    interpret: bool):
+                    interpret: bool, block_diag: bool):
     hd = qkv.shape[-1] // 3
-    return _core_call(_fwd_kernel, qkv, (), hd, heads, t_real, causal,
-                      interpret)(qkv, kvm)
+    fwd = _fwd_kernel_bd if block_diag else _fwd_kernel
+    return _core_call(fwd, qkv, (), hd, heads, t_real, causal,
+                      interpret, block_diag)(qkv, kvm)
 
 
-def _core_fwd(qkv, kvm, heads, t_real, causal, interpret):
-    return _attention_core(qkv, kvm, heads, t_real, causal, interpret), (qkv, kvm)
+def _core_fwd(qkv, kvm, heads, t_real, causal, interpret, block_diag):
+    return (
+        _attention_core(qkv, kvm, heads, t_real, causal, interpret, block_diag),
+        (qkv, kvm),
+    )
 
 
-def _core_bwd(heads, t_real, causal, interpret, res, d_out):
+def _core_bwd(heads, t_real, causal, interpret, block_diag, res, d_out):
     qkv, kvm = res
-    dqkv = _core_call(_bwd_kernel, qkv, (d_out.astype(qkv.dtype),),
-                      qkv.shape[-1], heads, t_real, causal, interpret)(
+    bwd = _bwd_kernel_bd if block_diag else _bwd_kernel
+    dqkv = _core_call(bwd, qkv, (d_out.astype(qkv.dtype),),
+                      qkv.shape[-1], heads, t_real, causal, interpret,
+                      block_diag)(
         qkv, kvm, d_out.astype(qkv.dtype)
     )
     return dqkv, np.zeros(kvm.shape, jax.dtypes.float0)
@@ -204,12 +335,13 @@ _attention_core.defvjp(_core_fwd, _core_bwd)
 
 
 def attention_core(qkv, heads: int, t_real: int, causal: bool = False,
-                   kv_mask=None, interpret: bool = False):
+                   kv_mask=None, interpret: bool = False, block_diag=None):
     """Packed token-major attention: qkv [B, T_pad, 3·H·D] → [B, T_pad, H·D].
 
     T_pad must be a sublane multiple (16 for bf16).  ``kv_mask`` [B, T_pad]
     (nonzero = valid key) masks per-sample padding; pass None when all of
-    ``[:t_real]`` is valid.
+    ``[:t_real]`` is valid.  ``block_diag`` selects the sample-merged score
+    formulation (None = env default, see ``_block_diag_default``).
     """
     b, t_pad, _ = qkv.shape
     if kv_mask is None:
@@ -218,15 +350,19 @@ def attention_core(qkv, heads: int, t_real: int, causal: bool = False,
         kvm = kv_mask.astype(jnp.int32)
         if kvm.shape[1] != t_pad:
             kvm = jnp.pad(kvm, ((0, 0), (0, t_pad - kvm.shape[1])))
-    return _attention_core(qkv, kvm[:, None, :], heads, t_real, causal, interpret)
+    if block_diag is None:
+        block_diag = _block_diag_default()
+    return _attention_core(qkv, kvm[:, None, :], heads, t_real, causal,
+                           interpret, bool(block_diag))
 
 
 def attention_core_padded(qkv, heads: int, causal: bool = False,
-                          kv_mask=None, interpret: bool = False):
+                          kv_mask=None, interpret: bool = False,
+                          block_diag=None):
     """Any-T wrapper: pads T to the sublane tile, runs the kernel, slices back."""
     b, t, hd3 = qkv.shape
     t_pad = _round_up(t, 16)
     if t_pad != t:
         qkv = jnp.pad(qkv, ((0, 0), (0, t_pad - t), (0, 0)))
-    out = attention_core(qkv, heads, t, causal, kv_mask, interpret)
+    out = attention_core(qkv, heads, t, causal, kv_mask, interpret, block_diag)
     return out[:, :t] if t_pad != t else out

@@ -1,0 +1,80 @@
+"""Standalone on-chip microbench of the token-major attention core.
+
+Isolates the kernel from the CLIP step to localize its cost (BASELINE.md
+round-3: the cores cost 9.4 ms/step = 17%).  Times fwd and fwd+bwd at the
+two CLIP tower shapes over a scan (carry-dependent inputs so XLA cannot
+LICM the body), for the candidate sample-block sizes.
+
+Usage: MCL_ATTN_CORE_BBLK=4 python scripts/bench_attn_core_micro.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+from multimodal_concept_learning_tpu.ops.attention_core import attention_core
+
+INNER = 50
+REPEATS = 4
+
+# (name, B, T_pad, heads, dh, causal) — CLIP image tower / text tower shapes
+SHAPES = [
+    ("image", 128, 64, 12, 64, False),
+    ("text", 128, 80, 8, 64, True),
+]
+
+
+def bench_one(name, b, t_pad, heads, dh, causal, mode):
+    hd3 = 3 * heads * dh
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.normal(size=(b, t_pad, hd3)).astype(np.float32) * 0.05,
+                      dtype=jnp.bfloat16)
+
+    if mode == "fwd":
+        def body(carry, _):
+            out = attention_core(carry, heads, t_pad - 14, causal)
+            # carry-dependence defeats LICM without changing magnitude
+            bump = jnp.concatenate([out, out, out], axis=-1) * 1e-30
+            return carry + bump.astype(carry.dtype), ()
+    else:
+        def step(x):
+            out = attention_core(x, heads, t_pad - 14, causal)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        grad = jax.grad(step)
+
+        def body(carry, _):
+            g = grad(carry)
+            return carry + (g * 1e-30).astype(carry.dtype), ()
+
+    @jax.jit
+    def run(x):
+        x, _ = jax.lax.scan(body, x, None, length=INNER)
+        return jnp.sum(x.astype(jnp.float32))
+
+    t0 = time.time()
+    float(run(qkv))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(REPEATS):
+        float(run(qkv))
+    per_call_ms = (time.time() - t0) / (REPEATS * INNER) * 1e3
+    print(f"[{name} {mode}] {per_call_ms:.3f} ms/call (compile {compile_s:.1f}s)")
+    return per_call_ms
+
+
+if __name__ == "__main__":
+    total = 0.0
+    for name, b, t, h, dh, causal in SHAPES:
+        for mode in ("fwd", "fwdbwd"):
+            total += bench_one(name, b, t, h, dh, causal, mode)
+    print(f"total (image+text, fwd + fwdbwd): {total:.3f} ms")

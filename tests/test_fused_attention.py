@@ -166,6 +166,48 @@ def test_alternate_layouts_match_bthd(t, layout):
         np.testing.assert_allclose(np.asarray(lb), np.asarray(lr), atol=5e-4, rtol=1e-3, err_msg=str(pr))
 
 
+@pytest.mark.parametrize(
+    "b,t,heads,dh,causal,use_mask",
+    [(8, 50, 12, 16, False, False), (4, 77, 8, 16, True, True),
+     (6, 21, 4, 32, True, True)],
+)
+def test_block_diag_core_matches_batched(b, t, heads, dh, causal, use_mask):
+    """Sample-merged (block-diagonal) score formulation == per-sample batched
+    tiles, fwd and input grads, incl. causal + per-sample key padding."""
+    from multimodal_concept_learning_tpu.ops.attention_core import (
+        attention_core_padded,
+    )
+
+    rng = np.random.default_rng(7)
+    hd = heads * dh
+    qkv = jnp.asarray(rng.normal(size=(b, t, 3 * hd)).astype(np.float32))
+    kvm = None
+    if use_mask:
+        m = np.ones((b, t), np.int32)
+        for i in range(b):
+            m[i, rng.integers(5, t):] = 0
+        kvm = jnp.asarray(m)
+
+    def run(block_diag):
+        return attention_core_padded(qkv, heads, causal, kvm, interpret=True,
+                                     block_diag=block_diag)
+
+    np.testing.assert_allclose(np.asarray(run(True)), np.asarray(run(False)),
+                               atol=2e-5, rtol=1e-5)
+
+    cot = jnp.asarray(rng.normal(size=(b, t, hd)).astype(np.float32))
+
+    def loss(x, block_diag):
+        out = attention_core_padded(x, heads, causal, kvm, interpret=True,
+                                    block_diag=block_diag)
+        return jnp.sum(out * cot)
+
+    g_ref = jax.grad(loss)(qkv, False)
+    g_bd = jax.grad(loss)(qkv, True)
+    np.testing.assert_allclose(np.asarray(g_bd), np.asarray(g_ref),
+                               atol=5e-4, rtol=1e-3)
+
+
 def test_text_block_core_attention_matches_standard():
     """CLIP text tower: Pallas-core path == DenseGeneral+bias path, including
     per-sample key padding and the causal mask, fwd and param grads."""
