@@ -1,0 +1,39 @@
+"""Re-sweep the CLIP batch size now that the attention core changed the
+activation-memory picture (round-2 finding "256+ triggers XLA auto-remat"
+predates the token-major kernel and its bblk-8 fwd blocks).
+
+Usage: python scripts/bench_clip_batch.py [128 192 256]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import bench
+
+
+def run(batch: int) -> float:
+    bench.BATCH = batch
+    state, b, scan_steps = bench.build_clip()
+    t0 = time.time()
+    state, losses = scan_steps(state, b)
+    float(losses[-1])
+    print(f"[batch {batch}] compile+warmup {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    for _ in range(bench.REPEATS):
+        state, losses = scan_steps(state, b)
+    float(losses[-1])
+    elapsed = time.time() - t0
+    ips = batch * bench.INNER * bench.REPEATS / elapsed
+    print(f"[batch {batch}] imgs/s/chip={ips:.0f}")
+    return ips
+
+
+if __name__ == "__main__":
+    batches = [int(a) for a in (sys.argv[1:] or ["128", "192", "256"])]
+    results = {b: run(b) for b in batches}
+    for b, ips in results.items():
+        print(f"batch {b:4d}: {ips:8.0f} imgs/s/chip")

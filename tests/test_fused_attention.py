@@ -166,6 +166,25 @@ def test_alternate_layouts_match_bthd(t, layout):
         np.testing.assert_allclose(np.asarray(lb), np.asarray(lr), atol=5e-4, rtol=1e-3, err_msg=str(pr))
 
 
+def test_pick_bblk_per_kernel_accounting(monkeypatch):
+    """The sample-block size is sized by each kernel's ACTUAL operands
+    (fwd = qkv+out, bwd = qkv+dout+dqkv), which is what admits the measured
+    +4.4% bblk-8/16 blocks (BASELINE.md round-3 continuation) while still
+    excluding the configurations that OOM on-chip (image bwd at 16)."""
+    from multimodal_concept_learning_tpu.ops.attention_core import _pick_bblk
+
+    monkeypatch.delenv("MCL_ATTN_CORE_BBLK", raising=False)
+    # CLIP image tower: B=128, T_pad=64, hd3=2304
+    assert _pick_bblk(128, 64, 2304 + 768) == 8          # fwd
+    assert _pick_bblk(128, 64, 2304 + 768 + 2304) == 8   # bwd (16 would OOM)
+    # CLIP text tower: B=128, T_pad=80, hd3=1536
+    assert _pick_bblk(128, 80, 1536 + 512) == 16         # fwd
+    assert _pick_bblk(128, 80, 1536 + 512 + 1536) == 8   # bwd
+    # env override wins (benchmark sweeps)
+    monkeypatch.setenv("MCL_ATTN_CORE_BBLK", "4")
+    assert _pick_bblk(128, 64, 2304 + 768) == 4
+
+
 @pytest.mark.parametrize(
     "b,t,heads,dh,causal,use_mask",
     [(8, 50, 12, 16, False, False), (4, 77, 8, 16, True, True),
