@@ -13,6 +13,11 @@ from multimodal_concept_learning_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from multimodal_concept_learning_tpu.parallel.multihost import (
+    dp_axes,
+    init_distributed,
+    make_hybrid_mesh,
+)
 from multimodal_concept_learning_tpu.parallel.optimizer import build_optimizer, cosine_epoch_schedule
 from multimodal_concept_learning_tpu.parallel.pipeline import (
     make_pipelined_hidden_states,
@@ -32,6 +37,9 @@ from multimodal_concept_learning_tpu.parallel.train_step import (
 
 __all__ = [
     "make_mesh",
+    "make_hybrid_mesh",
+    "dp_axes",
+    "init_distributed",
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",

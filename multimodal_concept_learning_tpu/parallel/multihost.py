@@ -1,0 +1,132 @@
+"""Multi-host / multi-slice scaling: ICI x DCN hybrid meshes.
+
+The reference never leaves one node (SURVEY.md C22: 8-way single-node DDP,
+`src/multimodal/multimodal_training.py:334-340`; every launch script is
+``-N 1``).  The TPU-native scaling story past a single slice is the
+hybrid-mesh recipe: a leading **``replica`` axis over slices riding DCN**
+carrying pure data parallelism (gradient all-reduce once per step — the
+only traffic slow DCN links can hide), while every bandwidth-hungry axis
+(TP / FSDP / PP / SP / EP, `sharding_rules.py`, `pipeline.py`,
+`ring_attention.py`, `ops/moe.py`) stays confined to the ICI mesh inside
+each slice.  XLA GSPMD splits the gradient psum into an in-slice ICI
+reduce + a cross-slice DCN all-reduce automatically once the mesh encodes
+the topology.
+
+Nothing else in the framework changes: the jitted train steps
+(`train_step.py`) are sharding-agnostic, ``shard_batch`` already accepts a
+tuple axis (``("replica", "data")``) for the combined DP dimension, and the
+TP/FSDP parameter rules never touch the ``replica`` axis (parameters are
+replicated across slices by construction — asserted in
+tests/test_multihost.py).
+
+On real multi-slice TPU the device grouping comes from
+``mesh_utils.create_hybrid_device_mesh`` (slice-aware placement); in
+single-slice or virtual-device environments the same mesh shape is built
+by contiguous grouping so the code path is testable anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+from jax.sharding import Mesh
+
+
+def init_distributed(**kwargs) -> bool:
+    """Initialize multi-process JAX (one process per host), if applicable.
+
+    Call once at trainer startup, before any other jax use.  On TPU pods /
+    multi-slice the coordinator, process count, and process id auto-detect
+    from the TPU metadata (``jax.distributed.initialize()`` with no args);
+    elsewhere pass ``coordinator_address``/``num_processes``/``process_id``.
+
+    Returns True when distributed init happened, False when this is a
+    single-process run (auto-detection found no cluster) — making it safe
+    to call unconditionally.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(**kwargs)
+        return True
+    except (ValueError, RuntimeError) as e:
+        # ValueError: no coordinator/cluster detected -> single process.
+        # RuntimeError: already initialized -> idempotent no-op.
+        if "already" in str(e).lower():
+            return True
+        return False
+
+
+def _slice_groups(devices) -> Optional[dict]:
+    """Group devices by their hardware slice, or None when the platform
+    doesn't report one (CPU, single-slice TPU)."""
+    groups: dict = {}
+    for d in devices:
+        idx = getattr(d, "slice_index", None)
+        if idx is None:
+            return None
+        groups.setdefault(idx, []).append(d)
+    return groups if len(groups) > 1 else None
+
+
+def make_hybrid_mesh(
+    ici_shape: Sequence[int],
+    axis_names: Sequence[str] = ("data", "model"),
+    num_slices: Optional[int] = None,
+    replica_axis: str = "replica",
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Mesh of shape ``(num_slices, *ici_shape)`` with axes
+    ``(replica_axis, *axis_names)``.
+
+    ``replica_axis`` strides across slices (DCN); the remaining axes tile
+    each slice's ICI torus.  When the runtime reports real slice indices
+    the grouping is topology-aware (each mesh row = one slice); otherwise
+    devices are grouped contiguously, which preserves the axis semantics
+    for virtual-device testing.
+    """
+    import jax
+
+    devices = list(devices if devices is not None else jax.devices())
+    per_slice = math.prod(ici_shape)
+    if num_slices is None:
+        num_slices = len(devices) // per_slice
+    want = num_slices * per_slice
+    if len(devices) < want:
+        raise ValueError(
+            f"hybrid mesh needs {num_slices}x{per_slice}={want} devices, "
+            f"have {len(devices)}"
+        )
+    if len(axis_names) != len(ici_shape):
+        raise ValueError(f"axis_names {axis_names} vs ici_shape {ici_shape}")
+
+    groups = _slice_groups(devices)
+    if groups is not None:
+        if len(groups) < num_slices or any(
+            len(g) < per_slice for g in list(groups.values())[:num_slices]
+        ):
+            raise ValueError(
+                f"hardware reports {len(groups)} slices of sizes "
+                f"{[len(g) for g in groups.values()]}; requested "
+                f"{num_slices} x {per_slice}"
+            )
+        rows = [
+            np.asarray(groups[idx][:per_slice]).reshape(ici_shape)
+            for idx in sorted(groups)[:num_slices]
+        ]
+        arr = np.stack(rows)
+    else:
+        arr = np.asarray(devices[:want]).reshape((num_slices, *ici_shape))
+    return Mesh(arr, axis_names=(replica_axis, *tuple(axis_names)))
+
+
+def dp_axes(mesh: Mesh, replica_axis: str = "replica",
+            data_axis: str = "data") -> Tuple[str, ...]:
+    """The combined data-parallel axis tuple for ``shard_batch``: the DCN
+    replica axis (when the mesh has one) plus the in-slice data axis."""
+    axes = tuple(a for a in (replica_axis, data_axis) if a in mesh.axis_names)
+    if not axes:
+        raise ValueError(f"mesh {mesh.axis_names} has no data-parallel axis")
+    return axes

@@ -1,0 +1,138 @@
+"""Multi-slice (ICI x DCN hybrid mesh) scaling paths.
+
+8 virtual CPU devices stand in for 2 slices x (2 data x 2 model): the
+``replica`` axis models DCN, the inner axes model the in-slice ICI torus.
+Semantics pinned here:
+  - the hybrid train step is numerically identical to single-device,
+  - parameters are NEVER sharded over the replica axis (pure DP across
+    DCN — the only traffic slow cross-slice links can hide),
+  - batches shard over the combined (replica, data) axes,
+  - init_distributed degrades to a no-op in single-process runs.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_concept_learning_tpu.models import LMConfig, MLLM, MLLMConfig, ViTConfig
+from multimodal_concept_learning_tpu.models.mllm import trainable_mask
+from multimodal_concept_learning_tpu.parallel import (
+    build_optimizer,
+    dp_axes,
+    init_distributed,
+    make_hybrid_mesh,
+    make_mesh,
+    shard_batch,
+)
+from multimodal_concept_learning_tpu.parallel.sharding_rules import (
+    mllm_param_spec,
+    shard_params,
+)
+from multimodal_concept_learning_tpu.parallel.train_step import (
+    TrainState,
+    make_mllm_train_step,
+)
+
+VOCAB = 256
+
+
+def tiny_mllm():
+    vision = ViTConfig(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                       num_attention_heads=4, patch_size=8, image_size=32,
+                       num_labels=0, dtype=jnp.float32)
+    lm = dataclasses.replace(LMConfig.preset("nano", vocab_size=VOCAB), dtype=jnp.float32)
+    return MLLMConfig(vision=vision, lm=lm, num_vision_tokens=17, max_answer_tokens=4,
+                      dtype=jnp.float32)
+
+
+def _batch(cfg, batch=8, text_len=16, seed=0):
+    rng = np.random.default_rng(seed)
+    nvt = cfg.num_vision_tokens
+    T = nvt + text_len
+    images = rng.normal(size=(batch, 3, 32, 32)).astype(np.float32)
+    input_ids = np.zeros((batch, T), dtype=np.int32)
+    input_ids[:, nvt:] = rng.integers(4, VOCAB - 4, size=(batch, text_len))
+    attention_mask = np.ones((batch, T), dtype=np.int32)
+    labels = np.full((batch, T), -100, dtype=np.int32)
+    labels[:, nvt + 5] = input_ids[:, nvt + 5]
+    return {"images": images, "input_ids": input_ids,
+            "attention_mask": attention_mask, "labels": labels}
+
+
+def test_hybrid_mesh_shape_and_axes(eight_devices):
+    mesh = make_hybrid_mesh((2, 2), ("data", "model"), num_slices=2,
+                            devices=eight_devices)
+    assert mesh.axis_names == ("replica", "data", "model")
+    assert dict(mesh.shape) == {"replica": 2, "data": 2, "model": 2}
+    assert dp_axes(mesh) == ("replica", "data")
+    # non-hybrid mesh: dp_axes degrades to the plain data axis
+    assert dp_axes(make_mesh(eight_devices)) == ("data",)
+
+
+def test_hybrid_mesh_device_count_error(eight_devices):
+    import pytest
+
+    with pytest.raises(ValueError, match="devices"):
+        make_hybrid_mesh((4, 2), ("data", "model"), num_slices=4,
+                         devices=eight_devices)
+
+
+def test_params_never_sharded_over_replica(eight_devices):
+    """TP + FSDP rules must keep parameters replicated across slices."""
+    cfg = tiny_mllm()
+    model = MLLM(cfg)
+    b = {k: jnp.asarray(v) for k, v in _batch(cfg).items()}
+    params = model.init(jax.random.key(0), b["images"], b["input_ids"],
+                        b["attention_mask"], b["labels"])["params"]
+    mesh = make_hybrid_mesh((2, 2), ("data", "model"), num_slices=2,
+                            devices=eight_devices)
+
+    def check(path, x):
+        spec = mllm_param_spec(path, x, mesh, fsdp_axis="data")
+        for dim in spec:
+            names = dim if isinstance(dim, tuple) else (dim,)
+            assert "replica" not in names, (path, spec)
+
+    jax.tree_util.tree_map_with_path(check, params)
+
+
+def test_hybrid_step_matches_single_device(eight_devices):
+    """One full train step on 2 slices x (2 dp x 2 tp) with FSDP inside the
+    slice == the single-device step (gradient psum split ICI+DCN by GSPMD)."""
+    cfg = tiny_mllm()
+    model = MLLM(cfg)
+    batch = _batch(cfg)
+    init = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.key(0), init["images"], init["input_ids"],
+                        init["attention_mask"], init["labels"])["params"]
+
+    mask = trainable_mask(params, "language_embed_only")
+    tx = build_optimizer(1e-2, weight_decay=1e-4, max_grad_norm=1.0,
+                         trainable_mask=mask)
+    step = make_mllm_train_step(model, tx)
+    clone = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
+
+    s1 = TrainState.create(clone(params), tx)
+    s1, m1 = step(s1, init, jax.random.key(1))
+
+    mesh = make_hybrid_mesh((2, 2), ("data", "model"), num_slices=2,
+                            devices=eight_devices)
+    sp = shard_params(clone(params), mesh, fsdp_axis="data")
+    sh = TrainState.create(sp, tx)
+    sb = shard_batch(batch, mesh, axis=dp_axes(mesh))
+    sh, mh = step(sh, sb, jax.random.key(1))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(mh["loss"]), rtol=1e-5)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(s1.params),
+        jax.tree_util.tree_leaves_with_path(sh.params),
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   err_msg=str(pa))
+
+
+def test_init_distributed_single_process_noop():
+    assert init_distributed() is False
