@@ -15,7 +15,9 @@ from multimodal_concept_learning_tpu.parallel.mesh import (
 )
 from multimodal_concept_learning_tpu.parallel.multihost import (
     dp_axes,
+    global_batch_from_local,
     init_distributed,
+    is_main_process,
     make_hybrid_mesh,
 )
 from multimodal_concept_learning_tpu.parallel.optimizer import build_optimizer, cosine_epoch_schedule
@@ -40,6 +42,8 @@ __all__ = [
     "make_hybrid_mesh",
     "dp_axes",
     "init_distributed",
+    "is_main_process",
+    "global_batch_from_local",
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",

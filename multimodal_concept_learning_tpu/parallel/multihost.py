@@ -130,3 +130,48 @@ def dp_axes(mesh: Mesh, replica_axis: str = "replica",
     if not axes:
         raise ValueError(f"mesh {mesh.axis_names} has no data-parallel axis")
     return axes
+
+
+def is_main_process() -> bool:
+    """True on the process that should own logging and host-side checkpoint
+    writes (the reference gates the same way via
+    ``accelerator.is_main_process``, multimodal_training.py:103-108)."""
+    import jax
+
+    return jax.process_index() == 0
+
+
+def global_batch_from_local(local_batch: dict, mesh: Mesh, axis=None) -> dict:
+    """Assemble a globally-sharded device batch from per-process host shards.
+
+    Multi-host input pipeline: each process loads only its 1/num_processes
+    slice of the global batch (its DataLoader shard) and passes it here; the
+    result is a tree of global ``jax.Array``s sharded over the data-parallel
+    ``axis`` (default ``dp_axes(mesh)``) with every shard backed by the
+    process that loaded it — no cross-host data movement.  Non-batch leaves
+    (e.g. the uint8 pipeline's ``norm_mean``/``norm_std``) must be identical
+    on every process and come back replicated.
+
+    Single-process, this is exactly ``shard_batch``.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_concept_learning_tpu.parallel.mesh import batch_sharding
+
+    if axis is None:
+        axis = dp_axes(mesh)
+    sharding = batch_sharding(mesh, axis)
+    names = axis if isinstance(axis, tuple) else (axis,)
+    shards = int(np.prod([mesh.shape[n] for n in names]))
+    nproc = jax.process_count()
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and (x.shape[0] * nproc) % shards == 0 and x.shape[0] > 0:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P()), x
+        )
+
+    return jax.tree_util.tree_map(put, local_batch)

@@ -38,7 +38,12 @@ from multimodal_concept_learning_tpu.data import (
 from multimodal_concept_learning_tpu.data.clip_collator import ClipCollator
 from multimodal_concept_learning_tpu.models import CLIPConfig, CLIPModel
 from multimodal_concept_learning_tpu.models.clip import contrastive_loss
-from multimodal_concept_learning_tpu.parallel import batch_sharding, build_optimizer
+from multimodal_concept_learning_tpu.parallel import (
+    batch_sharding,
+    build_optimizer,
+    init_distributed,
+    is_main_process,
+)
 from multimodal_concept_learning_tpu.parallel.optimizer import linear_warmup_schedule
 from multimodal_concept_learning_tpu.parallel.train_step import TrainState
 from multimodal_concept_learning_tpu.tokenizer import load_tokenizer
@@ -110,7 +115,7 @@ def run_training(model, tokenizer, train_loader, config: ContrastiveTrainingConf
     skip_batches = int(meta.get("skip_batches", 0) or 0)
 
     logger = MetricsLogger(
-        enabled=True, use_wandb=config.use_wandb, wandb_project=config.wandb_project,
+        enabled=is_main_process(), use_wandb=config.use_wandb, wandb_project=config.wandb_project,
         wandb_run_name=config.wandb_run_name or config.run_name, wandb_config=vars(config),
     )
 
@@ -188,6 +193,14 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_path", type=str, required=True)
     args = parser.parse_args(argv)
+
+    # Multi-host bring-up (no-op single-process): one jax process per host
+    # joins the cluster before any backend/device use; logging and host-side
+    # checkpoint writes then gate on the main process, mirroring the
+    # reference's accelerator.is_main_process (multimodal_training.py:103).
+    if init_distributed():
+        import jax as _jax
+        print(f"distributed: process {_jax.process_index()}/{_jax.process_count()}")
 
     with open(args.config_path) as f:
         config = ContrastiveTrainingConfig.from_params(yaml.safe_load(f))

@@ -56,6 +56,8 @@ from multimodal_concept_learning_tpu.models.mllm import (
     trainable_mask,
 )
 from multimodal_concept_learning_tpu.parallel import (
+    init_distributed,
+    is_main_process,
     batch_sharding,
     build_optimizer,
     make_mllm_eval_step,
@@ -239,15 +241,17 @@ def run_training(
 
     patch = model.config.vision.patch_size
 
-    # Save initial model + tokenizer before training (parity :103-108)
-    save_torch_state_dict(
-        mllm_params_to_torch(jax.device_get(state.params), patch_size=patch),
-        os.path.join(models_dir, "initial_model.pt"),
-    )
-    tokenizer.save_pretrained(os.path.join(models_dir, "tokenizer"))
+    # Save initial model + tokenizer before training (parity :103-108;
+    # main process only, like the reference's rank-0 gating)
+    if is_main_process():
+        save_torch_state_dict(
+            mllm_params_to_torch(jax.device_get(state.params), patch_size=patch),
+            os.path.join(models_dir, "initial_model.pt"),
+        )
+        tokenizer.save_pretrained(os.path.join(models_dir, "tokenizer"))
 
     logger = MetricsLogger(
-        enabled=True,
+        enabled=is_main_process(),
         use_wandb=config.use_wandb,
         wandb_project=config.wandb_project,
         wandb_run_name=config.wandb_run_name or config.run_name,
@@ -311,7 +315,7 @@ def run_training(
         is_best = val_loss < best_loss
         if is_best:
             best_loss = val_loss
-        if is_best or config.save_every_epoch:
+        if (is_best or config.save_every_epoch) and is_main_process():
             host_sd = mllm_params_to_torch(jax.device_get(state.params), patch_size=patch)
             if is_best:
                 save_torch_state_dict(host_sd, os.path.join(models_dir, "best_model.pt"))
@@ -368,6 +372,14 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_path", type=str, required=True)
     args = parser.parse_args(argv)
+
+    # Multi-host bring-up (no-op single-process): one jax process per host
+    # joins the cluster before any backend/device use; logging and host-side
+    # checkpoint writes then gate on the main process, mirroring the
+    # reference's accelerator.is_main_process (multimodal_training.py:103).
+    if init_distributed():
+        import jax as _jax
+        print(f"distributed: process {_jax.process_index()}/{_jax.process_count()}")
 
     with open(args.config_path, "r") as f:
         config = MultimodalTrainingConfig.from_params(yaml.safe_load(f))

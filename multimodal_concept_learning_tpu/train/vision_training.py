@@ -39,6 +39,8 @@ from multimodal_concept_learning_tpu.data import (
 )
 from multimodal_concept_learning_tpu.models import ViTConfig, ViTForImageClassification
 from multimodal_concept_learning_tpu.parallel import (
+    init_distributed,
+    is_main_process,
     batch_sharding,
     build_optimizer,
     cosine_epoch_schedule,
@@ -116,7 +118,7 @@ def run_training(model, train_loader, val_loader, config: VisionTrainingConfig, 
     eval_step = make_classifier_eval_step(model, config.label_smoothing)
 
     logger = MetricsLogger(
-        enabled=True,
+        enabled=is_main_process(),
         use_wandb=not config.disable_wandb,
         wandb_project=config.wandb_project,
         wandb_run_name=config.wandb_run_name,
@@ -167,10 +169,11 @@ def run_training(model, train_loader, val_loader, config: VisionTrainingConfig, 
 
         if val_loss < best_loss:
             best_loss = val_loss
-            save_torch_state_dict(
-                vit_classifier_params_to_torch(jax.device_get(state.params), config.patch_size),
-                os.path.join(models_dir, "best_model.pt"),
-            )
+            if is_main_process():
+                save_torch_state_dict(
+                    vit_classifier_params_to_torch(jax.device_get(state.params), config.patch_size),
+                    os.path.join(models_dir, "best_model.pt"),
+                )
 
         metrics = {
             "epoch": epoch + 1,
@@ -187,10 +190,11 @@ def run_training(model, train_loader, val_loader, config: VisionTrainingConfig, 
     resume.finalize()
 
     print(f"Best val loss: {best_loss:.4f}")
-    save_torch_state_dict(
-        vit_classifier_params_to_torch(jax.device_get(state.params), config.patch_size),
-        os.path.join(models_dir, "final_model.pt"),
-    )
+    if is_main_process():
+        save_torch_state_dict(
+            vit_classifier_params_to_torch(jax.device_get(state.params), config.patch_size),
+            os.path.join(models_dir, "final_model.pt"),
+        )
     logger.finish()
     return state
 
@@ -209,6 +213,14 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_path", type=str, required=True)
     args = parser.parse_args(argv)
+
+    # Multi-host bring-up (no-op single-process): one jax process per host
+    # joins the cluster before any backend/device use; logging and host-side
+    # checkpoint writes then gate on the main process, mirroring the
+    # reference's accelerator.is_main_process (multimodal_training.py:103).
+    if init_distributed():
+        import jax as _jax
+        print(f"distributed: process {_jax.process_index()}/{_jax.process_count()}")
 
     with open(args.config_path, "r") as f:
         config = VisionTrainingConfig.from_params(yaml.safe_load(f))

@@ -136,3 +136,19 @@ def test_hybrid_step_matches_single_device(eight_devices):
 
 def test_init_distributed_single_process_noop():
     assert init_distributed() is False
+
+
+def test_global_batch_from_local_single_process(eight_devices):
+    """Single-process, the multi-host batch assembler == shard_batch (incl.
+    replication of non-batch leaves like the uint8 pipeline's norm consts)."""
+    from multimodal_concept_learning_tpu.parallel import global_batch_from_local
+
+    mesh = make_hybrid_mesh((2, 2), ("data", "model"), num_slices=2,
+                            devices=eight_devices)
+    batch = {"x": np.arange(32, dtype=np.float32).reshape(8, 4),
+             "norm_mean": np.asarray([0.5, 0.5, 0.5], np.float32)}
+    got = global_batch_from_local(batch, mesh)
+    want = shard_batch(batch, mesh, axis=dp_axes(mesh))
+    for k in batch:
+        assert got[k].sharding == want[k].sharding, k
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
