@@ -20,7 +20,11 @@ token-major so the o-projection consumes it without a relayout.
 Differences from the round-2 fused-sublayer kernel
 (ops/fused_attention_block.py, measured −6%): no weights inside the kernel
 (nothing refetched per grid step) and per-sample `[T,T]` score tiles batched
-over the block (no flattened `[R,R]` block-diagonal waste).
+over the block.  An optional sample-merged block-diagonal formulation
+(`MCL_ATTN_CORE_BD=1`, `_fwd_kernel_bd`/`_bwd_kernel_bd`) trades 4× extra
+masked-softmax work for fewer, larger score matmuls — measured −3.6%
+end-to-end (BASELINE.md), confirming the kernel is VPU(softmax)-bound, not
+MXU-issue-bound; kept for shape regimes where that balance flips.
 
 Backward is the mirror kernel: recompute the probabilities from the saved
 qkv (cheap at these T), emit dqkv token-major; all dW/dx matmuls stay in
