@@ -48,6 +48,13 @@ class BatchLoader:
         by repeating samples and flagged via the ``valid`` mask (eval).
       num_workers: loader threads for image decode + transform.
       seed: base seed for the per-epoch shuffles.
+      process_shard: optional ``(rank, num_processes)`` for multi-host runs —
+        every process applies the SAME seeded epoch shuffle, forms global
+        batches of ``batch_size * num_processes`` rows, and yields only its
+        own contiguous ``batch_size``-row stripe (the reference's
+        DistributedSampler semantics; pairs with
+        ``parallel.global_batch_from_local`` /
+        ``prefetch_to_device`` which reassemble the global sharded batch).
     """
 
     def __init__(
@@ -61,6 +68,7 @@ class BatchLoader:
         seed: int = 0,
         prefetch_batches: int = 2,
         uint8_images: bool = False,
+        process_shard=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -71,13 +79,23 @@ class BatchLoader:
         self.seed = seed
         self.prefetch_batches = prefetch_batches
         self.uint8_images = uint8_images
+        if process_shard is not None:
+            rank, nproc = process_shard
+            if not (0 <= rank < nproc):
+                raise ValueError(f"process_shard rank {rank} not in [0, {nproc})")
+        self.process_shard = process_shard
         self._epoch = 0
 
     def __len__(self):
         n = len(self.dataset)
+        gbs = self._global_batch_size()
         if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+            return n // gbs
+        return -(-n // gbs)
+
+    def _global_batch_size(self):
+        nproc = self.process_shard[1] if self.process_shard else 1
+        return self.batch_size * nproc
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
@@ -86,22 +104,29 @@ class BatchLoader:
         n = len(self.dataset)
         indices = np.arange(n)
         if self.shuffle:
+            # process_shard: the shuffle is identical on every process (same
+            # seed/epoch), so the per-rank stripes partition each global batch
             rng = np.random.Generator(np.random.PCG64([self.seed, self._epoch]))
             rng.shuffle(indices)
+        gbs = self._global_batch_size()
         batches = []
-        for start in range(0, n, self.batch_size):
-            chunk = indices[start : start + self.batch_size]
-            if len(chunk) < self.batch_size:
+        for start in range(0, n, gbs):
+            chunk = indices[start : start + gbs]
+            if len(chunk) < gbs:
                 if self.drop_last:
                     break
                 # Pad by wrapping; padded entries are masked via `valid`.
-                pad = np.resize(indices, self.batch_size - len(chunk))
+                pad = np.resize(indices, gbs - len(chunk))
                 valid = np.concatenate(
                     [np.ones(len(chunk), bool), np.zeros(len(pad), bool)]
                 )
                 chunk = np.concatenate([chunk, pad])
             else:
-                valid = np.ones(self.batch_size, bool)
+                valid = np.ones(gbs, bool)
+            if self.process_shard is not None:
+                rank, _ = self.process_shard
+                sl = slice(rank * self.batch_size, (rank + 1) * self.batch_size)
+                chunk, valid = chunk[sl], valid[sl]
             batches.append((chunk, valid))
         return batches
 
@@ -176,6 +201,32 @@ def prefetch_to_device(iterator, sharding=None, size: int = 2):
         from jax.sharding import NamedSharding
 
         if isinstance(sharding, NamedSharding):
+            if jax.process_count() > 1:
+                # Multi-host: this process's batch is its LOCAL stripe (the
+                # loader's process_shard), so assemble global arrays from
+                # per-process data instead of device_put onto devices this
+                # process cannot address.
+                import numpy as _np
+                from jax.sharding import PartitionSpec as _P
+
+                from multimodal_concept_learning_tpu.parallel.mesh import (
+                    is_batch_leaf,
+                )
+
+                spec0 = sharding.spec[0] if len(sharding.spec) else None
+                names = (spec0 if isinstance(spec0, tuple)
+                         else (spec0,) if spec0 else ())
+                shards = int(_np.prod([sharding.mesh.shape[n] for n in names])) \
+                    if names else 1
+                nproc = jax.process_count()
+                repl = NamedSharding(sharding.mesh, _P())
+                return jax.tree_util.tree_map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        sharding if is_batch_leaf(x, shards, nproc) else repl,
+                        _np.asarray(x),
+                    ),
+                    batch,
+                )
             # Per-leaf placement: batch-shaped leaves get the batch sharding,
             # scalar/constant leaves (norm_mean/norm_std, …) are replicated so
             # multi-device meshes don't choke on non-divisible leading dims.

@@ -256,7 +256,11 @@ def _pick_bblk(batch: int, t_pad: int, io_feats: int, budget_mib: int = 6,
     """
     forced = os.environ.get("MCL_ATTN_CORE_BBLK")
     if forced:
-        return min(int(forced), batch)
+        f = min(int(forced), batch)
+        # a non-dividing override would leave grid-floor rows unwritten —
+        # fall through to the auto search instead of computing garbage
+        if f > 0 and batch % f == 0:
+            return f
     for bblk in (32, 16, 8, 4, 2, 1):
         if batch % bblk:
             continue

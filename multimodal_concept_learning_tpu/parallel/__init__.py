@@ -16,6 +16,7 @@ from multimodal_concept_learning_tpu.parallel.mesh import (
 from multimodal_concept_learning_tpu.parallel.multihost import (
     dp_axes,
     global_batch_from_local,
+    host_fetchable,
     init_distributed,
     is_main_process,
     make_hybrid_mesh,
@@ -43,6 +44,7 @@ __all__ = [
     "dp_axes",
     "init_distributed",
     "is_main_process",
+    "host_fetchable",
     "global_batch_from_local",
     "batch_sharding",
     "replicated_sharding",

@@ -40,6 +40,23 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def is_batch_leaf(leaf, shards: int, global_rows_factor: int = 1) -> bool:
+    """Shared shard-or-replicate policy for host batches: a leaf takes the
+    batch sharding iff its (global) leading dim divides the shard count.
+
+    ``global_rows_factor`` scales the local leading dim up to the global one
+    (``jax.process_count()`` in the multi-host assembler, 1 otherwise) so
+    single- and multi-process paths apply one policy (multihost.py reuses
+    this — keep them from drifting).
+    """
+    rows = getattr(leaf, "shape", ())[:1]
+    return (
+        getattr(leaf, "ndim", 0) >= 1
+        and rows[0] > 0
+        and (rows[0] * global_rows_factor) % shards == 0
+    )
+
+
 def leaf_sharding(leaf, sharding: NamedSharding) -> NamedSharding:
     """Per-leaf placement for a host batch: shard the leading axis when the
     leaf actually has a divisible batch dimension, replicate otherwise.
@@ -54,7 +71,7 @@ def leaf_sharding(leaf, sharding: NamedSharding) -> NamedSharding:
         return sharding
     names = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
     shards = int(np.prod([sharding.mesh.shape[n] for n in names]))
-    if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] % shards == 0:
+    if is_batch_leaf(leaf, shards):
         return sharding
     return NamedSharding(sharding.mesh, P())
 

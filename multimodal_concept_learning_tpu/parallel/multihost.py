@@ -42,20 +42,32 @@ def init_distributed(**kwargs) -> bool:
     from the TPU metadata (``jax.distributed.initialize()`` with no args);
     elsewhere pass ``coordinator_address``/``num_processes``/``process_id``.
 
-    Returns True when distributed init happened, False when this is a
-    single-process run (auto-detection found no cluster) — making it safe
-    to call unconditionally.
+    Returns True when distributed init happened (or had already happened),
+    False when this is a single-process run (auto-detection found no
+    cluster) — making it safe to call unconditionally.  When arguments ARE
+    passed, distributed mode was explicitly requested and any bring-up
+    failure propagates loudly: silently degrading to eight independent
+    "main" processes that clobber each other's checkpoints is far worse
+    than crashing.
     """
     import jax
 
     try:
         jax.distributed.initialize(**kwargs)
         return True
-    except (ValueError, RuntimeError) as e:
-        # ValueError: no coordinator/cluster detected -> single process.
-        # RuntimeError: already initialized -> idempotent no-op.
-        if "already" in str(e).lower():
+    except RuntimeError as e:
+        # jax raises RuntimeError('distributed.initialize should only be
+        # called once.') on repeat calls — idempotent success, not failure.
+        if "once" in str(e).lower() or "already" in str(e).lower():
             return True
+        if kwargs:
+            raise
+        return False
+    except ValueError:
+        # No coordinator/cluster detected. With explicit kwargs that is a
+        # misconfiguration; without, it's a normal single-process run.
+        if kwargs:
+            raise
         return False
 
 
@@ -104,19 +116,32 @@ def make_hybrid_mesh(
 
     groups = _slice_groups(devices)
     if groups is not None:
-        if len(groups) < num_slices or any(
-            len(g) < per_slice for g in list(groups.values())[:num_slices]
-        ):
+        # validate exactly the slices construction will use (sorted order)
+        use = sorted(groups)[:num_slices]
+        if len(groups) < num_slices or any(len(groups[i]) < per_slice for i in use):
             raise ValueError(
                 f"hardware reports {len(groups)} slices of sizes "
-                f"{[len(g) for g in groups.values()]}; requested "
+                f"{ {i: len(groups[i]) for i in sorted(groups)} }; requested "
                 f"{num_slices} x {per_slice}"
             )
-        rows = [
-            np.asarray(groups[idx][:per_slice]).reshape(ici_shape)
-            for idx in sorted(groups)[:num_slices]
-        ]
-        arr = np.stack(rows)
+        # ICI-topology-aware placement within each slice: delegate to
+        # mesh_utils' hybrid builder (it orders devices along physical torus
+        # coordinates), falling back to enumeration order if it declines
+        # this topology.
+        try:
+            from jax.experimental import mesh_utils
+
+            dcn_shape = (num_slices,) + (1,) * (len(ici_shape) - 1)
+            flat = [d for i in use for d in groups[i][:per_slice]]
+            hybrid = mesh_utils.create_hybrid_device_mesh(
+                tuple(ici_shape), dcn_shape, devices=flat
+            )
+            arr = np.asarray(hybrid).reshape((num_slices, *ici_shape))
+        except Exception:
+            rows = [
+                np.asarray(groups[i][:per_slice]).reshape(ici_shape) for i in use
+            ]
+            arr = np.stack(rows)
     else:
         arr = np.asarray(devices[:want]).reshape((num_slices, *ici_shape))
     return Mesh(arr, axis_names=(replica_axis, *tuple(axis_names)))
@@ -130,6 +155,34 @@ def dp_axes(mesh: Mesh, replica_axis: str = "replica",
     if not axes:
         raise ValueError(f"mesh {mesh.axis_names} has no data-parallel axis")
     return axes
+
+
+def host_fetchable(tree):
+    """Make a param tree safe to ``jax.device_get`` on every process.
+
+    Single-process (and any fully-replicated layout): a pass-through.  In
+    multi-host runs, leaves whose shards span non-addressable devices (e.g.
+    TP/FSDP layouts across hosts) are re-assembled with
+    ``multihost_utils.process_allgather`` first — otherwise the main
+    process's host checkpoint pull dies with "spans non-addressable
+    devices" at save time.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    def fix(x):
+        if (
+            isinstance(x, jax.Array)
+            and not x.is_fully_addressable
+            and not x.sharding.is_fully_replicated
+        ):
+            return multihost_utils.process_allgather(x, tiled=True)
+        return x
+
+    return jax.tree_util.tree_map(fix, tree)
 
 
 def is_main_process() -> bool:
@@ -157,7 +210,10 @@ def global_batch_from_local(local_batch: dict, mesh: Mesh, axis=None) -> dict:
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from multimodal_concept_learning_tpu.parallel.mesh import batch_sharding
+    from multimodal_concept_learning_tpu.parallel.mesh import (
+        batch_sharding,
+        is_batch_leaf,
+    )
 
     if axis is None:
         axis = dp_axes(mesh)
@@ -168,10 +224,8 @@ def global_batch_from_local(local_batch: dict, mesh: Mesh, axis=None) -> dict:
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim >= 1 and (x.shape[0] * nproc) % shards == 0 and x.shape[0] > 0:
-            return jax.make_array_from_process_local_data(sharding, x)
-        return jax.make_array_from_process_local_data(
-            NamedSharding(mesh, P()), x
-        )
+        s = (sharding if is_batch_leaf(x, shards, global_rows_factor=nproc)
+             else NamedSharding(mesh, P()))
+        return jax.make_array_from_process_local_data(s, x)
 
     return jax.tree_util.tree_map(put, local_batch)

@@ -7,6 +7,25 @@ import jax
 from multimodal_concept_learning_tpu.parallel.mesh import make_mesh
 
 
+def process_local_loader_args(global_batch_size: int):
+    """``(local_batch_size, process_shard)`` for this process's BatchLoaders.
+
+    Multi-host runs divide every global batch across processes (the
+    reference's DistributedSampler semantics: same shuffle everywhere, each
+    rank loads its stripe); ``prefetch_to_device`` then reassembles the
+    globally-sharded batch from the local stripes.  Single-process returns
+    ``(global_batch_size, None)`` — no behavior change.
+    """
+    nproc = jax.process_count()
+    if nproc == 1:
+        return global_batch_size, None
+    if global_batch_size % nproc:
+        raise ValueError(
+            f"batch_size {global_batch_size} must divide across {nproc} processes"
+        )
+    return global_batch_size // nproc, (jax.process_index(), nproc)
+
+
 def mesh_for_batch(batch_size: int, max_devices=None):
     """1-D data mesh using the largest device count that divides batch_size.
 

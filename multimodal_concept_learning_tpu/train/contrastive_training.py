@@ -47,7 +47,7 @@ from multimodal_concept_learning_tpu.parallel import (
 from multimodal_concept_learning_tpu.parallel.optimizer import linear_warmup_schedule
 from multimodal_concept_learning_tpu.parallel.train_step import TrainState
 from multimodal_concept_learning_tpu.tokenizer import load_tokenizer
-from multimodal_concept_learning_tpu.train.common import mesh_for_batch
+from multimodal_concept_learning_tpu.train.common import mesh_for_batch, process_local_loader_args
 from multimodal_concept_learning_tpu.utils import MetricsLogger, set_seed
 
 
@@ -239,9 +239,10 @@ def main(argv=None):
     model = CLIPModel(model_config)
 
     mesh = mesh_for_batch(config.batch_size)
+    local_bs, pshard = process_local_loader_args(config.batch_size)
     train_loader = BatchLoader(
-        train_dataset, batch_size=config.batch_size, shuffle=True, drop_last=True,
-        collate_fn=collator, seed=config.seed,
+        train_dataset, batch_size=local_bs, shuffle=True, drop_last=True,
+        collate_fn=collator, seed=config.seed, process_shard=pshard,
     )
     state = run_training(model, tokenizer, train_loader, config, mesh, rng)
     if state is None:  # graceful preemption: resume later with resume: true
@@ -253,7 +254,8 @@ def main(argv=None):
         labels = np.asarray([label_to_idx[b[1]] for b in batch], dtype=np.int32)
         return {"images": images, "labels": labels}
 
-    test_loader = BatchLoader(test_dataset, batch_size=config.batch_size, collate_fn=eval_collate)
+    test_loader = BatchLoader(test_dataset, batch_size=local_bs,
+                              collate_fn=eval_collate, process_shard=pshard)
     acc = zero_shot_eval(model, state.params, tokenizer, test_loader, class_names, collator, mesh)
     return {"zero_shot_acc": acc}
 

@@ -56,6 +56,7 @@ from multimodal_concept_learning_tpu.models.mllm import (
     trainable_mask,
 )
 from multimodal_concept_learning_tpu.parallel import (
+    host_fetchable,
     init_distributed,
     is_main_process,
     batch_sharding,
@@ -70,6 +71,7 @@ from multimodal_concept_learning_tpu.train.common import (
     PreemptionGuard,
     ResumeManager,
     mesh_for_batch,
+    process_local_loader_args,
 )
 from multimodal_concept_learning_tpu.utils import MetricsLogger, set_seed
 
@@ -245,7 +247,7 @@ def run_training(
     # main process only, like the reference's rank-0 gating)
     if is_main_process():
         save_torch_state_dict(
-            mllm_params_to_torch(jax.device_get(state.params), patch_size=patch),
+            mllm_params_to_torch(jax.device_get(host_fetchable(state.params)), patch_size=patch),
             os.path.join(models_dir, "initial_model.pt"),
         )
         tokenizer.save_pretrained(os.path.join(models_dir, "tokenizer"))
@@ -316,7 +318,7 @@ def run_training(
         if is_best:
             best_loss = val_loss
         if (is_best or config.save_every_epoch) and is_main_process():
-            host_sd = mllm_params_to_torch(jax.device_get(state.params), patch_size=patch)
+            host_sd = mllm_params_to_torch(jax.device_get(host_fetchable(state.params)), patch_size=patch)
             if is_best:
                 save_torch_state_dict(host_sd, os.path.join(models_dir, "best_model.pt"))
                 with open(os.path.join(models_dir, "training_config.json"), "w") as f:
@@ -424,19 +426,21 @@ def main(argv=None):
     )
 
     mesh = mesh_for_batch(config.batch_size)
+    local_bs, pshard = process_local_loader_args(config.batch_size)
 
     loader_kwargs = dict(
         collate_fn=collator,
         num_workers=config.num_workers,
         prefetch_batches=config.prefetch_factor,
         uint8_images=config.device_normalize,
+        process_shard=pshard,
     )
     train_loader = BatchLoader(
-        train_dataset, batch_size=config.batch_size, shuffle=True, drop_last=True,
+        train_dataset, batch_size=local_bs, shuffle=True, drop_last=True,
         seed=config.seed, **loader_kwargs,
     )
-    val_loader = BatchLoader(val_dataset, batch_size=config.batch_size, **loader_kwargs)
-    test_loader = BatchLoader(test_dataset, batch_size=config.batch_size, **loader_kwargs)
+    val_loader = BatchLoader(val_dataset, batch_size=local_bs, **loader_kwargs)
+    test_loader = BatchLoader(test_dataset, batch_size=local_bs, **loader_kwargs)
 
     state, test_metrics = run_training(
         model, tokenizer, params, train_loader, val_loader, test_loader, config, mesh, rng

@@ -39,6 +39,7 @@ from multimodal_concept_learning_tpu.data import (
 )
 from multimodal_concept_learning_tpu.models import ViTConfig, ViTForImageClassification
 from multimodal_concept_learning_tpu.parallel import (
+    host_fetchable,
     init_distributed,
     is_main_process,
     batch_sharding,
@@ -52,6 +53,7 @@ from multimodal_concept_learning_tpu.train.common import (
     PreemptionGuard,
     ResumeManager,
     mesh_for_batch,
+    process_local_loader_args,
 )
 from multimodal_concept_learning_tpu.utils import MetricsLogger, set_seed
 
@@ -171,7 +173,7 @@ def run_training(model, train_loader, val_loader, config: VisionTrainingConfig, 
             best_loss = val_loss
             if is_main_process():
                 save_torch_state_dict(
-                    vit_classifier_params_to_torch(jax.device_get(state.params), config.patch_size),
+                    vit_classifier_params_to_torch(jax.device_get(host_fetchable(state.params)), config.patch_size),
                     os.path.join(models_dir, "best_model.pt"),
                 )
 
@@ -192,7 +194,7 @@ def run_training(model, train_loader, val_loader, config: VisionTrainingConfig, 
     print(f"Best val loss: {best_loss:.4f}")
     if is_main_process():
         save_torch_state_dict(
-            vit_classifier_params_to_torch(jax.device_get(state.params), config.patch_size),
+            vit_classifier_params_to_torch(jax.device_get(host_fetchable(state.params)), config.patch_size),
             os.path.join(models_dir, "final_model.pt"),
         )
     logger.finish()
@@ -248,24 +250,28 @@ def main(argv=None):
         config.num_labels = train_dataset.num_classes
 
     mesh = mesh_for_batch(config.batch_size)
+    local_bs, pshard = process_local_loader_args(config.batch_size)
 
     train_loader = BatchLoader(
         train_dataset,
-        batch_size=config.batch_size,
+        batch_size=local_bs,
         shuffle=True,
         drop_last=True,
         num_workers=config.num_workers,
         seed=config.seed,
         prefetch_batches=config.prefetch_factor,
         uint8_images=config.device_normalize,
+        process_shard=pshard,
     )
     val_loader = BatchLoader(
-        val_dataset, batch_size=config.batch_size, num_workers=config.num_workers,
+        val_dataset, batch_size=local_bs, num_workers=config.num_workers,
         prefetch_batches=config.prefetch_factor, uint8_images=config.device_normalize,
+        process_shard=pshard,
     )
     test_loader = BatchLoader(
-        test_dataset, batch_size=config.batch_size, num_workers=config.num_workers,
+        test_dataset, batch_size=local_bs, num_workers=config.num_workers,
         prefetch_batches=config.prefetch_factor, uint8_images=config.device_normalize,
+        process_shard=pshard,
     )
 
     print(

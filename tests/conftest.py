@@ -18,10 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
 # On a loaded single-core box, XLA's CPU-collective rendezvous (default
 # warn 20 s / TERMINATE 40 s) can kill a merely-starved process mid
-# all-reduce; give the virtual 8-device mesh generous headroom.
+# all-reduce; give the virtual 8-device mesh generous headroom.  Each flag
+# appends only when absent so explicit user settings win.
+if "xla_cpu_collective_call_warn_stuck_timeout_seconds" not in flags:
+    flags += " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
 if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
-    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
-              " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+    flags += " --xla_cpu_collective_call_terminate_timeout_seconds=600"
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402

@@ -138,6 +138,52 @@ def test_init_distributed_single_process_noop():
     assert init_distributed() is False
 
 
+def test_batchloader_process_shard_partitions_global_batches():
+    """Two 'ranks' with the same seed stripe each global batch exactly: the
+    concatenation of their index chunks == the single-process loader's
+    global batches (DistributedSampler semantics)."""
+    from multimodal_concept_learning_tpu.data.pipeline import BatchLoader
+
+    class IdxDataset:
+        def __len__(self):
+            return 23
+
+        def __getitem__(self, i):
+            return (np.float32(i), int(i))
+
+    ds = IdxDataset()
+    global_loader = BatchLoader(ds, batch_size=8, shuffle=True, seed=7)
+    r0 = BatchLoader(ds, batch_size=4, shuffle=True, seed=7, process_shard=(0, 2))
+    r1 = BatchLoader(ds, batch_size=4, shuffle=True, seed=7, process_shard=(1, 2))
+    for ldr in (global_loader, r0, r1):
+        ldr.set_epoch(3)
+    assert len(global_loader) == len(r0) == len(r1)
+    gb = global_loader._index_batches()
+    b0, b1 = r0._index_batches(), r1._index_batches()
+    assert len(gb) == len(b0) == len(b1)
+    for (gc, gv), (c0, v0), (c1, v1) in zip(gb, b0, b1):
+        np.testing.assert_array_equal(gc, np.concatenate([c0, c1]))
+        np.testing.assert_array_equal(gv, np.concatenate([v0, v1]))
+
+
+def test_host_fetchable_single_process_passthrough(eight_devices):
+    from multimodal_concept_learning_tpu.parallel import host_fetchable
+
+    tree = {"a": jnp.ones((4, 4)), "b": np.zeros(3)}
+    got = host_fetchable(tree)
+    assert got["a"] is tree["a"] and got["b"] is tree["b"]
+
+
+def test_init_distributed_explicit_kwargs_failure_is_loud():
+    """With explicit arguments, distributed mode was requested — bring-up
+    failure must raise, never silently degrade to N independent mains."""
+    import pytest
+
+    with pytest.raises(Exception):
+        init_distributed(coordinator_address="127.0.0.1:1",
+                         num_processes=2, process_id=5)
+
+
 def test_global_batch_from_local_single_process(eight_devices):
     """Single-process, the multi-host batch assembler == shard_batch (incl.
     replication of non-batch leaves like the uint8 pipeline's norm consts)."""
