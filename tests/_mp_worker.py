@@ -1,0 +1,192 @@
+"""Worker for the real 2-process multi-host test (tests/test_multihost.py).
+
+Run as: python tests/_mp_worker.py <process_id> <coordinator_port> <ref_loss>
+
+Each process: joins the cluster via ``init_distributed`` (explicit kwargs),
+builds the shared tiny MLLM, loads its OWN stripe of every global batch via
+``BatchLoader(process_shard=...)``, assembles the global sharded batch with
+``prefetch_to_device`` (the ``make_array_from_process_local_data`` branch),
+runs one hybrid-mesh (2 slices x (2 data x 2 model) + in-slice FSDP) train
+step, asserts the loss equals the single-process reference, and pulls the
+updated params to host through ``host_fetchable`` (the
+``process_allgather`` path for leaves spanning non-addressable devices).
+
+The module is also imported by the test itself (single-process) for the
+shared model/batch builders — keep it import-clean before ``main``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VOCAB = 256
+GLOBAL_BATCH = 8
+TEXT_LEN = 16
+
+
+def build_config():
+    import jax.numpy as jnp
+
+    from multimodal_concept_learning_tpu.models import LMConfig, MLLMConfig, ViTConfig
+
+    vision = ViTConfig(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                       num_attention_heads=4, patch_size=8, image_size=32,
+                       num_labels=0, dtype=jnp.float32)
+    lm = dataclasses.replace(LMConfig.preset("nano", vocab_size=VOCAB),
+                             dtype=jnp.float32)
+    return MLLMConfig(vision=vision, lm=lm, num_vision_tokens=17,
+                      max_answer_tokens=4, dtype=jnp.float32)
+
+
+class SyntheticMultimodalDataset:
+    """Deterministic map-style dataset; collate assembles the MLLM batch."""
+
+    def __init__(self, n=GLOBAL_BATCH, nvt=17):
+        rng = np.random.default_rng(11)
+        self.images = rng.normal(size=(n, 3, 32, 32)).astype(np.float32)
+        ids = np.zeros((n, nvt + TEXT_LEN), dtype=np.int32)
+        ids[:, nvt:] = rng.integers(4, VOCAB - 4, size=(n, TEXT_LEN))
+        self.input_ids = ids
+        self.labels = np.full_like(ids, -100)
+        self.labels[:, nvt + 5] = ids[:, nvt + 5]
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        return i
+
+
+def collate(indices):
+    ds = collate.dataset
+    idx = np.asarray(indices)
+    return {
+        "images": ds.images[idx],
+        "input_ids": ds.input_ids[idx],
+        "attention_mask": np.ones_like(ds.input_ids[idx]),
+        "labels": ds.labels[idx],
+    }
+
+
+def init_params_and_tx(model, batch):
+    import jax
+
+    from multimodal_concept_learning_tpu.models.mllm import trainable_mask
+    from multimodal_concept_learning_tpu.parallel import build_optimizer
+
+    import jax.numpy as jnp
+
+    init = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.key(0), init["images"], init["input_ids"],
+                        init["attention_mask"], init["labels"])["params"]
+    mask = trainable_mask(params, "language_embed_only")
+    tx = build_optimizer(1e-2, weight_decay=1e-4, max_grad_norm=1.0,
+                         trainable_mask=mask)
+    return params, tx
+
+
+def reference_loss():
+    """Single-process loss of the first global batch (called by the test)."""
+    import jax
+
+    from multimodal_concept_learning_tpu.models import MLLM
+    from multimodal_concept_learning_tpu.parallel.train_step import (
+        TrainState,
+        make_mllm_train_step,
+    )
+
+    ds = SyntheticMultimodalDataset()
+    batch = collate_all(ds)
+    model = MLLM(build_config())
+    params, tx = init_params_and_tx(model, batch)
+    step = make_mllm_train_step(model, tx)
+    state = TrainState.create(params, tx)
+    _, metrics = step(state, {k: np.asarray(v) for k, v in batch.items()},
+                      jax.random.key(1))
+    return float(metrics["loss"])
+
+
+def collate_all(ds):
+    collate.dataset = ds
+    return collate(list(range(len(ds))))
+
+
+def main(process_id: int, port: int, ref_loss: float) -> None:
+    # The ambient sitecustomize re-registers the axon (remote TPU) backend in
+    # every process; both the env var AND the config update are required to
+    # force CPU (CLAUDE.md), and both must precede backend initialization.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from multimodal_concept_learning_tpu.parallel import (
+        host_fetchable,
+        init_distributed,
+        is_main_process,
+        make_hybrid_mesh,
+    )
+    from multimodal_concept_learning_tpu.parallel.mesh import batch_sharding
+    from multimodal_concept_learning_tpu.parallel.multihost import dp_axes
+    from multimodal_concept_learning_tpu.parallel.sharding_rules import shard_params
+    from multimodal_concept_learning_tpu.train.common import process_local_loader_args
+
+    assert init_distributed(coordinator_address=f"127.0.0.1:{port}",
+                            num_processes=2, process_id=process_id)
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+    assert is_main_process() == (process_id == 0)
+
+    from multimodal_concept_learning_tpu.data.pipeline import (
+        BatchLoader,
+        prefetch_to_device,
+    )
+    from multimodal_concept_learning_tpu.models import MLLM
+    from multimodal_concept_learning_tpu.parallel.train_step import (
+        TrainState,
+        make_mllm_train_step,
+    )
+
+    ds = SyntheticMultimodalDataset()
+    collate.dataset = ds
+    full_batch = collate_all(ds)
+
+    model = MLLM(build_config())
+    params, tx = init_params_and_tx(model, full_batch)
+
+    mesh = make_hybrid_mesh((2, 2), ("data", "model"), num_slices=2)
+    sp = shard_params(params, mesh, fsdp_axis="data")
+    state = jax.jit(lambda p: TrainState.create(p, tx))(sp)
+    step = make_mllm_train_step(model, tx)
+
+    local_bs, pshard = process_local_loader_args(GLOBAL_BATCH)
+    assert local_bs == GLOBAL_BATCH // 2 and pshard == (process_id, 2)
+    loader = BatchLoader(ds, batch_size=local_bs, collate_fn=collate,
+                         num_workers=1, process_shard=pshard)
+    sharding = batch_sharding(mesh, dp_axes(mesh))
+
+    losses = []
+    for gbatch in prefetch_to_device(loader, sharding):
+        assert gbatch["images"].shape[0] == GLOBAL_BATCH  # global, not local
+        state, metrics = step(state, gbatch, jax.random.key(1))
+        losses.append(float(metrics["loss"]))
+    assert len(losses) == 1, losses
+    err = abs(losses[0] - ref_loss)
+    assert err < 1e-4, f"loss {losses[0]} vs single-process {ref_loss} (|d|={err})"
+
+    # cross-host checkpoint pull: allgathers leaves spanning the other process
+    host = jax.device_get(host_fetchable(state.params))
+    flat = [np.asarray(v) for v in __import__("jax").tree_util.tree_leaves(host)]
+    assert all(np.isfinite(a).all() for a in flat)
+    print(f"proc {process_id}: loss={losses[0]:.6f} (|d|={err:.2e}) params OK",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]), float(sys.argv[3]))

@@ -184,6 +184,48 @@ def test_init_distributed_explicit_kwargs_failure_is_loud():
                          num_processes=2, process_id=5)
 
 
+def test_real_two_process_hybrid_training():
+    """REAL multi-process coverage: two jax processes (4 virtual CPU devices
+    each, Gloo collectives over localhost) run the full multi-host path —
+    init_distributed with explicit kwargs, hybrid 2-slice mesh, per-process
+    BatchLoader stripes, cross-process global-batch assembly in
+    prefetch_to_device, a TP+FSDP-sharded train step, and a host_fetchable
+    checkpoint pull — and must reproduce the single-process loss exactly."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from tests import _mp_worker
+
+    ref = _mp_worker.reference_loss()
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=4"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+    )
+    worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port), repr(ref)],
+            env=env, cwd="/root/repo",
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert "params OK" in out, f"worker {i} output:\n{out}"
+
+
 def test_global_batch_from_local_single_process(eight_devices):
     """Single-process, the multi-host batch assembler == shard_batch (incl.
     replication of non-batch leaves like the uint8 pipeline's norm consts)."""
