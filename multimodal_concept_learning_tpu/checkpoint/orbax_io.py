@@ -68,7 +68,18 @@ def restore_checkpoint(directory: str, template: Any, step: Optional[int] = None
         return None, None
     target = step if step is not None else max(steps)
     path = os.path.join(directory, f"step_{target}")
-    state = _checkpointer().restore(path, target=jax.device_get(template))
+    if jax.process_count() > 1:
+        # Multi-host: device_get on shards living on other hosts would fail;
+        # restore through abstract arrays carrying the template's shardings
+        # so every process receives its own shards directly.
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            if isinstance(x, jax.Array) else x,
+            template,
+        )
+        state = _checkpointer().restore(path, target=abstract)
+    else:
+        state = _checkpointer().restore(path, target=jax.device_get(template))
     return state, target
 
 

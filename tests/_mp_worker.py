@@ -182,10 +182,35 @@ def main(process_id: int, port: int, ref_loss: float) -> None:
 
     # cross-host checkpoint pull: allgathers leaves spanning the other process
     host = jax.device_get(host_fetchable(state.params))
-    flat = [np.asarray(v) for v in __import__("jax").tree_util.tree_leaves(host)]
+    flat = [np.asarray(v) for v in jax.tree_util.tree_leaves(host)]
     assert all(np.isfinite(a).all() for a in flat)
-    print(f"proc {process_id}: loss={losses[0]:.6f} (|d|={err:.2e}) params OK",
-          flush=True)
+
+    # orbax save/restore of the SHARDED params across both processes (the
+    # collective save path + the multi-host abstract-template restore branch)
+    import tempfile
+
+    from multimodal_concept_learning_tpu.checkpoint.orbax_io import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    ckdir = os.path.join(tempfile.gettempdir(), f"mp_orbax_{port}")
+    save_checkpoint(ckdir, state.params, step=1, wait=True)
+    restored, got_step = restore_checkpoint(ckdir, state.params)
+    assert got_step == 1
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(state.params),
+        jax.tree_util.tree_leaves_with_path(restored),
+    ):
+        assert pa == pb
+        assert b.sharding == a.sharding, (pa, a.sharding, b.sharding)
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(host_fetchable(a))),
+            np.asarray(jax.device_get(host_fetchable(b))),
+            err_msg=str(pa),
+        )
+    print(f"proc {process_id}: loss={losses[0]:.6f} (|d|={err:.2e}) params OK "
+          f"orbax-roundtrip OK", flush=True)
 
 
 if __name__ == "__main__":
