@@ -117,6 +117,28 @@ def collate_all(ds):
     return collate(list(range(len(ds))))
 
 
+N_NEW = 3
+
+
+def reference_decode():
+    """Single-process greedy tokens for the synthetic batch (test-side)."""
+    import jax.numpy as jnp
+
+    from multimodal_concept_learning_tpu.models import MLLM
+    from multimodal_concept_learning_tpu.models.mllm import greedy_generate
+
+    ds = SyntheticMultimodalDataset()
+    batch = collate_all(ds)
+    model = MLLM(build_config())
+    params, _ = init_params_and_tx(model, batch)
+    toks = greedy_generate(
+        model, params, jnp.asarray(batch["images"]),
+        jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]),
+        N_NEW,
+    )
+    return np.asarray(toks)
+
+
 def main(process_id: int, port: int, ref_loss: float) -> None:
     # The ambient sitecustomize re-registers the axon (remote TPU) backend in
     # every process; both the env var AND the config update are required to
@@ -209,8 +231,41 @@ def main(process_id: int, port: int, ref_loss: float) -> None:
             np.asarray(jax.device_get(host_fetchable(b))),
             err_msg=str(pa),
         )
+    # sharded decode with TP spanning BOTH processes: 4x2 (data, model) mesh
+    # over all 8 global devices; per-layer TP collectives cross the process
+    # boundary every decode step. Token-exact vs single-process greedy.
+    ref_tokens_path = os.environ.get("MCL_MP_REF_TOKENS")
+    if ref_tokens_path:
+        from multimodal_concept_learning_tpu.parallel.mesh import make_mesh
+        from multimodal_concept_learning_tpu.parallel.serving import (
+            make_sharded_generate,
+        )
+
+        want = np.load(ref_tokens_path)
+        dmesh = make_mesh(jax.devices(), ("data", "model"), (4, 2))
+        gen_fn, gp = make_sharded_generate(model, params, dmesh, N_NEW)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dsh = NamedSharding(dmesh, P("data"))
+
+        def to_global(x):
+            # identical host copy on every process -> global array by callback
+            return jax.make_array_from_callback(x.shape, dsh,
+                                                lambda idx: x[idx])
+
+        toks = gen_fn(gp, to_global(full_batch["images"]),
+                      to_global(full_batch["input_ids"]),
+                      to_global(full_batch["attention_mask"]),
+                      jax.random.key(3))
+        from jax.experimental import multihost_utils
+
+        got = np.asarray(multihost_utils.process_allgather(toks, tiled=True))
+        assert got.shape == want.shape, (got.shape, want.shape)
+        assert (got == want).all(), "cross-process sharded decode diverged"
+
     print(f"proc {process_id}: loss={losses[0]:.6f} (|d|={err:.2e}) params OK "
-          f"orbax-roundtrip OK", flush=True)
+          f"orbax-roundtrip OK decode OK", flush=True)
 
 
 if __name__ == "__main__":

@@ -199,13 +199,20 @@ def test_real_two_process_hybrid_training():
     from tests import _mp_worker
 
     ref = _mp_worker.reference_loss()
+    ref_tokens = _mp_worker.reference_decode()
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
 
+    import tempfile
+
+    tokens_path = os.path.join(tempfile.gettempdir(), f"mp_ref_tokens_{port}.npy")
+    np.save(tokens_path, ref_tokens)
+
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["MCL_MP_REF_TOKENS"] = tokens_path
     env["XLA_FLAGS"] = (
         "--xla_force_host_platform_device_count=4"
         " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
