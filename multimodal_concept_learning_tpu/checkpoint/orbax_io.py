@@ -64,9 +64,23 @@ def restore_checkpoint(directory: str, template: Any, step: Optional[int] = None
     directory = os.path.abspath(directory)
     wait_for_checkpoints()
     steps = _list_steps(directory)
-    if not steps:
+    if jax.process_count() > 1:
+        # The directory listing is per-process and unsynchronized (shared
+        # filesystems can serve stale listings, and _gc_old may race): decide
+        # the target step ONCE on process 0 and broadcast it, else processes
+        # can restore different checkpoints and silently diverge.
+        import numpy as _np
+        from jax.experimental import multihost_utils
+
+        local = step if step is not None else (max(steps) if steps else -1)
+        target = int(multihost_utils.broadcast_one_to_all(
+            _np.asarray(local, _np.int32)))
+        if target < 0:
+            return None, None
+    elif not steps:
         return None, None
-    target = step if step is not None else max(steps)
+    else:
+        target = step if step is not None else max(steps)
     path = os.path.join(directory, f"step_{target}")
     if jax.process_count() > 1:
         # Multi-host: device_get on shards living on other hosts would fail;

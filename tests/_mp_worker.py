@@ -91,22 +91,36 @@ def init_params_and_tx(model, batch):
     return params, tx
 
 
+_REF_SETUP = None
+
+
+def _reference_setup():
+    """Shared single-process (model, params, tx, batch); built once per
+    process — reference_loss and reference_decode both use it."""
+    global _REF_SETUP
+    if _REF_SETUP is None:
+        from multimodal_concept_learning_tpu.models import MLLM
+
+        ds = SyntheticMultimodalDataset()
+        batch = collate_all(ds)
+        model = MLLM(build_config())
+        params, tx = init_params_and_tx(model, batch)
+        _REF_SETUP = (model, params, tx, batch)
+    return _REF_SETUP
+
+
 def reference_loss():
     """Single-process loss of the first global batch (called by the test)."""
     import jax
 
-    from multimodal_concept_learning_tpu.models import MLLM
     from multimodal_concept_learning_tpu.parallel.train_step import (
         TrainState,
         make_mllm_train_step,
     )
 
-    ds = SyntheticMultimodalDataset()
-    batch = collate_all(ds)
-    model = MLLM(build_config())
-    params, tx = init_params_and_tx(model, batch)
+    model, params, tx, batch = _reference_setup()
     step = make_mllm_train_step(model, tx)
-    state = TrainState.create(params, tx)
+    state = TrainState.create(jax.tree_util.tree_map(np.copy, params), tx)
     _, metrics = step(state, {k: np.asarray(v) for k, v in batch.items()},
                       jax.random.key(1))
     return float(metrics["loss"])
@@ -124,13 +138,9 @@ def reference_decode():
     """Single-process greedy tokens for the synthetic batch (test-side)."""
     import jax.numpy as jnp
 
-    from multimodal_concept_learning_tpu.models import MLLM
     from multimodal_concept_learning_tpu.models.mllm import greedy_generate
 
-    ds = SyntheticMultimodalDataset()
-    batch = collate_all(ds)
-    model = MLLM(build_config())
-    params, _ = init_params_and_tx(model, batch)
+    model, params, _, batch = _reference_setup()
     toks = greedy_generate(
         model, params, jnp.asarray(batch["images"]),
         jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]),
@@ -263,9 +273,12 @@ def main(process_id: int, port: int, ref_loss: float) -> None:
         got = np.asarray(multihost_utils.process_allgather(toks, tiled=True))
         assert got.shape == want.shape, (got.shape, want.shape)
         assert (got == want).all(), "cross-process sharded decode diverged"
+        decode_marker = "decode OK"
+    else:
+        decode_marker = "decode SKIPPED (no MCL_MP_REF_TOKENS)"
 
     print(f"proc {process_id}: loss={losses[0]:.6f} (|d|={err:.2e}) params OK "
-          f"orbax-roundtrip OK decode OK", flush=True)
+          f"orbax-roundtrip OK {decode_marker}", flush=True)
 
 
 if __name__ == "__main__":

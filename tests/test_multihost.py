@@ -10,13 +10,11 @@ Semantics pinned here:
   - init_distributed degrades to a no-op in single-process runs.
 """
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimodal_concept_learning_tpu.models import LMConfig, MLLM, MLLMConfig, ViTConfig
+from multimodal_concept_learning_tpu.models import MLLM
 from multimodal_concept_learning_tpu.models.mllm import trainable_mask
 from multimodal_concept_learning_tpu.parallel import (
     build_optimizer,
@@ -39,12 +37,12 @@ VOCAB = 256
 
 
 def tiny_mllm():
-    vision = ViTConfig(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
-                       num_attention_heads=4, patch_size=8, image_size=32,
-                       num_labels=0, dtype=jnp.float32)
-    lm = dataclasses.replace(LMConfig.preset("nano", vocab_size=VOCAB), dtype=jnp.float32)
-    return MLLMConfig(vision=vision, lm=lm, num_vision_tokens=17, max_answer_tokens=4,
-                      dtype=jnp.float32)
+    # single source of truth shared with the 2-process worker, so the real
+    # multi-process test always exercises the same model as the virtual
+    # parity tests here
+    from tests import _mp_worker
+
+    return _mp_worker.build_config()
 
 
 def _batch(cfg, batch=8, text_len=16, seed=0):
@@ -198,39 +196,64 @@ def test_real_two_process_hybrid_training():
 
     from tests import _mp_worker
 
-    ref = _mp_worker.reference_loss()
-    ref_tokens = _mp_worker.reference_decode()
-
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-
+    import shutil
     import tempfile
 
-    tokens_path = os.path.join(tempfile.gettempdir(), f"mp_ref_tokens_{port}.npy")
-    np.save(tokens_path, ref_tokens)
-
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["MCL_MP_REF_TOKENS"] = tokens_path
-    env["XLA_FLAGS"] = (
-        "--xla_force_host_platform_device_count=4"
-        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
-    )
+    ref = _mp_worker.reference_loss()
+    ref_tokens = _mp_worker.reference_decode()
     worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), str(port), repr(ref)],
-            env=env, cwd="/root/repo",
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+
+    def launch(port, tokens_path):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["MCL_MP_REF_TOKENS"] = tokens_path
+        env["XLA_FLAGS"] = (
+            "--xla_force_host_platform_device_count=4"
+            " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+            " --xla_cpu_collective_call_terminate_timeout_seconds=600"
         )
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(i), str(port), repr(ref)],
+                env=env, cwd="/root/repo",
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for i in range(2)
+        ]
+        try:
+            outs = [p.communicate(timeout=900)[0] for p in procs]
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        return procs, outs
+
+    # the bind-probe port can be sniped before the coordinator binds it
+    # (TOCTOU) — retry once with a fresh port on bring-up-shaped failures
+    for attempt in range(2):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        tokens_path = os.path.join(tempfile.gettempdir(),
+                                   f"mp_ref_tokens_{port}.npy")
+        np.save(tokens_path, ref_tokens)
+        try:
+            procs, outs = launch(port, tokens_path)
+        finally:
+            os.remove(tokens_path)
+            shutil.rmtree(os.path.join(tempfile.gettempdir(),
+                                       f"mp_orbax_{port}"), ignore_errors=True)
+        bringup_failure = any(p.returncode != 0 for p in procs) and any(
+            pat in out for out in outs
+            for pat in ("Address already in use", "Failed to connect",
+                        "failed to connect")
+        )
+        if not bringup_failure or attempt == 1:
+            break
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
-        assert "params OK" in out, f"worker {i} output:\n{out}"
+        assert "params OK" in out and "decode OK" in out, \
+            f"worker {i} output:\n{out}"
 
 
 def test_global_batch_from_local_single_process(eight_devices):
