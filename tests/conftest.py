@@ -29,6 +29,10 @@ os.environ["XLA_FLAGS"] = flags
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite's wall-clock on a small box is mostly
+# XLA compiles of the same tiny programs; reruns hit the cache instead.
+jax.config.update("jax_compilation_cache_dir", "/tmp/mcl_test_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import pytest  # noqa: E402
 
