@@ -94,6 +94,36 @@ def test_dryrun_tpu_default_backend_with_virtual_cpu_devices():
     assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout
 
 
+def test_cpu_devices_ready_never_initializes_backends():
+    """Hermetic pin of the tunnel-outage hang: with jax IMPORTED (the ambient
+    sitecustomize does that in every process) but backends UNINITIALIZED,
+    the readiness probe must return False WITHOUT initializing backends —
+    initializing under the ambient env hangs forever when the remote TPU
+    backend is unreachable."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env.pop("_MCL_DRYRUN_INLINE", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import jax\n"
+        "from jax._src import xla_bridge as xb\n"
+        "assert not xb._backends, 'backends initialized before the probe'\n"
+        "import __graft_entry__\n"
+        "ready = __graft_entry__._cpu_devices_ready(8)\n"
+        "assert ready is False, 'uninitialized backends must read not-ready'\n"
+        "assert not xb._backends, 'the probe initialized backends'\n"
+        "print('NO-INIT-OK')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "NO-INIT-OK" in proc.stdout
+
+
 def test_cpu_devices_ready_rejects_non_cpu_default_backend():
     """Unit-level pin of the same hole, hermetic (no TPU needed): a process
     whose default backend is NOT cpu must report not-ready even when >= 8 CPU
