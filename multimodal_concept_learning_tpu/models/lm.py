@@ -175,6 +175,12 @@ class LMAttention(nn.Module):
           - decode (x is [B, 1, H], decode_slots [B] int32): the new token's
             k/v are scattered into per-row slots and attention runs over the
             full cache (caller's bias masks unwritten/padded slots).
+        Paged variant (ops/paged_kv.py): when the dict carries a "pages"
+          page table, k/v are [num_pages, page_size, hk, d] shared pools.
+          Prefill additionally carries "lens" (true prompt lengths — padded
+          positions write to the null page) and attends over the fresh k/v
+          as usual; decode carries "window" (int32 scalar, -1 = global) and
+          attends against the pool via paged attention, ignoring ``bias``.
         Returns out, or (out, new_cache) when cache is given.
         """
         cfg = self.config
@@ -208,7 +214,26 @@ class LMAttention(nn.Module):
             scale = cfg.query_pre_attn_scalar ** -0.5
 
         new_cache = None
-        if cache is not None:
+        paged_out = None
+        if cache is not None and "pages" in cache:
+            from multimodal_concept_learning_tpu.ops import paged_kv
+
+            ck, cv, pt = cache["k"], cache["v"], cache["pages"]
+            if decode_slots is None:  # paged prefill: prompt k/v into pages
+                ck = paged_kv.write_prompt_kv(ck, pt, cache["lens"], k)
+                cv = paged_kv.write_prompt_kv(cv, pt, cache["lens"], v)
+                # attention runs over the freshly computed k/v below — the
+                # caller's bias masks padding exactly as in dense prefill
+            else:
+                assert decode_slots.ndim == 1, "paged decode is single-token"
+                ck = paged_kv.write_token_kv(ck, pt, decode_slots, k[:, 0])
+                cv = paged_kv.write_token_kv(cv, pt, decode_slots, v[:, 0])
+                paged_out = paged_kv.paged_decode_attention(
+                    q, ck, cv, pt, decode_slots + 1,
+                    scale=scale, window=cache["window"],
+                )
+            new_cache = {"k": ck, "v": cv}
+        elif cache is not None:
             ck, cv = cache["k"], cache["v"]
             if decode_slots is None:  # prefill: bulk write into slots [0:T]
                 ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
@@ -225,7 +250,10 @@ class LMAttention(nn.Module):
                 k, v = ck, cv
             new_cache = {"k": ck, "v": cv}
 
-        out = multi_head_attention(q, k, v, bias=bias, scale=scale, deterministic=deterministic)
+        if paged_out is not None:
+            out = paged_out
+        else:
+            out = multi_head_attention(q, k, v, bias=bias, scale=scale, deterministic=deterministic)
         if cfg.int8_weights:
             from multimodal_concept_learning_tpu.ops.quant import QuantDenseGeneral
 
@@ -463,16 +491,10 @@ class CausalLM(nn.Module):
     # cleanly.  Contract: prompts are RIGHT-padded (the collator's layout),
     # so a row's first free slot index equals its next token position.
 
-    def prefill(self, inputs_embeds: jax.Array, attention_mask: jax.Array, caches):
-        """Forward the prompt, filling per-layer KV caches.
-
-        caches: tuple of per-layer {"k": [B, S, hk, d], "v": ...} with
-        S >= T + max_new_tokens (build with ``init_kv_cache``).
-        Returns (hidden [B, T, H], updated caches).
-        """
+    def _prompt_bias_rope(self, attention_mask: jax.Array, t: int):
+        """Causal biases + rope tables for a right-padded prompt forward,
+        as (bias_global, bias_sliding, rope_global, rope_sliding)."""
         cfg = self.config
-        assert not cfg.scan_layers, "KV-cache decode supports the plain-layers path"
-        b, t, _ = inputs_embeds.shape
         bias_global = make_attention_bias(attention_mask, causal=True, q_len=t, k_len=t)
         positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
         rope_global = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
@@ -486,6 +508,20 @@ class CausalLM(nn.Module):
             rope_sliding = rope_tables(positions, cfg.head_dim, cfg.rope_local_theta)
         else:
             bias_sliding, rope_sliding = bias_global, rope_global
+        return bias_global, bias_sliding, rope_global, rope_sliding
+
+    def prefill(self, inputs_embeds: jax.Array, attention_mask: jax.Array, caches):
+        """Forward the prompt, filling per-layer KV caches.
+
+        caches: tuple of per-layer {"k": [B, S, hk, d], "v": ...} with
+        S >= T + max_new_tokens (build with ``init_kv_cache``).
+        Returns (hidden [B, T, H], updated caches).
+        """
+        cfg = self.config
+        assert not cfg.scan_layers, "KV-cache decode supports the plain-layers path"
+        b, t, _ = inputs_embeds.shape
+        bias_global, bias_sliding, rope_global, rope_sliding = (
+            self._prompt_bias_rope(attention_mask, t))
 
         x = inputs_embeds.astype(cfg.dtype)
         new_caches = []
@@ -499,6 +535,75 @@ class CausalLM(nn.Module):
             )
             new_caches.append(c)
         return self.final_norm(x), tuple(new_caches)
+
+    def prefill_paged(self, inputs_embeds: jax.Array, attention_mask: jax.Array,
+                      pools, page_table: jax.Array):
+        """Forward the prompt, writing K/V into shared page pools.
+
+        pools: tuple of per-layer {"k": [P, ps, hk, d], "v": ...}
+        (ops/paged_kv.init_paged_kv_cache); page_table: [B, NP] — each
+        row's pages must already cover its whole generation lifetime
+        (allocation is the serving front's job, serve/paged.py).  Attention
+        math is identical to ``prefill``; only the K/V storage differs.
+        Returns (hidden [B, T, H], updated pools).
+        """
+        cfg = self.config
+        assert not cfg.scan_layers, "KV-cache decode supports the plain-layers path"
+        b, t, _ = inputs_embeds.shape
+        bias_global, bias_sliding, rope_global, rope_sliding = (
+            self._prompt_bias_rope(attention_mask, t))
+        plens = attention_mask.sum(axis=1).astype(jnp.int32)
+
+        x = inputs_embeds.astype(cfg.dtype)
+        new_pools = []
+        for i, layer in enumerate(self.layers):
+            sliding = cfg.layer_is_sliding(i)
+            cache = {"k": pools[i]["k"], "v": pools[i]["v"],
+                     "pages": page_table, "lens": plens}
+            x, c = layer(
+                x,
+                bias_sliding if sliding else bias_global,
+                rope_sliding if sliding else rope_global,
+                cache=cache,
+            )
+            new_pools.append(c)
+        return self.final_norm(x), tuple(new_pools)
+
+    def decode_step_paged(self, inputs_embeds: jax.Array, pools,
+                          page_table: jax.Array, seq_lens: jax.Array):
+        """One decode step against paged KV pools.
+
+        inputs_embeds: [B, 1, H]; seq_lens: [B] committed tokens per row —
+        the new token's position (its page ``page_table[b, s // ps]`` must
+        be allocated).  No cache_mask: attendable slots are exactly
+        positions < seq_lens + 1, and sliding layers pass their window into
+        the paged attention (ops/paged_kv.paged_decode_attention).
+        Returns (hidden [B, 1, H], updated pools).
+        """
+        cfg = self.config
+        assert not cfg.scan_layers, "KV-cache decode supports the plain-layers path"
+        positions = seq_lens[:, None]
+        rope_global = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+        if cfg.sliding_window is not None:
+            rope_sliding = rope_tables(positions, cfg.head_dim, cfg.rope_local_theta)
+        else:
+            rope_sliding = rope_global
+
+        x = inputs_embeds.astype(cfg.dtype)
+        new_pools = []
+        for i, layer in enumerate(self.layers):
+            sliding = cfg.layer_is_sliding(i)
+            window = cfg.sliding_window if (sliding and cfg.sliding_window) else -1
+            cache = {"k": pools[i]["k"], "v": pools[i]["v"],
+                     "pages": page_table, "window": jnp.int32(window)}
+            x, c = layer(
+                x, None,
+                rope_sliding if sliding else rope_global,
+                cache=cache,
+                decode_slots=seq_lens,
+            )
+            new_pools.append(c)
+        return self.final_norm(x), tuple(new_pools)
 
     def decode_step(
         self,

@@ -177,6 +177,21 @@ class MLLM(nn.Module):
         )
         return self.language_model.prefill(inputs_embeds, attention_mask, caches)
 
+    def prefill_paged(self, images, input_ids, attention_mask, pools,
+                      page_table, channels_last: bool = False):
+        """Vision tower + splice + paged LM prefill (ops/paged_kv.py).
+        Returns (hidden [B,T,H], updated pools)."""
+        nvt = self.config.num_vision_tokens
+        image_embeds = self.vision_model(images, deterministic=True, channels_last=channels_last)
+        projected = self.projector(image_embeds)
+        text_embeds = self.language_model.embed(input_ids[:, nvt:])
+        inputs_embeds = jnp.concatenate(
+            [projected.astype(text_embeds.dtype), text_embeds], axis=1
+        )
+        return self.language_model.prefill_paged(
+            inputs_embeds, attention_mask, pools, page_table
+        )
+
 
 def generate(
     model: MLLM,

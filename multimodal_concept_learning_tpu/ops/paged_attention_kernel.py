@@ -1,0 +1,141 @@
+"""Pallas TPU paged-attention decode kernel.
+
+One query token per row attends against K/V stored in a shared page pool
+(ops/paged_kv.py).  The gather fallback materializes every row's pages as a
+contiguous [B, NP*ps, hk, d] copy per decode step; this kernel streams the
+pages through VMEM instead, with a flash-style online softmax across the
+page axis, so the per-step HBM traffic is one read of the live pages and
+nothing else.
+
+Mechanics:
+
+- grid ``(B, kv_heads, max_pages)`` with the page axis innermost;
+- the page table, per-row lengths, and the sliding-window size ride
+  **scalar prefetch** (``pltpu.PrefetchScalarGridSpec``): the K/V
+  BlockSpec index_map picks block ``page_table[b, j]`` out of the pool, so
+  the pool never leaves HBM except for the pages a row actually owns;
+- entries past a row's page count all map to the null page 0 — consecutive
+  grid steps with an unchanged block index skip the re-fetch, and
+  ``pl.when`` skips their compute;
+- the sliding window is a prefetched *scalar*, not a compile-time constant,
+  so Gemma-3's alternating global/sliding layers share ONE compiled
+  program;
+- GQA: q is viewed as [B, kv_heads, group, D] (the grouped-einsum layout of
+  ops/attention.py) and each program computes its kv-head's whole group.
+
+Semantics match CausalLM.decode_step's bias exactly (position < lens, and
+``pos - idx < window`` on sliding layers); parity with the gather fallback
+is pinned by tests/test_paged_kv.py in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30  # large finite negative; -inf breaks fully-masked softmax rows
+
+
+def _kernel(pt_ref, lens_ref, win_ref, q_ref, k_ref, v_ref, o_ref,
+            m_scr, l_scr, acc_scr, *, scale, page_size):
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, _NEG, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    len_b = lens_ref[b]
+    npages = (len_b + page_size - 1) // page_size
+
+    @pl.when(j < npages)
+    def _accumulate():
+        q = q_ref[0, 0].astype(jnp.float32) * scale        # [g, D]
+        k = k_ref[0, :, 0, :].astype(jnp.float32)          # [ps, D]
+        v = v_ref[0, :, 0, :].astype(jnp.float32)          # [ps, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                  # [g, ps]
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, page_size), 1) + j * page_size
+        pos = len_b - 1
+        win = win_ref[0]
+        ok = (idx < len_b) & ((win < 0) | (pos - idx < win))
+        s = jnp.where(ok, s, _NEG)
+        m_old = m_scr[:, 0:1]                              # [g, 1]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(s - m_new)                             # [g, ps]
+        l_new = alpha * l_scr[:, 0:1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _finalize():
+        # rows with zero attendable tokens (inactive serving slots) have
+        # l == 0; the epsilon turns their output into zeros, not NaNs
+        l = jnp.maximum(l_scr[:, 0:1], 1e-30)
+        o_ref[0, 0] = (acc_scr[...] / l).astype(o_ref.dtype)
+
+
+def paged_decode_attention_kernel(
+    q: jax.Array,
+    pool_k: jax.Array,
+    pool_v: jax.Array,
+    page_table: jax.Array,
+    lens: jax.Array,
+    window: jax.Array,
+    *,
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """q: [B, 1, Hq, D]; pools: [P, ps, hk, D]; page_table: [B, NP];
+    lens: [B] attendable tokens incl. the new one; window: int32 scalar
+    (< 0 = global).  Returns [B, 1, Hq, D]."""
+    b, one, hq, d = q.shape
+    assert one == 1, "decode kernel handles one query token per row"
+    _, ps, hk, _ = pool_k.shape
+    assert hq % hk == 0
+    g = hq // hk
+    np_ = page_table.shape[1]
+
+    qg = q[:, 0].reshape(b, hk, g, d)  # grouped-einsum head order (attention.py)
+    win = jnp.asarray(window, jnp.int32).reshape((1,))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # page_table, lens, window
+        grid=(b, hk, np_),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, d), lambda bi, h, j, pt, ln, w: (bi, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ps, 1, d), lambda bi, h, j, pt, ln, w: (pt[bi, j], 0, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ps, 1, d), lambda bi, h, j, pt, ln, w: (pt[bi, j], 0, h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), lambda bi, h, j, pt, ln, w: (bi, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((g, 128), jnp.float32),  # running max (lane-broadcast)
+            pltpu.VMEM((g, 128), jnp.float32),  # running denominator
+            pltpu.VMEM((g, d), jnp.float32),    # unnormalized output
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, page_size=ps),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hk, g, d), q.dtype),
+        interpret=interpret,
+    )(page_table, lens.astype(jnp.int32), win, qg, pool_k, pool_v)
+    return out.reshape(b, hq, d)[:, None]
+
+
+__all__ = ["paged_decode_attention_kernel"]

@@ -1,0 +1,214 @@
+"""Paged KV cache: page-pool storage + page-table attention for serving.
+
+The dense serving cache (models/lm.py ``init_kv_cache``) reserves
+``cache_len`` slots per batch row — every slot pays worst-case HBM whether
+its prompt is 8 tokens or 200.  A paged cache decouples rows from storage
+(the vLLM pattern, reshaped for TPU):
+
+- **pool**: per layer, ``{"k","v"}`` of shape ``[num_pages, page_size,
+  kv_heads, head_dim]`` — one shared HBM arena for every in-flight request;
+- **page table**: ``[rows, max_pages]`` int32, shared by all layers; row
+  ``b``'s token at position ``p`` lives at ``(table[b, p // page_size],
+  p % page_size)``.  Pages are assigned in position order, so gathering a
+  row's pages in table order reconstructs its sequence contiguously;
+- **page 0 is the null page**: never allocated, never read unmasked.
+  Writes that must go nowhere (prompt padding, released slots) are
+  redirected to it, which keeps every device program free of conditionals.
+
+Allocation is host-side (``PageAllocator``, a free list) because it is
+control flow, not compute: the device programs take page tables as data and
+stay fixed-shape, so XLA compiles them once.  The decode read has two
+implementations with identical math: a gather-based reference (exact, any
+backend) and a Pallas TPU kernel (ops/paged_attention_kernel.py) that
+streams pages through VMEM with an online softmax instead of materializing
+the per-row gather.
+
+The reference never serves at all (its eval is argmax at supervised
+positions, src/multimodal/multimodal_training.py:273-303); this subsystem
+is a framework addition for deployment, extending serve/continuous.py to
+variable-length and long-context workloads.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def init_paged_kv_cache(cfg, num_pages: int, page_size: int):
+    """Zero per-layer page pools for the paged serving path.
+
+    One ``{"k", "v"}`` dict per layer, each ``[num_pages, page_size,
+    kv_heads, head_dim]`` in the model compute dtype.  Page 0 is the null
+    page — size the pool with one page more than you plan to allocate.
+    """
+    shape = (num_pages, page_size, cfg.num_kv_heads, cfg.head_dim)
+    return tuple(
+        {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
+        for _ in range(cfg.num_layers)
+    )
+
+
+def pages_needed(num_tokens: int, page_size: int) -> int:
+    return -(-int(num_tokens) // page_size)
+
+
+class PagePoolExhausted(RuntimeError):
+    """Raised by ``PageAllocator.alloc`` when the pool cannot cover a
+    request.  Serving fronts treat it as backpressure (hold and retry after
+    a release), not as a request failure."""
+
+
+class PageAllocator:
+    """Host-side free list over pages ``1..num_pages-1`` (0 = null page).
+
+    Pure bookkeeping — the device never sees it; admission turns its
+    output into page-table rows.  Not thread-safe by itself (the serving
+    fronts drive it from their single worker thread).
+    """
+
+    def __init__(self, num_pages: int):
+        assert num_pages >= 2, "need at least the null page plus one"
+        self.num_pages = num_pages
+        self._free: List[int] = list(range(num_pages - 1, 0, -1))  # pop() -> low ids first
+
+    @property
+    def available(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> List[int]:
+        if n > len(self._free):
+            raise PagePoolExhausted(
+                f"need {n} pages, {len(self._free)} free of {self.num_pages - 1}"
+            )
+        return [self._free.pop() for _ in range(n)]
+
+    def free(self, pages: List[int]) -> None:
+        for p in pages:
+            assert 0 < p < self.num_pages, f"bad page id {p}"
+            assert p not in self._free, f"double free of page {p}"
+            self._free.append(p)
+
+
+def write_prompt_kv(pool: jax.Array, page_table: jax.Array, lens: jax.Array,
+                    kv: jax.Array) -> jax.Array:
+    """Scatter a prompt's K or V rows into their pages.
+
+    pool: [P, ps, hk, d]; page_table: [B, NP]; lens: [B] true prompt
+    lengths (right-padded layout); kv: [B, T, hk, d].  Positions >= lens
+    land on the null page.  Returns the updated pool.
+    """
+    b, t = kv.shape[:2]
+    ps = pool.shape[1]
+    pos = jnp.arange(t)[None, :]                       # [1, T]
+    valid = pos < lens[:, None]                        # [B, T]
+    rows = jnp.arange(b)[:, None]
+    page = jnp.where(valid, page_table[rows, pos // ps], 0)
+    off = pos % ps
+    off = jnp.broadcast_to(off, (b, t))
+    return pool.at[page, off].set(kv.astype(pool.dtype))
+
+
+def write_token_kv(pool: jax.Array, page_table: jax.Array, slots: jax.Array,
+                   kv: jax.Array) -> jax.Array:
+    """Scatter one new token's K or V per row at position ``slots``.
+
+    pool: [P, ps, hk, d]; page_table: [B, NP]; slots: [B] the token's
+    position (== the row's committed length); kv: [B, hk, d].
+    """
+    ps = pool.shape[1]
+    rows = jnp.arange(kv.shape[0])
+    page = page_table[rows, slots // ps]
+    return pool.at[page, slots % ps].set(kv.astype(pool.dtype))
+
+
+def gather_pages(pool: jax.Array, page_table: jax.Array) -> jax.Array:
+    """Reconstruct per-row contiguous KV: [B, NP * ps, hk, d].
+
+    Position ``p`` of row ``b`` comes out at index ``p`` because pages are
+    assigned in position order; entries past a row's length are whatever
+    the null/unwritten pages hold and must be masked by the caller.
+    """
+    b, np_ = page_table.shape
+    _, ps, hk, d = pool.shape
+    return pool[page_table].reshape(b, np_ * ps, hk, d)
+
+
+def paged_attention_mask(lens: jax.Array, total: int,
+                         window: jax.Array) -> jax.Array:
+    """[B, total] bool — which positions a row's newest token attends to.
+
+    lens counts attendable tokens INCLUDING the new one (so the query
+    position is ``lens - 1``); ``window < 0`` means no sliding window.
+    Matches CausalLM.decode_step's cache_mask + in_window semantics.
+    """
+    idx = jnp.arange(total)[None, :]
+    valid = idx < lens[:, None]
+    pos = lens[:, None] - 1
+    return valid & ((window < 0) | (pos - idx < window))
+
+
+def paged_decode_attention(
+    q: jax.Array,
+    pool_k: jax.Array,
+    pool_v: jax.Array,
+    page_table: jax.Array,
+    lens: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    window: Optional[jax.Array] = None,
+    use_kernel: Optional[bool] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """One-token attention against a paged KV pool.
+
+    q: [B, 1, Hq, D]; pools: [P, ps, hk, D]; page_table: [B, NP];
+    lens: [B] attendable tokens per row INCLUDING the new token;
+    window: int32 scalar, sliding window size or -1/None for global.
+    Returns [B, 1, Hq, D].
+
+    ``use_kernel=None`` picks the Pallas kernel on TPU and the exact
+    gather fallback elsewhere; both compute identical math (pinned by
+    tests/test_paged_kv.py).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if window is None:
+        window = jnp.int32(-1)
+    window = jnp.asarray(window, jnp.int32)
+
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if use_kernel:
+        from multimodal_concept_learning_tpu.ops.paged_attention_kernel import (
+            paged_decode_attention_kernel,
+        )
+
+        return paged_decode_attention_kernel(
+            q, pool_k, pool_v, page_table, lens, window,
+            scale=scale, interpret=interpret,
+        )
+
+    from multimodal_concept_learning_tpu.ops.attention import multi_head_attention
+
+    k = gather_pages(pool_k, page_table)
+    v = gather_pages(pool_v, page_table)
+    mask = paged_attention_mask(lens, k.shape[1], window)
+    bias = jnp.where(mask, 0.0, jnp.float32(-1e30))[:, None, None, :]
+    return multi_head_attention(q, k, v, bias=bias, scale=scale,
+                                use_flash=False)
+
+
+__all__ = [
+    "PageAllocator",
+    "PagePoolExhausted",
+    "gather_pages",
+    "init_paged_kv_cache",
+    "paged_attention_mask",
+    "paged_decode_attention",
+    "pages_needed",
+    "write_prompt_kv",
+    "write_token_kv",
+]

@@ -5,7 +5,8 @@ The reference has no inference/serving surface at all (SURVEY.md — its eval
 is teacher-forced argmax at supervised positions); this package is the
 framework's deployment path over the KV-cache decode loop (models/mllm),
 composing with int8 weight quantization (ops/quant.py), sampling
-(ops/sampling.py), and mesh-sharded decode (parallel/serving.py).
+(ops/sampling.py), mesh-sharded decode (parallel/serving.py), and a paged
+KV cache (ops/paged_kv.py, serve/paged.py) for long-context serving.
 """
 
 from multimodal_concept_learning_tpu.serve.engine import Batcher, ServingEngine

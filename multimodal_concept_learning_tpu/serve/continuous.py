@@ -289,33 +289,53 @@ class ContinuousBatcher:
         slot.pending.event.set()
         self._slots[i] = None
         self.stats["requests"] += 1
+        self._release(i)
+
+    def _release(self, i: int):
+        """Hand a retired slot back to engines with reclaimable resources
+        (the paged engine frees the slot's KV pages here)."""
+        rel = getattr(self.engine, "release", None)
+        if rel is not None:
+            rel(i)
 
     def _worker(self):
         eng = self.engine
-        holdover = None  # request seen while no slot was free (keeps FIFO)
+        held = []  # requests seen while no slot/pages were free (keeps FIFO)
         while not self._stop:
             # block when completely idle; otherwise drain without waiting
-            idle = holdover is None and all(s is None for s in self._slots)
-            if holdover is not None:
-                nxt, holdover = holdover, None
+            idle = not held and all(s is None for s in self._slots)
+            if held:
+                nxt = held.pop(0)
             else:
                 try:
                     nxt = self._q.get(block=idle)
                 except queue.Empty:
                     nxt = None
-            # drain the queue into every free slot, then admit the whole
+            # drain held + queue into every free slot, then admit the whole
             # group with ONE batched prefill dispatch
             incoming = []
             n_free = self._slots.count(None)
             while nxt is not None:
                 if len(incoming) >= n_free:
-                    holdover = nxt  # no slot free: admit first next iteration
+                    held.insert(0, nxt)  # no slot free: admit next iteration
                     break
                 incoming.append(nxt)
-                try:
-                    nxt = self._q.get(block=False)
-                except queue.Empty:
-                    nxt = None
+                if held:
+                    nxt = held.pop(0)
+                else:
+                    try:
+                        nxt = self._q.get(block=False)
+                    except queue.Empty:
+                        nxt = None
+            # paged-engine backpressure: admit only the FIFO prefix whose KV
+            # pages fit right now; in-flight completions release pages, so
+            # the held tail retries every loop iteration
+            cap_fn = getattr(eng, "admissible_prefix", None)
+            if incoming and cap_fn is not None:
+                k = cap_fn([r.prompt for r in incoming])
+                if k < len(incoming):
+                    held[:0] = incoming[k:]
+                    incoming = incoming[:k]
             if incoming:
                 free_slots = [i for i, s in enumerate(self._slots) if s is None]
                 batch = [(free_slots[i], r.image, r.prompt)
@@ -354,6 +374,10 @@ class ContinuousBatcher:
                         s.pending.error = e
                         s.pending.event.set()
                         self._slots[i] = None
+                        try:
+                            self._release(i)
+                        except Exception:  # noqa: BLE001 — engine is already dead
+                            pass
                 self._stop = True
                 break
             self.stats["steps"] += 1

@@ -1,0 +1,309 @@
+"""Paged continuous batching: slot-level serving over a shared KV page pool.
+
+``serve/continuous.py`` keeps one dense cache row per slot — every slot
+reserves ``cache_len`` tokens of HBM whether its prompt uses them or not.
+This engine stores KV in a shared page pool (ops/paged_kv.py) instead:
+
+- **admission** reserves exactly the pages a request's lifetime needs
+  (``ceil((prompt_len + max_new_tokens + steps_per_call) / page_size)``,
+  from its REAL prompt length) and prefills straight into them — one
+  fixed-shape device program, same as the dense engine;
+- **decode** advances every slot one token per scan iteration against the
+  pool (CausalLM.decode_step_paged; on TPU the Pallas paged-attention
+  kernel, ops/paged_attention_kernel.py);
+- **release** returns a finished request's pages to the free list and
+  zeroes its page-table row, so a stale slot's decode writes land on the
+  null page and can never corrupt a page the allocator re-issued.
+
+Whole-lifetime reservation keeps the device programs free of mid-flight
+allocation (no preemption/eviction machinery, no OOM inside a scan): the
+free list is the single backpressure point.  ``admissible_prefix`` tells
+the batcher how many queued requests fit RIGHT NOW; the rest wait for
+releases.  The win over the dense engine is the gap between actual and
+worst-case prompt lengths — with ``page_size`` p and prompts of length L
+in a ``max_prompt_len`` M engine, each slot holds ~ceil(L/p) instead of
+ceil(M/p) pages — which is what makes long-context configurations (large
+M, mixed L) servable at all.
+
+The reference never serves (its eval is argmax at supervised positions,
+src/multimodal/multimodal_training.py:273-303); this is a framework
+addition, API-compatible with ``ContinuousBatcher``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_concept_learning_tpu.ops.paged_kv import (
+    PageAllocator,
+    PagePoolExhausted,
+    init_paged_kv_cache,
+    pages_needed,
+)
+
+
+class PagedContinuousEngine:
+    """Persistent paged-decode engine; drop-in engine for ContinuousBatcher."""
+
+    def __init__(
+        self,
+        loaded,
+        num_slots: int = 8,
+        max_new_tokens: int = 8,
+        max_prompt_len: int = 64,
+        page_size: int = 16,
+        num_pages: Optional[int] = None,
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        seed: int = 0,
+        steps_per_call: int = 1,
+    ):
+        from multimodal_concept_learning_tpu.ops.sampling import sample_logits
+
+        self.loaded = loaded
+        self.num_slots = num_slots
+        self.max_new_tokens = max_new_tokens
+        self.max_prompt_len = max_prompt_len
+        self.page_size = page_size
+        self.steps_per_call = steps_per_call
+        cfg = loaded.config
+        tok = loaded.tokenizer
+        self.eos_id = getattr(tok, "eos_token_id", None)
+        self.pad_id = getattr(tok, "pad_token_id", 0) or 0
+        self.nvt = cfg.num_vision_tokens
+        self.prompt_t = self.nvt + max_prompt_len
+        # pages covering one worst-case request lifetime (prompt + budget +
+        # chunk overshoot slack, mirroring the dense engine's cache_len)
+        self.max_pages_per_seq = pages_needed(
+            self.prompt_t + max_new_tokens + steps_per_call, page_size
+        )
+        if num_pages is None:
+            # worst case: every slot holds a maximal request (+ null page) —
+            # operators size it down when prompts are shorter than the max
+            num_pages = num_slots * self.max_pages_per_seq + 1
+        assert num_pages - 1 >= self.max_pages_per_seq, (
+            f"pool of {num_pages - 1} usable pages cannot hold even one "
+            f"maximal request ({self.max_pages_per_seq} pages)"
+        )
+        self.num_pages = num_pages
+        self.allocator = PageAllocator(num_pages)
+        self._slot_pages: List[List[int]] = [[] for _ in range(num_slots)]
+        self._key = jax.random.key(seed)
+
+        model = loaded.model
+        lm_cfg = model.config.lm
+        np_max = self.max_pages_per_seq
+
+        # persistent device state
+        self.pools = init_paged_kv_cache(lm_cfg, num_pages, page_size)
+        self.page_table = jnp.zeros((num_slots, np_max), jnp.int32)
+        self.seq_lens = jnp.zeros((num_slots,), jnp.int32)
+        self.caps = jnp.zeros((num_slots,), jnp.int32)
+        self.last_tok = jnp.zeros((num_slots,), jnp.int32)
+
+        def head(p, h):
+            return model.apply({"params": p}, h,
+                               method=lambda m, x: m.language_model.lm_head(x))
+
+        def sample(logits, key):
+            return sample_logits(logits, key, temperature=temperature,
+                                 top_k=top_k, top_p=top_p)
+
+        @partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
+        def admit(p, pools, page_table, seq_lens, caps, last_tok, slots,
+                  valid, pt_rows, cap_rows, images, ids, mask, key):
+            """Prefill up to ``num_slots`` requests in ONE batched call,
+            writing K/V straight into the shared pools via the requests'
+            page-table rows (padding rows carry all-null rows, so their
+            writes hit page 0), then install the per-slot bookkeeping.
+            ``slots`` is a permutation prefix — see ContinuousEngine.admit.
+            """
+            a = images.shape[0]
+            hidden, pools = model.apply(
+                {"params": p}, images, ids, mask, pools, pt_rows,
+                method=lambda m, *x: m.prefill_paged(*x),
+            )
+            plens = mask.sum(axis=1).astype(jnp.int32)
+            rows_a = jnp.arange(a)
+            firsts = sample(head(p, hidden[rows_a, plens - 1]), key).astype(jnp.int32)
+
+            page_table = page_table.at[slots].set(
+                jnp.where(valid[:, None], pt_rows, page_table[slots]))
+            seq_lens = seq_lens.at[slots].set(jnp.where(valid, plens, seq_lens[slots]))
+            caps = caps.at[slots].set(jnp.where(valid, cap_rows, caps[slots]))
+            last_tok = last_tok.at[slots].set(jnp.where(valid, firsts, last_tok[slots]))
+            return pools, page_table, seq_lens, caps, last_tok, firsts
+
+        @partial(jax.jit, donate_argnums=(1, 3, 4))
+        def step(p, pools, page_table, seq_lens, last_tok, caps, active, key):
+            """Advance every active slot ``steps_per_call`` tokens.  Rows
+            past their cap (or inactive) stay inert: their pool write lands
+            on the null page (released slots' page-table rows are zeroed)
+            and their seq_lens/last_tok freeze."""
+
+            def body(carry, step_key):
+                pools, seq_lens, last_tok = carry
+                can_write = active & (seq_lens < caps)
+                emb = model.apply(
+                    {"params": p}, last_tok[:, None],
+                    method=lambda m, ids: m.language_model.embed(ids),
+                )
+                hidden, pools = model.apply(
+                    {"params": p}, emb, pools, page_table, seq_lens,
+                    method=lambda m, *a: m.language_model.decode_step_paged(*a),
+                )
+                nxt = sample(head(p, hidden[:, 0]), step_key).astype(jnp.int32)
+                seq_lens = seq_lens + can_write.astype(jnp.int32)
+                last_tok = jnp.where(can_write, nxt, last_tok)
+                return (pools, seq_lens, last_tok), nxt
+
+            keys = jax.random.split(key, self.steps_per_call)
+            (pools, seq_lens, last_tok), toks = jax.lax.scan(
+                body, (pools, seq_lens, last_tok), keys
+            )
+            return pools, seq_lens, last_tok, toks.T  # [slots, K]
+
+        self._admit = admit
+        self._step = step
+
+    # -- host-side API -------------------------------------------------------
+
+    def preprocess_image(self, pil_image) -> np.ndarray:
+        """PIL image -> [3, H, W] float array via the training's eval transform."""
+        out = self.loaded.transform(pil_image.convert("RGB"))
+        return np.asarray(out, dtype=np.float32)
+
+    def _request_pages(self, prompt: str) -> int:
+        enc = self.loaded.tokenizer.encode(prompt)[: self.max_prompt_len]
+        lifetime = self.nvt + len(enc) + self.max_new_tokens + self.steps_per_call
+        return pages_needed(lifetime, self.page_size)
+
+    def admissible_prefix(self, prompts: Sequence[str]) -> int:
+        """How many of ``prompts`` (in order) fit the free list right now.
+        The batcher holds the rest until releases free pages."""
+        avail = self.allocator.available
+        n = 0
+        for p in prompts:
+            need = self._request_pages(p)
+            if need > avail:
+                break
+            avail -= need
+            n += 1
+        return n
+
+    def admit_many(self, requests) -> List[int]:
+        """Install up to ``num_slots`` requests in one batched prefill call.
+
+        requests: list of (slot, image, prompt) with distinct free slots.
+        Raises PagePoolExhausted (before touching any state) if the free
+        list cannot cover them all — callers gate with admissible_prefix.
+        Returns each request's first generated token (same order).
+        """
+        assert 0 < len(requests) <= self.num_slots
+        cfg = self.loaded.config
+        tok = self.loaded.tokenizer
+        np_max = self.max_pages_per_seq
+        # bucketed admission width (see ContinuousEngine.admit_many)
+        a = 1
+        while a < len(requests):
+            a *= 2
+        a = min(a, self.num_slots)
+
+        # allocate every request's lifetime pages up front; roll back on
+        # exhaustion so a failed batch leaves the allocator untouched
+        allocs: List[List[int]] = []
+        try:
+            for _, _, prompt in requests:
+                allocs.append(self.allocator.alloc(self._request_pages(prompt)))
+        except PagePoolExhausted:
+            for pages in allocs:
+                self.allocator.free(pages)
+            raise
+
+        img = np.zeros((a, 3, cfg.image_size, cfg.image_size), np.float32)
+        ids = np.full((a, self.prompt_t), self.pad_id, np.int32)
+        mask = np.zeros((a, self.prompt_t), np.int32)
+        valid = np.zeros((a,), bool)
+        pt_rows = np.zeros((a, np_max), np.int32)
+        cap_rows = np.zeros((a,), np.int32)
+        used = [s for s, _, _ in requests]
+        leftovers = [s for s in range(self.num_slots) if s not in used]
+        slots = np.asarray(used + leftovers[: a - len(used)], np.int32)
+        for i, (slot, image, prompt) in enumerate(requests):
+            img[i] = image
+            mask[i, : self.nvt] = 1
+            enc = tok.encode(prompt)[: self.max_prompt_len]
+            ids[i, self.nvt:self.nvt + len(enc)] = enc
+            mask[i, : self.nvt + len(enc)] = 1
+            valid[i] = True
+            pt_rows[i, : len(allocs[i])] = allocs[i]
+            cap_rows[i] = (self.nvt + len(enc) + self.max_new_tokens
+                           + self.steps_per_call)
+            self._slot_pages[slot] = allocs[i]
+        self._key, key = jax.random.split(self._key)
+        (self.pools, self.page_table, self.seq_lens, self.caps,
+         self.last_tok, firsts) = self._admit(
+            self.loaded.params, self.pools, self.page_table, self.seq_lens,
+            self.caps, self.last_tok, jnp.asarray(slots), jnp.asarray(valid),
+            jnp.asarray(pt_rows), jnp.asarray(cap_rows), jnp.asarray(img),
+            jnp.asarray(ids), jnp.asarray(mask), key,
+        )
+        firsts = np.asarray(firsts)
+        return [int(firsts[i]) for i in range(len(requests))]
+
+    def admit(self, slot: int, image: np.ndarray, prompt: str) -> int:
+        """Install a request into ``slot``; returns its first generated token."""
+        return self.admit_many([(slot, image, prompt)])[0]
+
+    def step(self, active: np.ndarray) -> np.ndarray:
+        """One decode call for all slots; returns [num_slots, steps_per_call]
+        new tokens (tokens past a row's EOS are overshoot — callers truncate)."""
+        self._key, key = jax.random.split(self._key)
+        self.pools, self.seq_lens, self.last_tok, nxt = self._step(
+            self.loaded.params, self.pools, self.page_table, self.seq_lens,
+            self.last_tok, self.caps, jnp.asarray(active), key,
+        )
+        return np.asarray(nxt)
+
+    def release(self, slot: int) -> None:
+        """Return a finished slot's pages and null out its page-table row
+        (so the slot's inert decode writes can never touch reissued pages).
+        The batcher calls this from _finish and from failure cleanup."""
+        pages = self._slot_pages[slot]
+        if not pages:
+            return
+        self._slot_pages[slot] = []
+        self.allocator.free(pages)
+        self.page_table = self.page_table.at[slot].set(0)
+
+    def decode_text(self, token_ids: List[int]) -> str:
+        row = token_ids
+        if self.eos_id is not None and self.eos_id in row:
+            row = row[: row.index(self.eos_id)]
+        return self.loaded.tokenizer.decode(
+            [int(x) for x in row if int(x) >= 0], skip_special_tokens=True
+        ).strip()
+
+    # -- accounting ----------------------------------------------------------
+
+    def pool_bytes(self) -> int:
+        """HBM held by the KV pools (all layers, both of k/v)."""
+        return sum(int(p["k"].nbytes + p["v"].nbytes) for p in self.pools)
+
+    def dense_equivalent_bytes(self) -> int:
+        """What serve/continuous.py's dense cache would hold for the same
+        num_slots / max_prompt_len / max_new_tokens / steps_per_call."""
+        lm = self.loaded.model.config.lm
+        cache_len = self.prompt_t + self.max_new_tokens + self.steps_per_call
+        per = (self.num_slots * cache_len * lm.num_kv_heads * lm.head_dim
+               * jnp.zeros((), lm.dtype).nbytes)
+        return 2 * lm.num_layers * per
+
+
+__all__ = ["PagedContinuousEngine", "PagePoolExhausted"]

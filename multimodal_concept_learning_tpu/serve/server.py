@@ -123,18 +123,35 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
                 batch_size: int = 8, max_wait_ms: float = 20.0,
                 max_new_tokens: int = 8, max_prompt_len: int = 64,
                 temperature: float = 0.0, top_k=None, top_p=None, seed: int = 0,
-                continuous: bool = False, steps_per_call: int = 4):
+                continuous: bool = False, steps_per_call: int = 4,
+                paged: bool = False, page_size: int = 16,
+                num_pages=None):
     """Build (ThreadingHTTPServer, batcher); caller runs serve_forever().
 
     ``continuous=True`` uses slot-level continuous batching
     (serve/continuous.py: requests admit/retire individually, one decode
     program advances all in-flight rows) instead of whole-batch coalescing.
+    ``paged=True`` (implies continuous) stores KV in a shared page pool
+    (serve/paged.py) — size it with ``num_pages``/``page_size``; a full
+    pool holds queued requests instead of failing them.
     """
     from multimodal_concept_learning_tpu.serve.loader import load_trained_mllm
 
     loaded = load_trained_mllm(results_dir, checkpoint=checkpoint, int8=int8,
                                int8_vision=int8_vision)
-    if continuous:
+    if paged:
+        from multimodal_concept_learning_tpu.serve.continuous import ContinuousBatcher
+        from multimodal_concept_learning_tpu.serve.paged import PagedContinuousEngine
+
+        engine = PagedContinuousEngine(
+            loaded, num_slots=batch_size, max_new_tokens=max_new_tokens,
+            max_prompt_len=max_prompt_len, page_size=page_size,
+            num_pages=num_pages, temperature=temperature,
+            top_k=top_k, top_p=top_p, seed=seed,
+            steps_per_call=steps_per_call,
+        )
+        batcher = ContinuousBatcher(engine)
+    elif continuous:
         from multimodal_concept_learning_tpu.serve.continuous import (
             ContinuousBatcher,
             ContinuousEngine,
@@ -178,6 +195,14 @@ def main(argv=None):
     parser.add_argument("--steps_per_call", type=int, default=4,
                         help="continuous mode: tokens decoded per device "
                              "dispatch (amortizes roundtrip latency)")
+    parser.add_argument("--paged", action="store_true",
+                        help="continuous batching over a shared KV page "
+                             "pool (serve/paged.py)")
+    parser.add_argument("--page_size", type=int, default=16,
+                        help="paged mode: tokens per KV page")
+    parser.add_argument("--num_pages", type=int, default=None,
+                        help="paged mode: pool size in pages (default: "
+                             "worst case for batch_size slots)")
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--top_k", type=int, default=None)
     parser.add_argument("--top_p", type=float, default=None)
@@ -192,7 +217,8 @@ def main(argv=None):
         max_new_tokens=args.max_new_tokens, max_prompt_len=args.max_prompt_len,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
         seed=args.sample_seed, continuous=args.continuous,
-        steps_per_call=args.steps_per_call,
+        steps_per_call=args.steps_per_call, paged=args.paged,
+        page_size=args.page_size, num_pages=args.num_pages,
     )
     print(f"Serving on http://{args.host}:{args.port} "
           f"(batch_size={args.batch_size}, max_wait_ms={args.max_wait_ms})")

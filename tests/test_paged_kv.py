@@ -1,0 +1,304 @@
+"""Paged KV cache (ops/paged_kv.py, serve/paged.py).
+
+Layered parity pins: the Pallas kernel against the gather reference, the
+paged LM decode against the dense decode, and the paged continuous-batching
+front against isolated whole-prompt generation — plus the allocator's
+bookkeeping (rollback on exhaustion, full reclamation after serving).
+"""
+
+import threading
+
+import numpy as np
+import pytest
+from PIL import Image
+
+COLORS = [[255, 0, 0], [0, 255, 0]]
+
+
+def _circle_image(rgb, size=32):
+    img = Image.new("RGB", (size, size), (255, 255, 255))
+    px = img.load()
+    cx = cy = size // 2
+    for x in range(size):
+        for y in range(size):
+            if (x - cx) ** 2 + (y - cy) ** 2 <= (size // 3) ** 2:
+                px[x, y] = tuple(rgb)
+    return img
+
+
+def _prompts():
+    return [
+        "Is the color of the circle red?",
+        "Is the color of the circle green?",
+        "Is the color of the circle blue?",
+        "Is the color of the circle orange?",
+        "Is the color of the circle pink?",
+    ]
+
+
+@pytest.fixture(scope="module")
+def loaded(trained_results_dir):
+    from multimodal_concept_learning_tpu.serve import load_trained_mllm
+
+    return load_trained_mllm(trained_results_dir, verbose=False)
+
+
+def test_page_allocator():
+    from multimodal_concept_learning_tpu.ops.paged_kv import (
+        PageAllocator,
+        PagePoolExhausted,
+    )
+
+    alloc = PageAllocator(6)  # pages 1..5 usable
+    assert alloc.available == 5
+    a = alloc.alloc(3)
+    assert len(a) == 3 and 0 not in a
+    with pytest.raises(PagePoolExhausted):
+        alloc.alloc(3)
+    assert alloc.available == 2  # failed alloc takes nothing
+    b = alloc.alloc(2)
+    assert set(a).isdisjoint(b)
+    alloc.free(a)
+    c = alloc.alloc(3)
+    assert set(c) <= set(a)  # freed pages get reissued
+    alloc.free(b)
+    alloc.free(c)
+    assert alloc.available == 5
+
+
+@pytest.mark.parametrize("gqa_group", [1, 4])
+@pytest.mark.parametrize("window", [-1, 5])
+def test_paged_decode_kernel_matches_gather(gqa_group, window):
+    """The Pallas kernel (interpret mode) == the gather reference, across
+    GQA grouping, sliding windows, and ragged row lengths."""
+    import jax.numpy as jnp
+
+    from multimodal_concept_learning_tpu.ops.paged_kv import paged_decode_attention
+
+    rng = np.random.default_rng(0)
+    b, np_, ps, hk, d = 3, 4, 8, 2, 64
+    hq = hk * gqa_group
+    p = 1 + b * np_
+    pool_k = jnp.asarray(rng.standard_normal((p, ps, hk, d)), jnp.float32)
+    pool_v = jnp.asarray(rng.standard_normal((p, ps, hk, d)), jnp.float32)
+    pt = jnp.asarray(np.arange(1, 1 + b * np_).reshape(b, np_), jnp.int32)
+    lens = jnp.asarray([1, 13, 32], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, 1, hq, d)), jnp.float32)
+
+    ref = paged_decode_attention(q, pool_k, pool_v, pt, lens,
+                                 window=jnp.int32(window), use_kernel=False)
+    ker = paged_decode_attention(q, pool_k, pool_v, pt, lens,
+                                 window=jnp.int32(window), use_kernel=True,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lm_paged_matches_dense():
+    """prefill_paged + decode_step_paged == prefill + decode_step on a tiny
+    Gemma-3-featured LM (qk-norm, sandwich norms, alternating sliding and
+    global layers) with ragged right-padded prompts."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_concept_learning_tpu.models.lm import (
+        CausalLM,
+        LMConfig,
+        init_kv_cache,
+    )
+    from multimodal_concept_learning_tpu.ops.paged_kv import init_paged_kv_cache
+
+    cfg = LMConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=4,
+        num_heads=4, num_kv_heads=2, head_dim=16, use_qk_norm=True,
+        sandwich_norms=True, sliding_window=6, sliding_window_pattern=2,
+        query_pre_attn_scalar=16.0, dtype=jnp.float32,
+    )
+    model = CausalLM(cfg)
+    key = jax.random.key(0)
+    params = model.init(key, jnp.zeros((1, 4), jnp.int32))["params"]
+
+    b, t, n_new, ps = 2, 10, 4, 4
+    s = t + n_new
+    rng = np.random.default_rng(1)
+    embeds = jnp.asarray(rng.standard_normal((b, t, cfg.hidden_size)) * 0.1,
+                         jnp.float32)
+    plens = np.asarray([10, 7], np.int32)
+    mask = jnp.asarray(np.arange(t)[None, :] < plens[:, None], jnp.int32)
+
+    caches = init_kv_cache(cfg, b, s)
+    hid_d, caches = model.apply({"params": params}, embeds, mask, caches,
+                                method=CausalLM.prefill)
+
+    np_max = -(-s // ps)
+    pools = init_paged_kv_cache(cfg, 1 + b * np_max, ps)
+    pt = jnp.asarray(np.arange(1, 1 + b * np_max).reshape(b, np_max), jnp.int32)
+    hid_p, pools = model.apply({"params": params}, embeds, mask, pools, pt,
+                               method=CausalLM.prefill_paged)
+    # padded rows of the hidden output are garbage on both paths; compare
+    # only real positions
+    for i in range(b):
+        np.testing.assert_allclose(
+            np.asarray(hid_p[i, : plens[i]]), np.asarray(hid_d[i, : plens[i]]),
+            rtol=2e-5, atol=2e-5,
+        )
+
+    seq_lens = jnp.asarray(plens)
+    cache_mask = jnp.zeros((b, s), jnp.int32).at[:, :t].set(mask)
+    rows = jnp.arange(b)
+    for step in range(n_new):
+        emb = jnp.asarray(
+            rng.standard_normal((b, 1, cfg.hidden_size)) * 0.1, jnp.float32)
+        cache_mask = cache_mask.at[rows, seq_lens].set(1)
+        hd, caches = model.apply({"params": params}, emb, caches, seq_lens,
+                                 cache_mask, method=CausalLM.decode_step)
+        hp, pools = model.apply({"params": params}, emb, pools, pt, seq_lens,
+                                method=CausalLM.decode_step_paged)
+        np.testing.assert_allclose(np.asarray(hp), np.asarray(hd),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"step {step}")
+        seq_lens = seq_lens + 1
+
+
+def test_paged_continuous_backpressure_matches_isolated(loaded):
+    """5 concurrent requests through 3 slots whose page pool only holds TWO
+    requests at a time: the batcher must hold the overflow (admissible_prefix
+    backpressure), reuse released pages, and still produce token-exact
+    isolated-generate texts; afterwards every page is back in the free list."""
+    from multimodal_concept_learning_tpu.ops.paged_kv import pages_needed
+    from multimodal_concept_learning_tpu.serve import ServingEngine
+    from multimodal_concept_learning_tpu.serve.continuous import ContinuousBatcher
+    from multimodal_concept_learning_tpu.serve.paged import PagedContinuousEngine
+
+    n_new, plen, ps = 4, 16, 8
+    ref = ServingEngine(loaded, batch_size=1, max_new_tokens=n_new,
+                        max_prompt_len=plen)
+    imgs = [ref.preprocess_image(_circle_image(COLORS[i % 2]))
+            for i in range(5)]
+    want = [ref.generate([imgs[i]], [p])[0] for i, p in enumerate(_prompts())]
+
+    nvt = loaded.config.num_vision_tokens
+    tok = loaded.tokenizer
+    per_req = max(
+        pages_needed(nvt + len(tok.encode(p)[:plen]) + n_new + 1, ps)
+        for p in _prompts()
+    )
+    engine = PagedContinuousEngine(
+        loaded, num_slots=3, max_new_tokens=n_new, max_prompt_len=plen,
+        page_size=ps, num_pages=2 * per_req + 1,
+    )
+    assert engine.pool_bytes() < engine.dense_equivalent_bytes()
+    batcher = ContinuousBatcher(engine)
+    results = {}
+
+    def call(i, prompt):
+        results[i] = batcher.submit(imgs[i], prompt, timeout=600)
+
+    threads = [threading.Thread(target=call, args=(i, p))
+               for i, p in enumerate(_prompts())]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    batcher.shutdown()
+
+    assert len(results) == 5
+    for i in range(5):
+        assert results[i] == want[i], (i, results[i], want[i])
+    assert batcher.stats["requests"] == 5
+    # every request released its pages on completion
+    assert engine.allocator.available == 2 * per_req
+    assert all(not pages for pages in engine._slot_pages)
+
+
+def test_paged_chunked_steps_same_text(loaded):
+    """steps_per_call > 1 over the paged cache: chunk overshoot stays within
+    the reserved pages and texts match the isolated engine."""
+    from multimodal_concept_learning_tpu.serve import ServingEngine
+    from multimodal_concept_learning_tpu.serve.continuous import ContinuousBatcher
+    from multimodal_concept_learning_tpu.serve.paged import PagedContinuousEngine
+
+    n_new, plen = 5, 16
+    ref = ServingEngine(loaded, batch_size=1, max_new_tokens=n_new,
+                        max_prompt_len=plen)
+    imgs = [ref.preprocess_image(_circle_image(COLORS[i % 2]))
+            for i in range(3)]
+    want = [ref.generate([imgs[i]], [p])[0]
+            for i, p in enumerate(_prompts()[:3])]
+
+    engine = PagedContinuousEngine(loaded, num_slots=2, max_new_tokens=n_new,
+                                   max_prompt_len=plen, page_size=8,
+                                   steps_per_call=3)
+    batcher = ContinuousBatcher(engine)
+    got = [batcher.submit(imgs[i], _prompts()[i], timeout=600)
+           for i in range(3)]
+    batcher.shutdown()
+    assert got == want
+
+
+def test_http_server_paged_mode(trained_results_dir):
+    """--paged: the HTTP front serves over the page-pool engine end to end."""
+    import base64
+    import http.client
+    import io
+    import json
+
+    from multimodal_concept_learning_tpu.serve.paged import PagedContinuousEngine
+    from multimodal_concept_learning_tpu.serve.server import make_server
+
+    httpd, batcher = make_server(
+        trained_results_dir, port=0, batch_size=2, max_new_tokens=2,
+        max_prompt_len=16, paged=True, page_size=8,
+    )
+    assert isinstance(batcher.engine, PagedContinuousEngine)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        buf = io.BytesIO()
+        _circle_image(COLORS[0]).save(buf, format="PNG")
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/generate", body=json.dumps({
+            "prompt": "Is the color of the circle red?",
+            "image_b64": base64.b64encode(buf.getvalue()).decode(),
+        }), headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        body = json.loads(r.read())
+        assert r.status == 200, body
+        conn.close()
+        # the request's pages went back to the pool on completion
+        eng = batcher.engine
+        assert eng.allocator.available == eng.num_pages - 1
+    finally:
+        httpd.shutdown()
+        batcher.shutdown()
+
+
+def test_admit_exhaustion_rolls_back(loaded):
+    """admit_many past the pool raises PagePoolExhausted BEFORE touching any
+    state; the same engine then serves a single request normally."""
+    from multimodal_concept_learning_tpu.ops.paged_kv import pages_needed
+    from multimodal_concept_learning_tpu.serve.paged import (
+        PagedContinuousEngine,
+        PagePoolExhausted,
+    )
+
+    n_new, ps = 2, 8
+    nvt = loaded.config.num_vision_tokens
+    tok = loaded.tokenizer
+    prompt = _prompts()[0]
+    # max_prompt_len == this prompt's true length, so one actual request is
+    # exactly the constructor's one-maximal-request pool floor
+    plen = len(tok.encode(prompt))
+    per_req = pages_needed(nvt + plen + n_new + 1, ps)
+    engine = PagedContinuousEngine(
+        loaded, num_slots=2, max_new_tokens=n_new, max_prompt_len=plen,
+        page_size=ps, num_pages=per_req + 1,  # exactly one request fits
+    )
+    img = engine.preprocess_image(_circle_image(COLORS[0]))
+    assert engine.admissible_prefix([prompt, prompt]) == 1
+    with pytest.raises(PagePoolExhausted):
+        engine.admit_many([(0, img, prompt), (1, img, prompt)])
+    assert engine.allocator.available == per_req  # rollback left it intact
+    first = engine.admit(0, img, prompt)
+    assert isinstance(first, int)
+    engine.release(0)
+    assert engine.allocator.available == per_req
