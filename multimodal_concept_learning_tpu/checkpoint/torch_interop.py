@@ -301,7 +301,12 @@ def _lm_entry_to_torch(rel: str, arr: np.ndarray):
         i = parts[0].split("_")[1]
         base = f"model.layers.{i}"
         if parts[1] == "self_attn":
-            sub = parts[2]  # q/k/v/o_proj or q/k_norm
+            sub = parts[2]  # q/k/v/o_proj, q/k_norm, or *_proj_lora
+            if sub.endswith("_lora"):
+                # Framework-extension LoRA factors (ops/lora.py): no HF
+                # reference naming exists; stored verbatim under a stable
+                # scheme that round-trips through _lm_entry_from_torch.
+                return f"{base}.self_attn.{sub}.{parts[3]}", arr
             if sub in ("q_norm", "k_norm"):  # (head_dim,) RMSNorm weights
                 return f"{base}.self_attn.{sub}.weight", arr
             if sub == "o_proj":  # (heads, hd, H)
@@ -311,6 +316,8 @@ def _lm_entry_to_torch(rel: str, arr: np.ndarray):
             return f"{base}.self_attn.{sub}.weight", arr.reshape(h, -1).T
         if parts[1] in ("gate_proj", "up_proj", "down_proj"):
             return f"{base}.mlp.{parts[1]}.weight", arr.T
+        if parts[1].endswith("_lora"):  # MLP LoRA factors, verbatim
+            return f"{base}.mlp.{parts[1]}.{parts[2]}", arr
         if parts[1] == "moe":
             # Framework-extension MoE layer (ops/moe.py): no HF reference
             # naming exists, so use a stable scheme that round-trips through

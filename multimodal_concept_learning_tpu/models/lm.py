@@ -81,6 +81,13 @@ class LMConfig:
     # [E,...] so EP shards their leading axis over the mesh's model axis).
     moe_experts: int = 0
     moe_top_k: int = 2
+    # LoRA adapters (framework extension — a 4th trainable_params_setting,
+    # "language_lora"): rank-r additive deltas on every attention/MLP
+    # projection (ops/lora.py).  0 = off; base weights are untouched and a
+    # fresh adapter is an exact identity (b zero-init).  Not applied to MoE
+    # expert MLPs (adapt the router/attention instead).
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
     dtype: Any = jnp.bfloat16
 
     def layer_is_sliding(self, i: int) -> bool:
@@ -202,6 +209,20 @@ class LMAttention(nn.Module):
         k = proj(cfg.num_kv_heads, "k_proj")(x)
         v = proj(cfg.num_kv_heads, "v_proj")(x)
 
+        if cfg.lora_rank > 0:
+            from multimodal_concept_learning_tpu.ops.lora import LoRAAdapter
+
+            lora = lambda feats, name: LoRAAdapter(  # noqa: E731
+                features=feats, rank=cfg.lora_rank, alpha=cfg.lora_alpha,
+                dtype=cfg.dtype, name=name,
+            )
+            # deltas apply to the projection OUTPUTS (x @ (W + scale*A@B)),
+            # i.e. before qk-norm/rope — the effective-weight semantics
+            # merge_lora_params folds into the kernels
+            q = q + lora(cfg.num_heads * cfg.head_dim, "q_proj_lora")(x).reshape(q.shape)
+            k = k + lora(cfg.num_kv_heads * cfg.head_dim, "k_proj_lora")(x).reshape(k.shape)
+            v = v + lora(cfg.num_kv_heads * cfg.head_dim, "v_proj_lora")(x).reshape(v.shape)
+
         if cfg.use_qk_norm:
             q = RMSNorm(cfg.rms_norm_eps, name="q_norm")(q)
             k = RMSNorm(cfg.rms_norm_eps, name="k_norm")(k)
@@ -251,15 +272,15 @@ class LMAttention(nn.Module):
             new_cache = {"k": ck, "v": cv}
 
         if paged_out is not None:
-            out = paged_out
+            attn = paged_out
         else:
-            out = multi_head_attention(q, k, v, bias=bias, scale=scale, deterministic=deterministic)
+            attn = multi_head_attention(q, k, v, bias=bias, scale=scale, deterministic=deterministic)
         if cfg.int8_weights:
             from multimodal_concept_learning_tpu.ops.quant import QuantDenseGeneral
 
             out = QuantDenseGeneral(
                 features=(cfg.hidden_size,), axis=(-2, -1), name="o_proj",
-            )(out)
+            )(attn)
         else:
             out = nn.DenseGeneral(
                 features=cfg.hidden_size,
@@ -268,7 +289,10 @@ class LMAttention(nn.Module):
                 dtype=cfg.dtype,
                 kernel_init=nn.initializers.normal(0.02),
                 name="o_proj",
-            )(out)
+            )(attn)
+        if cfg.lora_rank > 0:
+            out = out + lora(cfg.hidden_size, "o_proj_lora")(
+                attn.reshape(*attn.shape[:-2], -1))
         if cache is not None:
             return out, new_cache
         return out
@@ -303,8 +327,20 @@ class LMBlock(nn.Module):
             )
         gate = dense(cfg.intermediate_size, "gate_proj")(h)
         up = dense(cfg.intermediate_size, "up_proj")(h)
-        h = nn.gelu(gate, approximate=True) * up
-        return dense(cfg.hidden_size, "down_proj")(h)
+        if cfg.lora_rank > 0:
+            from multimodal_concept_learning_tpu.ops.lora import LoRAAdapter
+
+            lora = lambda feats, name: LoRAAdapter(  # noqa: E731
+                features=feats, rank=cfg.lora_rank, alpha=cfg.lora_alpha,
+                dtype=cfg.dtype, name=name,
+            )
+            gate = gate + lora(cfg.intermediate_size, "gate_proj_lora")(h)
+            up = up + lora(cfg.intermediate_size, "up_proj_lora")(h)
+        y = nn.gelu(gate, approximate=True) * up
+        out = dense(cfg.hidden_size, "down_proj")(y)
+        if cfg.lora_rank > 0:
+            out = out + lora(cfg.hidden_size, "down_proj_lora")(y)
+        return out
 
     @nn.compact
     def __call__(self, x, bias, rope, deterministic: bool = True,

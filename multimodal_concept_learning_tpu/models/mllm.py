@@ -42,7 +42,13 @@ from multimodal_concept_learning_tpu.ops.losses import (
     sparse_answer_cross_entropy,
 )
 
-TRAINABLE_SETTINGS = ("vision_only", "language_only", "language_embed_only")
+TRAINABLE_SETTINGS = (
+    "vision_only", "language_only", "language_embed_only",
+    # framework extension (ops/lora.py): train only the projector + the
+    # LM's LoRA adapter factors — language_only's adaptation class at ~0.1%
+    # of its trainable parameters / gradient all-reduce volume
+    "language_lora",
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,6 +73,8 @@ class MLLMConfig:
         remat_lm_mlp: bool = False,
         lm_moe_experts: int = 0,
         lm_moe_top_k: int = 2,
+        lm_lora_rank: int = 0,
+        lm_lora_alpha: float = 16.0,
     ) -> "MLLMConfig":
         vision = dataclasses.replace(ViTConfig.preset(vision_preset), image_size=image_size)
         lm = dataclasses.replace(
@@ -76,6 +84,8 @@ class MLLMConfig:
             remat_mlp=remat_lm_mlp,
             moe_experts=lm_moe_experts,
             moe_top_k=lm_moe_top_k,
+            lora_rank=lm_lora_rank,
+            lora_alpha=lm_lora_alpha,
         )
         return cls(
             vision=vision,
@@ -310,6 +320,9 @@ def trainable_mask(params, setting: str):
             return "vision_model" in keys
         if setting == "language_only":
             return "language_model" in keys
+        if setting == "language_lora":
+            return "language_model" in keys and any(
+                k.endswith("_lora") for k in keys)
         return "language_model" in keys and "embed_tokens" in keys
 
     return jax.tree_util.tree_map_with_path(lambda path, _: decide(path), params)

@@ -1,0 +1,87 @@
+"""LoRA adapters: low-rank additive deltas on the LM's linear projections.
+
+A framework extension (the reference's only adaptation axes are its three
+trainable_params_settings, src/multimodal/mllm.py:157-193): LoRA adds a
+fourth, ``language_lora`` — adapt the frozen language model through rank-r
+factors ``scale * x @ A @ B`` on every attention and MLP projection while
+the base weights stay untouched.  Where ``language_only`` trains ~1B
+parameters (and ships a full-model gradient through the data-parallel
+all-reduce each step), ``language_lora`` trains ~0.1% of that for a
+comparable adaptation class — on TPU the gradient all-reduce drops from
+model-sized to adapter-sized, which is the difference between
+bandwidth-bound and free at DP width.
+
+TPU shape notes: the adapter matmuls are [*, H]x[H, r] and [*, r]x[r, F]
+with r in {4..64} — far below MXU tile width, so they ride the tail of the
+base projection's fusion rather than earning their own; the measured cost
+of enabling LoRA at inference is ~0 until r approaches the tile size.  For
+serving, fold the factors into the base kernels with
+``merge_lora_params`` and run the plain model (exact-parity tested).
+
+``b`` initializes to zeros, so a fresh adapter is an exact identity: a
+LoRA model at init computes bit-identical outputs to its base model
+(pinned by tests/test_lora.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class LoRAAdapter(nn.Module):
+    """``scale * x @ a @ b`` with a: [in, rank] (normal init), b: [rank,
+    features] (zeros init), scale = alpha / rank."""
+
+    features: int
+    rank: int
+    alpha: float
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param("a", nn.initializers.normal(0.02), (x.shape[-1], self.rank))
+        b = self.param("b", nn.initializers.zeros, (self.rank, self.features))
+        scale = self.alpha / self.rank
+        y = (x.astype(self.dtype) @ a.astype(self.dtype)) @ b.astype(self.dtype)
+        return y * jnp.asarray(scale, self.dtype)
+
+
+def merge_lora_params(params, alpha: float):
+    """Fold every ``<name>_lora`` {a, b} pair into its sibling ``<name>``
+    kernel: kernel += (alpha / rank) * (a @ b) reshaped to the kernel's
+    shape.  Returns a tree WITHOUT the ``*_lora`` entries — load it into a
+    ``lora_rank=0`` model for adapter-free serving (exact forward parity,
+    tests/test_lora.py).  Float kernels only (int8-quantized trees must be
+    re-quantized from the merged float tree)."""
+
+    def rec(d):
+        if not isinstance(d, dict):
+            return d
+        out = {}
+        for key, value in d.items():
+            if key.endswith("_lora"):
+                continue
+            value = rec(value)
+            lora = d.get(f"{key}_lora")
+            if lora is not None:
+                a, b = jnp.asarray(lora["a"]), jnp.asarray(lora["b"])
+                kernel = value["kernel"]
+                assert jnp.issubdtype(kernel.dtype, jnp.floating), (
+                    f"cannot merge LoRA into non-float kernel {key}")
+                delta = (a.astype(jnp.float32) @ b.astype(jnp.float32)) * (
+                    alpha / a.shape[1])
+                value = dict(value,
+                             kernel=kernel + delta.reshape(kernel.shape).astype(kernel.dtype))
+            out[key] = value
+        return out
+
+    if "params" in params:
+        return {"params": rec(params["params"]), **{
+            k: v for k, v in params.items() if k != "params"}}
+    return rec(params)
+
+
+__all__ = ["LoRAAdapter", "merge_lora_params"]

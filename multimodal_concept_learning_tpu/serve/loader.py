@@ -33,6 +33,7 @@ class LoadedMLLM(NamedTuple):
 
 def load_trained_mllm(results_dir: str, checkpoint: str = "best_model.pt",
                       int8: bool = False, int8_vision: bool = False,
+                      merge_lora: bool = True,
                       verbose: bool = True) -> LoadedMLLM:
     from multimodal_concept_learning_tpu.checkpoint import (
         load_torch_state_dict,
@@ -61,6 +62,21 @@ def load_trained_mllm(results_dir: str, checkpoint: str = "best_model.pt",
     params = jax.tree_util.tree_map(jnp.asarray, params)
     if verbose:
         print(f"Loaded checkpoint {ckpt_path}")
+
+    if merge_lora and getattr(config, "lm_lora_rank", 0) > 0:
+        # serve the effective weights adapter-free (exact parity,
+        # tests/test_lora.py) — and int8 quantization below then sees the
+        # merged float kernels
+        from multimodal_concept_learning_tpu.models.mllm import MLLM
+        from multimodal_concept_learning_tpu.ops.lora import merge_lora_params
+
+        params = merge_lora_params(params, alpha=config.lm_lora_alpha)
+        cfg = model.config
+        model = MLLM(dataclasses.replace(
+            cfg, lm=dataclasses.replace(cfg.lm, lora_rank=0)))
+        if verbose:
+            print(f"Merged LoRA adapters (rank {config.lm_lora_rank}) "
+                  "into base weights")
 
     if int8 or int8_vision:
         from multimodal_concept_learning_tpu.models.mllm import MLLM

@@ -126,6 +126,8 @@ def init_model_and_tokenizer(config: MultimodalTrainingConfig, rng):
         remat_lm_layers=getattr(config, "remat_lm_layers", False),
         lm_moe_experts=getattr(config, "lm_moe_experts", 0),
         lm_moe_top_k=getattr(config, "lm_moe_top_k", 2),
+        lm_lora_rank=getattr(config, "lm_lora_rank", 0),
+        lm_lora_alpha=getattr(config, "lm_lora_alpha", 16.0),
     )
     model = MLLM(model_config)
 

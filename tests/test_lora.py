@@ -1,0 +1,190 @@
+"""LoRA adapters (ops/lora.py, trainable_params_setting="language_lora").
+
+Pins: a fresh adapter is an exact identity; merging folds the factors into
+the base kernels with forward parity; the language_lora mask trains only
+projector + adapter factors; and the full trainer CLI runs the setting end
+to end (base LM weights frozen, adapters learned, checkpoint round-trip
+through the reference .pt layout, merged serving load).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_concept_learning_tpu.models import (
+    LMConfig,
+    MLLM,
+    MLLMConfig,
+    ViTConfig,
+)
+
+VOCAB = 256
+
+
+def _tiny_cfg(lora_rank=0, dtype=jnp.float32):
+    vision = ViTConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, patch_size=8, image_size=32, num_labels=4,
+        dtype=dtype,
+    )
+    lm = dataclasses.replace(
+        LMConfig.preset("nano", vocab_size=VOCAB),
+        dtype=dtype, lora_rank=lora_rank,
+    )
+    return MLLMConfig(vision=vision, lm=lm, num_vision_tokens=17, dtype=dtype)
+
+
+def _batch(rng, t=24):
+    images = jnp.asarray(rng.standard_normal((2, 3, 32, 32)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, VOCAB, (2, 17 + t)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    return images, ids, mask
+
+
+def _strip_lora(tree):
+    if not isinstance(tree, dict):
+        return tree
+    return {k: _strip_lora(v) for k, v in tree.items() if not k.endswith("_lora")}
+
+
+def test_lora_init_is_identity():
+    """b zero-init: a LoRA model at init == its base model, bit-exact."""
+    rng = np.random.default_rng(0)
+    lora_model = MLLM(_tiny_cfg(lora_rank=4))
+    base_model = MLLM(_tiny_cfg(lora_rank=0))
+    images, ids, mask = _batch(rng)
+    params = lora_model.init(jax.random.key(0), images, ids, mask)["params"]
+
+    out_lora = lora_model.apply({"params": params}, images, ids, mask)
+    out_base = base_model.apply({"params": _strip_lora(params)}, images, ids, mask)
+    np.testing.assert_array_equal(
+        np.asarray(out_lora["hidden_states"]), np.asarray(out_base["hidden_states"])
+    )
+
+
+def test_merge_matches_adapter_forward():
+    """Random (nonzero) factors: merged base kernels == adapter forward."""
+    from multimodal_concept_learning_tpu.ops.lora import merge_lora_params
+
+    rng = np.random.default_rng(1)
+    cfg = _tiny_cfg(lora_rank=4)
+    lora_model = MLLM(cfg)
+    base_model = MLLM(_tiny_cfg(lora_rank=0))
+    images, ids, mask = _batch(rng)
+    params = lora_model.init(jax.random.key(0), images, ids, mask)["params"]
+
+    def fill(path, leaf):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        if any(k.endswith("_lora") for k in keys):
+            return jnp.asarray(rng.standard_normal(leaf.shape) * 0.05, leaf.dtype)
+        return leaf
+    params = jax.tree_util.tree_map_with_path(fill, params)
+
+    out_lora = lora_model.apply({"params": params}, images, ids, mask)
+    merged = merge_lora_params(params, alpha=cfg.lm.lora_alpha)
+    out_merged = base_model.apply({"params": merged}, images, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(out_merged["hidden_states"]),
+        np.asarray(out_lora["hidden_states"]), rtol=1e-5, atol=1e-5,
+    )
+    # merging removed every adapter entry
+    flat = jax.tree_util.tree_leaves_with_path(merged)
+    assert not any("_lora" in jax.tree_util.keystr(p) for p, _ in flat)
+
+
+def test_trainable_mask_language_lora():
+    from multimodal_concept_learning_tpu.models.mllm import trainable_mask
+
+    rng = np.random.default_rng(2)
+    model = MLLM(_tiny_cfg(lora_rank=2))
+    images, ids, mask = _batch(rng)
+    params = model.init(jax.random.key(0), images, ids, mask)["params"]
+    tmask = trainable_mask(params, "language_lora")
+    for path, trainable in jax.tree_util.tree_leaves_with_path(tmask):
+        key = jax.tree_util.keystr(path)
+        expect = "projector" in key or ("language_model" in key and "_lora" in key)
+        assert trainable == expect, (key, trainable)
+    # sanity: some adapter leaves exist and are trainable
+    assert any(t for _, t in jax.tree_util.tree_leaves_with_path(tmask))
+
+
+def test_language_lora_training_cli(tmp_path):
+    """1-epoch trainer run with language_lora: base LM kernels stay frozen,
+    adapter factors move, the reference-layout .pt round-trips, and the
+    serving loader's merged load produces the same answers as unmerged."""
+    import json
+    import os
+
+    import yaml
+
+    from multimodal_concept_learning_tpu.configs import ColorDatasetConfig
+    from multimodal_concept_learning_tpu.data import generate_color_dataset
+
+    root = tmp_path
+    dcfg = ColorDatasetConfig.from_params({
+        "dataset_name": "tiny", "image_size": 32,
+        "colors": [[255, 0, 0], [0, 255, 0]], "radius_range": [4, 10],
+        "n_images_per_color": 8, "data_dir": str(root), "seed": 0,
+    })
+    dataset_dir = generate_color_dataset(dcfg, verbose=False)
+    labels_path = str(root / "labels_mapping.json")
+    with open(labels_path, "w") as f:
+        json.dump({"r255g0b0": "red", "r0g255b0": "<ood 1>"}, f)
+
+    out = str(root / "results")
+    cfg = {
+        "mapping_path": os.path.join(dataset_dir, "train_mapping.csv"),
+        "image_root": dataset_dir,
+        "labels_mapping_path": labels_path,
+        "prompt_template": "Is the color of the circle {class_name}?",
+        "dataset_name": "color_multimodal",
+        "vision_model_name": "vit-t-8",
+        "language_model_name": "nano",
+        "num_vision_tokens": 17,
+        "image_size": 32,
+        "trainable_params_setting": "language_lora",
+        "lm_lora_rank": 4,
+        "epochs": 1, "batch_size": 4, "effective_batch_size": 4,
+        "learning_rate": 5e-3, "results_dir": out, "seed": 0,
+        "num_workers": 1,
+        "train_transforms": ["ToTensor"], "val_transforms": ["ToTensor"],
+        "use_wandb": False,
+    }
+    cfg_path = root / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from multimodal_concept_learning_tpu.train.multimodal_training import main
+
+    main(["--config_path", str(cfg_path)])
+
+    from multimodal_concept_learning_tpu.checkpoint import load_torch_state_dict
+
+    initial = load_torch_state_dict(os.path.join(out, "models", "initial_model.pt"))
+    best = load_torch_state_dict(os.path.join(out, "models", "best_model.pt"))
+    lora_keys = [k for k in best if "_lora" in k]
+    assert lora_keys, "LoRA factors missing from the exported state dict"
+    assert any(np.abs(best[k]).max() > 0 for k in lora_keys if k.endswith(".b")), \
+        "no adapter b factor moved during training"
+    base_lm = [k for k in best
+               if k.startswith("language_model.") and "_lora" not in k
+               and "embed_tokens" not in k]
+    for k in base_lm:
+        np.testing.assert_array_equal(best[k], initial[k], err_msg=k)
+
+    # merged serving load == unmerged adapter load, token for token
+    from multimodal_concept_learning_tpu.serve import ServingEngine, load_trained_mllm
+
+    prompts = ["Is the color of the circle red?"]
+    texts = {}
+    for merge in (False, True):
+        loaded = load_trained_mllm(out, merge_lora=merge, verbose=False)
+        assert (loaded.model.config.lm.lora_rank == 0) == merge
+        eng = ServingEngine(loaded, batch_size=1, max_new_tokens=2,
+                            max_prompt_len=16)
+        from PIL import Image
+
+        img = eng.preprocess_image(Image.new("RGB", (32, 32), (255, 0, 0)))
+        texts[merge] = eng.generate([img], prompts)
+    assert texts[False] == texts[True]
