@@ -31,6 +31,7 @@ variable-length and long-context workloads.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import jax
@@ -180,7 +181,11 @@ def paged_decode_attention(
     window = jnp.asarray(window, jnp.int32)
 
     if use_kernel is None:
-        use_kernel = jax.default_backend() == "tpu"
+        env = os.environ.get("MCL_PAGED_KERNEL")  # benchmark A/B override
+        if env is not None:
+            use_kernel = env == "1"
+        else:
+            use_kernel = jax.default_backend() == "tpu"
     if use_kernel:
         from multimodal_concept_learning_tpu.ops.paged_attention_kernel import (
             paged_decode_attention_kernel,

@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Paged vs dense KV-cache decode benchmark (serving path).
+
+Same protocol as scripts/bench_generate.py: greedy decode at several
+generation lengths, least-squares slope = per-token cost (two-point deltas
+are poisoned by this runtime's fixed per-scan-iteration cost — BASELINE.md
+microbench traps).  Three variants:
+
+  dense          CausalLM.decode_step over the contiguous cache
+  paged-kernel   decode_step_paged via the Pallas paged-attention kernel
+  paged-gather   decode_step_paged via the exact gather fallback
+
+All three produce identical tokens (asserted).  The paged variants pay the
+page-table indirection; the interesting question on-chip is how close the
+kernel gets to dense at the reference's short contexts (paging buys memory
+flexibility, not speed, at 240-token sequences) and where gather's
+per-step full-copy starts to lose at long ones.
+
+Usage: python scripts/bench_paged.py [--batch 8] [--page_size 16]
+       [--lengths 2,16,64] [--preset gemma3-1b] [--tiny]
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+from multimodal_concept_learning_tpu.models import MLLM, MLLMConfig  # noqa: E402
+from multimodal_concept_learning_tpu.models.mllm import greedy_generate  # noqa: E402
+from multimodal_concept_learning_tpu.ops.paged_kv import (  # noqa: E402
+    init_paged_kv_cache,
+    pages_needed,
+)
+from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer  # noqa: E402
+
+TEXT_LEN = 24
+REPEATS = 3
+
+
+def paged_generate(model, params, images, ids, mask, n_new, page_size,
+                   use_kernel):
+    """Greedy decode over a paged cache; one consecutive page run per row."""
+    lm_cfg = model.config.lm
+    b, t = ids.shape
+    np_max = pages_needed(t + n_new, page_size)
+    pools = init_paged_kv_cache(lm_cfg, 1 + b * np_max, page_size)
+    pt = jnp.asarray(
+        np.arange(1, 1 + b * np_max, dtype=np.int32).reshape(b, np_max))
+    rows = jnp.arange(b)
+
+    from multimodal_concept_learning_tpu.ops import paged_kv
+
+    def head(p, h):
+        return model.apply({"params": p}, h,
+                           method=lambda m, x: m.language_model.lm_head(x))
+
+    # pin the read path for the A/B (monkeypatch-free: thread use_kernel via
+    # the env override consumed by paged_kv.paged_decode_attention)
+    import os
+    os.environ["MCL_PAGED_KERNEL"] = "1" if use_kernel else "0"
+    assert paged_kv is not None
+
+    def fn(p, images, ids, mask):
+        hidden, pools_ = model.apply(
+            {"params": p}, images, ids, mask, pools, pt,
+            method=lambda m, *x: m.prefill_paged(*x))
+        seq_lens = mask.sum(axis=1).astype(jnp.int32)
+        first = jnp.argmax(
+            head(p, hidden[rows, seq_lens - 1]), axis=-1).astype(jnp.int32)
+
+        def body(carry, _):
+            tok, seq_lens, pools_ = carry
+            emb = model.apply({"params": p}, tok[:, None],
+                              method=lambda m, i: m.language_model.embed(i))
+            h, pools_ = model.apply(
+                {"params": p}, emb, pools_, pt, seq_lens,
+                method=lambda m, *a: m.language_model.decode_step_paged(*a))
+            nxt = jnp.argmax(head(p, h[:, 0]), axis=-1).astype(jnp.int32)
+            return (nxt, seq_lens + 1, pools_), nxt
+
+        (tok, _, _), rest = jax.lax.scan(
+            body, (first, seq_lens, pools_), None, length=n_new - 1)
+        return jnp.concatenate([first[:, None], rest.T], axis=1)
+
+    return jax.jit(fn)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--page_size", type=int, default=16)
+    parser.add_argument("--lengths", type=str, default="2,16,64")
+    parser.add_argument("--preset", type=str, default="gemma3-1b")
+    parser.add_argument("--tiny", action="store_true",
+                        help="nano preset at 32px (CPU smoke test)")
+    args = parser.parse_args()
+
+    if args.tiny:
+        preset, vision, imgsz, nvt = "nano", "vit-t-8", 32, 17
+    else:
+        preset, vision, imgsz, nvt = args.preset, "vit-b-16", 224, 197
+
+    tokenizer = ConceptTokenizer()
+    tokenizer.add_tokens([f"<ood {i}>" for i in range(1, 91)])
+    config = MLLMConfig.create(
+        vocab_size=len(tokenizer), vision_preset=vision, lm_preset=preset,
+        num_vision_tokens=nvt, image_size=imgsz)
+    model = MLLM(config)
+
+    rng = np.random.default_rng(0)
+    b = args.batch
+    images = jnp.asarray(rng.normal(size=(b, 3, imgsz, imgsz)).astype(np.float32))
+    ids = np.zeros((b, nvt + TEXT_LEN), np.int32)
+    ids[:, nvt:] = rng.integers(4, len(tokenizer) - 91, size=(b, TEXT_LEN))
+    mask = np.ones_like(ids)
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    params = jax.jit(model.init)(jax.random.key(0), images, ids, mask)["params"]
+    if not args.tiny:
+        params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+
+    lengths = [int(x) for x in args.lengths.split(",")]
+
+    def timed(fn, n_new):
+        t0 = time.time()
+        out = np.asarray(fn(params, images, ids, mask))
+        print(f"    compile+warmup n_new={n_new}: {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        for _ in range(REPEATS):
+            out = np.asarray(fn(params, images, ids, mask))
+        return (time.time() - t0) / REPEATS, out
+
+    results, tokens = {}, {}
+    variants = [
+        ("dense", lambda n: jax.jit(lambda p, i, t, m: greedy_generate(
+            model, p, i, t, m, max_new_tokens=n))),
+        ("paged-kernel", lambda n: paged_generate(
+            model, params, images, ids, mask, n, args.page_size, True)),
+        ("paged-gather", lambda n: paged_generate(
+            model, params, images, ids, mask, n, args.page_size, False)),
+    ]
+    if args.tiny or jax.default_backend() != "tpu":
+        # the Pallas kernel is TPU-only (interpret mode is not a benchmark)
+        variants = [v for v in variants if v[0] != "paged-kernel"]
+    for name, make in variants:
+        print(f"[paged] {name}:", file=sys.stderr)
+        times = {}
+        for n in lengths:
+            times[n], toks = timed(make(n), n)
+            tokens.setdefault(n, {})[name] = toks
+            print(f"    n_new={n:4d}: {times[n] * 1e3:8.1f} ms", file=sys.stderr)
+        per_tok, fixed = np.polyfit(lengths, [times[n] for n in lengths], 1)
+        results[name] = (per_tok, fixed)
+    for n in lengths:  # all variants decode identical greedy tokens
+        ref = tokens[n]["dense"]
+        for name, toks in tokens[n].items():
+            assert np.array_equal(toks, ref), (n, name)
+    print(f"[paged] batch={b} prompt={nvt + TEXT_LEN} page_size="
+          f"{args.page_size} lengths={lengths} (token-exact across variants)")
+    for name, (per_tok, fixed) in results.items():
+        print(f"[paged]   {name:13s} {per_tok * 1e3:7.2f} ms/tok "
+              f"(fixed {fixed * 1e3:7.1f} ms)")
+
+
+if __name__ == "__main__":
+    main()
