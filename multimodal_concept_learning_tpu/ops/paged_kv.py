@@ -74,6 +74,7 @@ class PageAllocator:
         assert num_pages >= 2, "need at least the null page plus one"
         self.num_pages = num_pages
         self._free: List[int] = list(range(num_pages - 1, 0, -1))  # pop() -> low ids first
+        self._free_set = set(self._free)  # O(1) double-free guard
 
     @property
     def available(self) -> int:
@@ -84,13 +85,16 @@ class PageAllocator:
             raise PagePoolExhausted(
                 f"need {n} pages, {len(self._free)} free of {self.num_pages - 1}"
             )
-        return [self._free.pop() for _ in range(n)]
+        pages = [self._free.pop() for _ in range(n)]
+        self._free_set.difference_update(pages)
+        return pages
 
     def free(self, pages: List[int]) -> None:
         for p in pages:
             assert 0 < p < self.num_pages, f"bad page id {p}"
-            assert p not in self._free, f"double free of page {p}"
+            assert p not in self._free_set, f"double free of page {p}"
             self._free.append(p)
+            self._free_set.add(p)
 
 
 def write_prompt_kv(pool: jax.Array, page_table: jax.Array, lens: jax.Array,
@@ -185,7 +189,14 @@ def paged_decode_attention(
         if env is not None:
             use_kernel = env == "1"
         else:
-            use_kernel = jax.default_backend() == "tpu"
+            # device .platform is "tpu" under the axon runtime too (the
+            # house predicate, cf. ops/attention._flash_ok / models/vit.py);
+            # jax.default_backend() would return the PLUGIN name ("axon")
+            # and silently strand the kernel
+            try:
+                use_kernel = jax.devices()[0].platform == "tpu"
+            except Exception:  # noqa: BLE001 — uninitializable backend
+                use_kernel = False
     if use_kernel:
         from multimodal_concept_learning_tpu.ops.paged_attention_kernel import (
             paged_decode_attention_kernel,

@@ -35,7 +35,44 @@ import jax.numpy as jnp
 import numpy as np
 
 
-class ContinuousEngine:
+class EngineHostAPI:
+    """Host-side request plumbing shared by the slot-level engines
+    (ContinuousEngine here and serve/paged.PagedContinuousEngine).
+    Expects self.loaded / eos_id / max_prompt_len and admit_many()."""
+
+    def preprocess_image(self, pil_image) -> np.ndarray:
+        """PIL image -> [3, H, W] float array via the training's eval transform."""
+        out = self.loaded.transform(pil_image.convert("RGB"))
+        return np.asarray(out, dtype=np.float32)
+
+    def admit(self, slot: int, image: np.ndarray, prompt: str) -> int:
+        """Install a request into ``slot``; returns its first generated token."""
+        return self.admit_many([(slot, image, prompt)])[0]
+
+    def encode_prompt(self, prompt: str):
+        """Tokenize + truncate a prompt (memoized — the paged front sizes
+        pages from the same encoding it later admits with)."""
+        cache = getattr(self, "_encode_cache", None)
+        if cache is None:
+            cache = self._encode_cache = {}
+        ids = cache.get(prompt)
+        if ids is None:
+            ids = tuple(self.loaded.tokenizer.encode(prompt)[: self.max_prompt_len])
+            if len(cache) > 1024:  # bound the memo on adversarial traffic
+                cache.clear()
+            cache[prompt] = ids
+        return ids
+
+    def decode_text(self, token_ids: List[int]) -> str:
+        row = token_ids
+        if self.eos_id is not None and self.eos_id in row:
+            row = row[: row.index(self.eos_id)]
+        return self.loaded.tokenizer.decode(
+            [int(x) for x in row if int(x) >= 0], skip_special_tokens=True
+        ).strip()
+
+
+class ContinuousEngine(EngineHostAPI):
     """Persistent-state decode engine over a loaded MLLM (serve/loader.py)."""
 
     def __init__(
@@ -159,12 +196,7 @@ class ContinuousEngine:
         self._admit = admit
         self._step = step
 
-    # -- host-side API -------------------------------------------------------
-
-    def preprocess_image(self, pil_image) -> np.ndarray:
-        """PIL image -> [3, H, W] float array via the training's eval transform."""
-        out = self.loaded.transform(pil_image.convert("RGB"))
-        return np.asarray(out, dtype=np.float32)
+    # -- host-side API (shared plumbing in EngineHostAPI) ---------------------
 
     def admit_many(self, requests) -> List[int]:
         """Install up to ``num_slots`` requests in one batched prefill call.
@@ -174,7 +206,6 @@ class ContinuousEngine:
         """
         assert 0 < len(requests) <= self.num_slots
         cfg = self.loaded.config
-        tok = self.loaded.tokenizer
         # Bucketed admission width: the prefill program is compiled per
         # power-of-two batch shape, so a 1-request admit pays a 1-wide vision
         # prefill, not a num_slots-wide one.  (Round-3 serving simulation
@@ -193,8 +224,7 @@ class ContinuousEngine:
         slots = np.asarray(used + leftovers[: a - len(used)], np.int32)
         for i, (_, image, prompt) in enumerate(requests):
             img[i] = image
-            mask[i, : self.nvt] = 1
-            enc = tok.encode(prompt)[: self.max_prompt_len]
+            enc = self.encode_prompt(prompt)
             ids[i, self.nvt:self.nvt + len(enc)] = enc
             mask[i, : self.nvt + len(enc)] = 1
             valid[i] = True
@@ -208,10 +238,6 @@ class ContinuousEngine:
         firsts = np.asarray(firsts)
         return [int(firsts[i]) for i in range(len(requests))]
 
-    def admit(self, slot: int, image: np.ndarray, prompt: str) -> int:
-        """Install a request into ``slot``; returns its first generated token."""
-        return self.admit_many([(slot, image, prompt)])[0]
-
     def step(self, active: np.ndarray) -> np.ndarray:
         """One decode call for all slots; returns [num_slots, steps_per_call]
         new tokens (tokens past a row's EOS are overshoot — callers truncate)."""
@@ -222,14 +248,6 @@ class ContinuousEngine:
             self.last_tok, jnp.asarray(active), key,
         )
         return np.asarray(nxt)
-
-    def decode_text(self, token_ids: List[int]) -> str:
-        row = token_ids
-        if self.eos_id is not None and self.eos_id in row:
-            row = row[: row.index(self.eos_id)]
-        return self.loaded.tokenizer.decode(
-            [int(x) for x in row if int(x) >= 0], skip_special_tokens=True
-        ).strip()
 
 
 class _Slot:

@@ -45,9 +45,10 @@ from multimodal_concept_learning_tpu.ops.paged_kv import (
     init_paged_kv_cache,
     pages_needed,
 )
+from multimodal_concept_learning_tpu.serve.continuous import EngineHostAPI
 
 
-class PagedContinuousEngine:
+class PagedContinuousEngine(EngineHostAPI):
     """Persistent paged-decode engine; drop-in engine for ContinuousBatcher."""
 
     def __init__(
@@ -172,16 +173,11 @@ class PagedContinuousEngine:
         self._admit = admit
         self._step = step
 
-    # -- host-side API -------------------------------------------------------
-
-    def preprocess_image(self, pil_image) -> np.ndarray:
-        """PIL image -> [3, H, W] float array via the training's eval transform."""
-        out = self.loaded.transform(pil_image.convert("RGB"))
-        return np.asarray(out, dtype=np.float32)
+    # -- host-side API (shared plumbing in EngineHostAPI) ---------------------
 
     def _request_pages(self, prompt: str) -> int:
-        enc = self.loaded.tokenizer.encode(prompt)[: self.max_prompt_len]
-        lifetime = self.nvt + len(enc) + self.max_new_tokens + self.steps_per_call
+        lifetime = (self.nvt + len(self.encode_prompt(prompt))
+                    + self.max_new_tokens + self.steps_per_call)
         return pages_needed(lifetime, self.page_size)
 
     def admissible_prefix(self, prompts: Sequence[str]) -> int:
@@ -207,7 +203,6 @@ class PagedContinuousEngine:
         """
         assert 0 < len(requests) <= self.num_slots
         cfg = self.loaded.config
-        tok = self.loaded.tokenizer
         np_max = self.max_pages_per_seq
         # bucketed admission width (see ContinuousEngine.admit_many)
         a = 1
@@ -237,29 +232,33 @@ class PagedContinuousEngine:
         slots = np.asarray(used + leftovers[: a - len(used)], np.int32)
         for i, (slot, image, prompt) in enumerate(requests):
             img[i] = image
-            mask[i, : self.nvt] = 1
-            enc = tok.encode(prompt)[: self.max_prompt_len]
+            enc = self.encode_prompt(prompt)
             ids[i, self.nvt:self.nvt + len(enc)] = enc
             mask[i, : self.nvt + len(enc)] = 1
             valid[i] = True
             pt_rows[i, : len(allocs[i])] = allocs[i]
             cap_rows[i] = (self.nvt + len(enc) + self.max_new_tokens
                            + self.steps_per_call)
-            self._slot_pages[slot] = allocs[i]
         self._key, key = jax.random.split(self._key)
-        (self.pools, self.page_table, self.seq_lens, self.caps,
-         self.last_tok, firsts) = self._admit(
-            self.loaded.params, self.pools, self.page_table, self.seq_lens,
-            self.caps, self.last_tok, jnp.asarray(slots), jnp.asarray(valid),
-            jnp.asarray(pt_rows), jnp.asarray(cap_rows), jnp.asarray(img),
-            jnp.asarray(ids), jnp.asarray(mask), key,
-        )
+        try:
+            (self.pools, self.page_table, self.seq_lens, self.caps,
+             self.last_tok, firsts) = self._admit(
+                self.loaded.params, self.pools, self.page_table, self.seq_lens,
+                self.caps, self.last_tok, jnp.asarray(slots), jnp.asarray(valid),
+                jnp.asarray(pt_rows), jnp.asarray(cap_rows), jnp.asarray(img),
+                jnp.asarray(ids), jnp.asarray(mask), key,
+            )
+        except Exception:
+            # a failed device admit must not leak the reservation: the slots
+            # were never occupied, so no _finish/release would ever return
+            # these pages and the free list would shrink forever
+            for pages in allocs:
+                self.allocator.free(pages)
+            raise
+        for (slot, _, _), pages in zip(requests, allocs):
+            self._slot_pages[slot] = pages
         firsts = np.asarray(firsts)
         return [int(firsts[i]) for i in range(len(requests))]
-
-    def admit(self, slot: int, image: np.ndarray, prompt: str) -> int:
-        """Install a request into ``slot``; returns its first generated token."""
-        return self.admit_many([(slot, image, prompt)])[0]
 
     def step(self, active: np.ndarray) -> np.ndarray:
         """One decode call for all slots; returns [num_slots, steps_per_call]
@@ -281,14 +280,6 @@ class PagedContinuousEngine:
         self._slot_pages[slot] = []
         self.allocator.free(pages)
         self.page_table = self.page_table.at[slot].set(0)
-
-    def decode_text(self, token_ids: List[int]) -> str:
-        row = token_ids
-        if self.eos_id is not None and self.eos_id in row:
-            row = row[: row.index(self.eos_id)]
-        return self.loaded.tokenizer.decode(
-            [int(x) for x in row if int(x) >= 0], skip_special_tokens=True
-        ).strip()
 
     # -- accounting ----------------------------------------------------------
 

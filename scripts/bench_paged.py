@@ -44,31 +44,33 @@ TEXT_LEN = 24
 REPEATS = 3
 
 
-def paged_generate(model, params, images, ids, mask, n_new, page_size,
-                   use_kernel):
-    """Greedy decode over a paged cache; one consecutive page run per row."""
-    lm_cfg = model.config.lm
-    b, t = ids.shape
-    np_max = pages_needed(t + n_new, page_size)
-    pools = init_paged_kv_cache(lm_cfg, 1 + b * np_max, page_size)
-    pt = jnp.asarray(
-        np.arange(1, 1 + b * np_max, dtype=np.int32).reshape(b, np_max))
-    rows = jnp.arange(b)
+def paged_generate(model, n_new, page_size, use_kernel):
+    """Greedy decode over a paged cache; one consecutive page run per row.
 
-    from multimodal_concept_learning_tpu.ops import paged_kv
+    Returns fn(params, images, ids, mask): pools and the page table are
+    built INSIDE the jitted function (zeros + iota — cheap on device) so
+    the serialized HLO never embeds the multi-MB pool as a constant
+    (CLAUDE.md: big closed-over arrays -> HTTP 413 on remote compile).
+    """
+    lm_cfg = model.config.lm
 
     def head(p, h):
         return model.apply({"params": p}, h,
                            method=lambda m, x: m.language_model.lm_head(x))
 
     # pin the read path for the A/B (monkeypatch-free: thread use_kernel via
-    # the env override consumed by paged_kv.paged_decode_attention)
+    # the env override consumed by paged_kv.paged_decode_attention, read at
+    # trace time — set it before the first call compiles)
     import os
     os.environ["MCL_PAGED_KERNEL"] = "1" if use_kernel else "0"
-    assert paged_kv is not None
 
     def fn(p, images, ids, mask):
-        hidden, pools_ = model.apply(
+        b, t = ids.shape
+        np_max = pages_needed(t + n_new, page_size)
+        rows = jnp.arange(b)
+        pools = init_paged_kv_cache(lm_cfg, 1 + b * np_max, page_size)
+        pt = jnp.arange(1, 1 + b * np_max, dtype=jnp.int32).reshape(b, np_max)
+        hidden, pools = model.apply(
             {"params": p}, images, ids, mask, pools, pt,
             method=lambda m, *x: m.prefill_paged(*x))
         seq_lens = mask.sum(axis=1).astype(jnp.int32)
@@ -86,7 +88,7 @@ def paged_generate(model, params, images, ids, mask, n_new, page_size,
             return (nxt, seq_lens + 1, pools_), nxt
 
         (tok, _, _), rest = jax.lax.scan(
-            body, (first, seq_lens, pools_), None, length=n_new - 1)
+            body, (first, seq_lens, pools), None, length=n_new - 1)
         return jnp.concatenate([first[:, None], rest.T], axis=1)
 
     return jax.jit(fn)
@@ -143,12 +145,15 @@ def main():
         ("dense", lambda n: jax.jit(lambda p, i, t, m: greedy_generate(
             model, p, i, t, m, max_new_tokens=n))),
         ("paged-kernel", lambda n: paged_generate(
-            model, params, images, ids, mask, n, args.page_size, True)),
+            model, n, args.page_size, True)),
         ("paged-gather", lambda n: paged_generate(
-            model, params, images, ids, mask, n, args.page_size, False)),
+            model, n, args.page_size, False)),
     ]
-    if args.tiny or jax.default_backend() != "tpu":
-        # the Pallas kernel is TPU-only (interpret mode is not a benchmark)
+    # the Pallas kernel is TPU-only (interpret mode is not a benchmark);
+    # device .platform is "tpu" under the axon runtime too — the house
+    # predicate (jax.default_backend() would say "axon" and drop the
+    # kernel variant on the real chip)
+    if args.tiny or jax.devices()[0].platform != "tpu":
         variants = [v for v in variants if v[0] != "paged-kernel"]
     for name, make in variants:
         print(f"[paged] {name}:", file=sys.stderr)
