@@ -235,6 +235,31 @@ def test_paged_chunked_steps_same_text(loaded):
     assert got == want
 
 
+def test_paged_int8_matches_isolated(trained_results_dir):
+    """int8 weight quantization composes with the paged cache: paged slot
+    decode over quantized weights == isolated int8 generate."""
+    from multimodal_concept_learning_tpu.serve import (
+        ServingEngine,
+        load_trained_mllm,
+    )
+    from multimodal_concept_learning_tpu.serve.continuous import ContinuousBatcher
+    from multimodal_concept_learning_tpu.serve.paged import PagedContinuousEngine
+
+    q = load_trained_mllm(trained_results_dir, int8=True, verbose=False)
+    n_new, plen = 3, 16
+    ref = ServingEngine(q, batch_size=1, max_new_tokens=n_new, max_prompt_len=plen)
+    img = ref.preprocess_image(_circle_image(COLORS[1]))
+    want = ref.generate([img], [_prompts()[0]])[0]
+
+    engine = PagedContinuousEngine(q, num_slots=2, max_new_tokens=n_new,
+                                   max_prompt_len=plen, page_size=8,
+                                   steps_per_call=2)
+    batcher = ContinuousBatcher(engine)
+    got = batcher.submit(img, _prompts()[0], timeout=600)
+    batcher.shutdown()
+    assert got == want
+
+
 def test_http_server_paged_mode(trained_results_dir):
     """--paged: the HTTP front serves over the page-pool engine end to end."""
     import base64
