@@ -297,6 +297,62 @@ def test_http_server_paged_mode(trained_results_dir):
         batcher.shutdown()
 
 
+def test_paged_stress_ragged_prompts(loaded):
+    """Randomized stress: tiny pages (page boundary every 4 tokens), ragged
+    prompt lengths including the max, chunked steps, and more requests than
+    pages — every generation must still match its isolated reference."""
+    from multimodal_concept_learning_tpu.serve import ServingEngine
+    from multimodal_concept_learning_tpu.serve.continuous import ContinuousBatcher
+    from multimodal_concept_learning_tpu.serve.paged import PagedContinuousEngine
+
+    n_new, plen, ps = 3, 12, 4
+    prompts = [
+        "Is",                                     # minimal prompt
+        "Is the color of the circle red?",
+        "Is the color red?",
+        "Is the color of the circle green or maybe even blue?",  # > max, truncated
+        "Is the circle green?",
+        "Is the color of the circle lilac?",
+    ]
+    ref = ServingEngine(loaded, batch_size=1, max_new_tokens=n_new,
+                        max_prompt_len=plen)
+    imgs = [ref.preprocess_image(_circle_image(COLORS[i % 2]))
+            for i in range(len(prompts))]
+    want = [ref.generate([imgs[i]], [p])[0] for i, p in enumerate(prompts)]
+
+    engine = PagedContinuousEngine(
+        loaded, num_slots=2, max_new_tokens=n_new, max_prompt_len=plen,
+        page_size=ps, steps_per_call=2,
+        # room for ~1.5 maximal requests: constant backpressure
+        num_pages=engine_pages(loaded, plen, n_new, 2, ps) * 3 // 2 + 1,
+    )
+    batcher = ContinuousBatcher(engine)
+    results = {}
+
+    def call(i, prompt):
+        results[i] = batcher.submit(imgs[i], prompt, timeout=600)
+
+    threads = [threading.Thread(target=call, args=(i, p))
+               for i, p in enumerate(prompts)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    batcher.shutdown()
+
+    assert len(results) == len(prompts)
+    for i in range(len(prompts)):
+        assert results[i] == want[i], (i, results[i], want[i])
+    assert engine.allocator.available == engine.num_pages - 1
+
+
+def engine_pages(loaded, plen, n_new, steps, ps):
+    """Pages one maximal request reserves (the engine's pool floor)."""
+    from multimodal_concept_learning_tpu.ops.paged_kv import pages_needed
+
+    return pages_needed(loaded.config.num_vision_tokens + plen + n_new + steps, ps)
+
+
 def test_admit_exhaustion_rolls_back(loaded):
     """admit_many past the pool raises PagePoolExhausted BEFORE touching any
     state; the same engine then serves a single request normally."""
