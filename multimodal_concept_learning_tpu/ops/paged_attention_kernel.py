@@ -57,8 +57,8 @@ def _kernel(pt_ref, lens_ref, win_ref, q_ref, k_ref, v_ref, o_ref,
     @pl.when(j < npages)
     def _accumulate():
         q = q_ref[0, 0].astype(jnp.float32) * scale        # [g, D]
-        k = k_ref[0, :, 0, :].astype(jnp.float32)          # [ps, D]
-        v = v_ref[0, :, 0, :].astype(jnp.float32)          # [ps, D]
+        k = k_ref[0, 0].astype(jnp.float32)                # [ps, D]
+        v = v_ref[0, 0].astype(jnp.float32)                # [ps, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                                  # [g, ps]
@@ -97,12 +97,13 @@ def paged_decode_attention_kernel(
     scale: float,
     interpret: bool = False,
 ) -> jax.Array:
-    """q: [B, 1, Hq, D]; pools: [P, ps, hk, D]; page_table: [B, NP];
-    lens: [B] attendable tokens incl. the new one; window: int32 scalar
-    (< 0 = global).  Returns [B, 1, Hq, D]."""
+    """q: [B, 1, Hq, D]; pools: [P, hk, ps, D] (head-major — the K/V
+    blocks' trailing dims are then (ps, D), a dense (sublane, lane) tile);
+    page_table: [B, NP]; lens: [B] attendable tokens incl. the new one;
+    window: int32 scalar (< 0 = global).  Returns [B, 1, Hq, D]."""
     b, one, hq, d = q.shape
     assert one == 1, "decode kernel handles one query token per row"
-    _, ps, hk, _ = pool_k.shape
+    _, hk, ps, _ = pool_k.shape
     assert hq % hk == 0
     g = hq // hk
     np_ = page_table.shape[1]
@@ -116,9 +117,9 @@ def paged_decode_attention_kernel(
         in_specs=[
             pl.BlockSpec((1, 1, g, d), lambda bi, h, j, pt, ln, w: (bi, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ps, 1, d), lambda bi, h, j, pt, ln, w: (pt[bi, j], 0, h, 0),
+            pl.BlockSpec((1, 1, ps, d), lambda bi, h, j, pt, ln, w: (pt[bi, j], h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ps, 1, d), lambda bi, h, j, pt, ln, w: (pt[bi, j], 0, h, 0),
+            pl.BlockSpec((1, 1, ps, d), lambda bi, h, j, pt, ln, w: (pt[bi, j], h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, g, d), lambda bi, h, j, pt, ln, w: (bi, h, 0, 0),

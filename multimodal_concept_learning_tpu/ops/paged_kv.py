@@ -5,8 +5,13 @@ The dense serving cache (models/lm.py ``init_kv_cache``) reserves
 its prompt is 8 tokens or 200.  A paged cache decouples rows from storage
 (the vLLM pattern, reshaped for TPU):
 
-- **pool**: per layer, ``{"k","v"}`` of shape ``[num_pages, page_size,
-  kv_heads, head_dim]`` — one shared HBM arena for every in-flight request;
+- **pool**: per layer, ``{"k","v"}`` of shape ``[num_pages, kv_heads,
+  page_size, head_dim]`` — one shared HBM arena for every in-flight
+  request.  Head-major on purpose: the Pallas kernel blocks one
+  ``(page, head)`` pair per program, and with ``(page_size, head_dim)``
+  as the block's trailing dims each fetch is a dense (sublane, lane)
+  tile; a token-major pool would make every K/V block a degenerate
+  ``(1, head_dim)``-tiled strided load;
 - **page table**: ``[rows, max_pages]`` int32, shared by all layers; row
   ``b``'s token at position ``p`` lives at ``(table[b, p // page_size],
   p % page_size)``.  Pages are assigned in position order, so gathering a
@@ -41,11 +46,11 @@ import jax.numpy as jnp
 def init_paged_kv_cache(cfg, num_pages: int, page_size: int):
     """Zero per-layer page pools for the paged serving path.
 
-    One ``{"k", "v"}`` dict per layer, each ``[num_pages, page_size,
-    kv_heads, head_dim]`` in the model compute dtype.  Page 0 is the null
+    One ``{"k", "v"}`` dict per layer, each ``[num_pages, kv_heads,
+    page_size, head_dim]`` in the model compute dtype.  Page 0 is the null
     page — size the pool with one page more than you plan to allocate.
     """
-    shape = (num_pages, page_size, cfg.num_kv_heads, cfg.head_dim)
+    shape = (num_pages, cfg.num_kv_heads, page_size, cfg.head_dim)
     return tuple(
         {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
         for _ in range(cfg.num_layers)
@@ -101,32 +106,33 @@ def write_prompt_kv(pool: jax.Array, page_table: jax.Array, lens: jax.Array,
                     kv: jax.Array) -> jax.Array:
     """Scatter a prompt's K or V rows into their pages.
 
-    pool: [P, ps, hk, d]; page_table: [B, NP]; lens: [B] true prompt
+    pool: [P, hk, ps, d]; page_table: [B, NP]; lens: [B] true prompt
     lengths (right-padded layout); kv: [B, T, hk, d].  Positions >= lens
     land on the null page.  Returns the updated pool.
     """
     b, t = kv.shape[:2]
-    ps = pool.shape[1]
+    ps = pool.shape[2]
     pos = jnp.arange(t)[None, :]                       # [1, T]
     valid = pos < lens[:, None]                        # [B, T]
     rows = jnp.arange(b)[:, None]
     page = jnp.where(valid, page_table[rows, pos // ps], 0)
-    off = pos % ps
-    off = jnp.broadcast_to(off, (b, t))
-    return pool.at[page, off].set(kv.astype(pool.dtype))
+    off = jnp.broadcast_to(pos % ps, (b, t))
+    # advanced indices (page, off) around the head slice: result is
+    # [B, T, hk, d], matching kv's layout
+    return pool.at[page, :, off].set(kv.astype(pool.dtype))
 
 
 def write_token_kv(pool: jax.Array, page_table: jax.Array, slots: jax.Array,
                    kv: jax.Array) -> jax.Array:
     """Scatter one new token's K or V per row at position ``slots``.
 
-    pool: [P, ps, hk, d]; page_table: [B, NP]; slots: [B] the token's
+    pool: [P, hk, ps, d]; page_table: [B, NP]; slots: [B] the token's
     position (== the row's committed length); kv: [B, hk, d].
     """
-    ps = pool.shape[1]
+    ps = pool.shape[2]
     rows = jnp.arange(kv.shape[0])
     page = page_table[rows, slots // ps]
-    return pool.at[page, slots % ps].set(kv.astype(pool.dtype))
+    return pool.at[page, :, slots % ps].set(kv.astype(pool.dtype))
 
 
 def gather_pages(pool: jax.Array, page_table: jax.Array) -> jax.Array:
@@ -137,8 +143,9 @@ def gather_pages(pool: jax.Array, page_table: jax.Array) -> jax.Array:
     the null/unwritten pages hold and must be masked by the caller.
     """
     b, np_ = page_table.shape
-    _, ps, hk, d = pool.shape
-    return pool[page_table].reshape(b, np_ * ps, hk, d)
+    _, hk, ps, d = pool.shape
+    gathered = pool[page_table]                        # [B, NP, hk, ps, d]
+    return gathered.transpose(0, 1, 3, 2, 4).reshape(b, np_ * ps, hk, d)
 
 
 def paged_attention_mask(lens: jax.Array, total: int,
@@ -169,7 +176,7 @@ def paged_decode_attention(
 ) -> jax.Array:
     """One-token attention against a paged KV pool.
 
-    q: [B, 1, Hq, D]; pools: [P, ps, hk, D]; page_table: [B, NP];
+    q: [B, 1, Hq, D]; pools: [P, hk, ps, D]; page_table: [B, NP];
     lens: [B] attendable tokens per row INCLUDING the new token;
     window: int32 scalar, sliding window size or -1/None for global.
     Returns [B, 1, Hq, D].

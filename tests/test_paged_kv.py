@@ -79,8 +79,8 @@ def test_paged_decode_kernel_matches_gather(gqa_group, window):
     b, np_, ps, hk, d = 3, 4, 8, 2, 64
     hq = hk * gqa_group
     p = 1 + b * np_
-    pool_k = jnp.asarray(rng.standard_normal((p, ps, hk, d)), jnp.float32)
-    pool_v = jnp.asarray(rng.standard_normal((p, ps, hk, d)), jnp.float32)
+    pool_k = jnp.asarray(rng.standard_normal((p, hk, ps, d)), jnp.float32)
+    pool_v = jnp.asarray(rng.standard_normal((p, hk, ps, d)), jnp.float32)
     pt = jnp.asarray(np.arange(1, 1 + b * np_).reshape(b, np_), jnp.int32)
     lens = jnp.asarray([1, 13, 32], jnp.int32)
     q = jnp.asarray(rng.standard_normal((b, 1, hq, d)), jnp.float32)
