@@ -110,6 +110,72 @@ def test_trainable_mask_language_lora():
     assert any(t for _, t in jax.tree_util.tree_leaves_with_path(tmask))
 
 
+def test_lora_step_sharded_matches_single_device(eight_devices):
+    """A language_lora-masked train step on a 4x2 TP+FSDP mesh reproduces
+    the single-device step: LoRA factors fall through the sharding rules to
+    replicated(+FSDP) and GSPMD handles the base/adapter layout mismatch."""
+    from multimodal_concept_learning_tpu.models.mllm import trainable_mask
+    from multimodal_concept_learning_tpu.parallel import (
+        build_optimizer,
+        make_mllm_train_step,
+    )
+    from multimodal_concept_learning_tpu.parallel.mesh import make_mesh, shard_batch
+    from multimodal_concept_learning_tpu.parallel.sharding_rules import shard_params
+    from multimodal_concept_learning_tpu.parallel.train_step import TrainState
+
+    rng = np.random.default_rng(3)
+    cfg = _tiny_cfg(lora_rank=4)
+    model = MLLM(cfg)
+    nvt, t = cfg.num_vision_tokens, 16
+    images = jnp.asarray(rng.standard_normal((8, 3, 32, 32)), jnp.float32)
+    ids = np.zeros((8, nvt + t), np.int32)
+    ids[:, nvt:] = rng.integers(4, VOCAB - 4, (8, t))
+    labels = np.full((8, nvt + t), -100, np.int32)
+    labels[:, nvt + 5] = ids[:, nvt + 5]
+    batch = {"images": np.asarray(images), "input_ids": ids,
+             "attention_mask": np.ones_like(ids), "labels": labels}
+    init_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    params = model.init(jax.random.key(0), init_batch["images"],
+                        init_batch["input_ids"], init_batch["attention_mask"],
+                        init_batch["labels"])["params"]
+    mask = trainable_mask(params, "language_lora")
+    tx = build_optimizer(1e-2, weight_decay=0.0, max_grad_norm=1.0,
+                         trainable_mask=mask)
+    step = make_mllm_train_step(model, tx)
+    clone = lambda tr: jax.tree_util.tree_map(jnp.copy, tr)  # noqa: E731
+
+    s1 = TrainState.create(clone(params), tx)
+    s1, m1 = step(s1, init_batch, jax.random.key(1))
+
+    mesh = make_mesh(eight_devices, axis_names=("data", "model"), shape=(4, 2))
+    sp = shard_params(clone(params), mesh, fsdp_axis="data")
+    s8 = TrainState.create(sp, tx)
+    s8, m8 = step(s8, shard_batch(batch, mesh, axis="data"), jax.random.key(1))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    for (p1, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(s1.params),
+        jax.tree_util.tree_leaves_with_path(s8.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   err_msg=jax.tree_util.keystr(p1))
+    # frozen base weights stayed put; some adapter factor moved
+    moved = changed = 0
+    for (path, before), (_, after) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(s8.params),
+    ):
+        key = jax.tree_util.keystr(path)
+        delta = float(np.abs(np.asarray(after) - np.asarray(before)).max())
+        if "_lora" in key or "projector" in key:
+            moved += delta > 0
+            changed += 1
+        else:
+            assert delta == 0.0, key
+    assert moved > 0 and changed > 0
+
+
 def test_language_lora_training_cli(tmp_path):
     """1-epoch trainer run with language_lora: base LM kernels stay frozen,
     adapter factors move, the reference-layout .pt round-trips, and the
