@@ -152,8 +152,12 @@ def test_cpu_devices_ready_rejects_non_cpu_default_backend():
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     # Simulate "initialized on a non-cpu default" without hardware by
     # patching default_backend after real init — the check must key on it.
+    # The env var alone does NOT force cpu (the sitecustomize re-registers
+    # the ambient backend): without the config.update, jax.devices() would
+    # initialize the remote TPU — and hang the test on a tunnel outage.
     code = (
         "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
         "jax.devices()\n"
         "jax.default_backend = lambda: 'tpu'\n"
         "import __graft_entry__\n"
@@ -180,8 +184,11 @@ def test_dryrun_jax_already_initialized_without_device_flag():
     env.pop("_MCL_DRYRUN_INLINE", None)
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    # force cpu PAST the sitecustomize (env var alone won't; without this
+    # jax.devices() initializes the remote TPU and hangs on tunnel outages)
     code = (
-        "import jax; assert len(jax.devices()) < 8, 'env unexpectedly has 8 devices'; "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "assert len(jax.devices()) < 8, 'env unexpectedly has 8 devices'; "
         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
     )
     proc = subprocess.run(
