@@ -254,3 +254,13 @@ def test_language_lora_training_cli(tmp_path):
         img = eng.preprocess_image(Image.new("RGB", (32, 32), (255, 0, 0)))
         texts[merge] = eng.generate([img], prompts)
     assert texts[False] == texts[True]
+
+    # merge composes with int8 serving: quantization sees the MERGED float
+    # kernels (loader orders merge before quantize) and the engine runs
+    loaded_q = load_trained_mllm(out, int8=True, verbose=False)
+    assert loaded_q.model.config.lm.lora_rank == 0
+    assert loaded_q.model.config.lm.int8_weights
+    eng_q = ServingEngine(loaded_q, batch_size=1, max_new_tokens=2,
+                          max_prompt_len=16)
+    out_q = eng_q.generate([img], prompts)
+    assert isinstance(out_q[0], str)
