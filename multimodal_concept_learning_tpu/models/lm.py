@@ -183,7 +183,8 @@ class LMAttention(nn.Module):
             k/v are scattered into per-row slots and attention runs over the
             full cache (caller's bias masks unwritten/padded slots).
         Paged variant (ops/paged_kv.py): when the dict carries a "pages"
-          page table, k/v are [num_pages, page_size, hk, d] shared pools.
+          page table, k/v are [num_pages, hk, page_size, d] shared pools
+          (head-major — build with init_paged_kv_cache).
           Prefill additionally carries "lens" (true prompt lengths — padded
           positions write to the null page) and attends over the fresh k/v
           as usual; decode carries "window" (int32 scalar, -1 = global) and
@@ -576,7 +577,7 @@ class CausalLM(nn.Module):
                       pools, page_table: jax.Array):
         """Forward the prompt, writing K/V into shared page pools.
 
-        pools: tuple of per-layer {"k": [P, ps, hk, d], "v": ...}
+        pools: tuple of per-layer {"k": [P, hk, ps, d], "v": ...}
         (ops/paged_kv.init_paged_kv_cache); page_table: [B, NP] — each
         row's pages must already cover its whole generation lifetime
         (allocation is the serving front's job, serve/paged.py).  Attention

@@ -35,41 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-class EngineHostAPI:
-    """Host-side request plumbing shared by the slot-level engines
-    (ContinuousEngine here and serve/paged.PagedContinuousEngine).
-    Expects self.loaded / eos_id / max_prompt_len and admit_many()."""
-
-    def preprocess_image(self, pil_image) -> np.ndarray:
-        """PIL image -> [3, H, W] float array via the training's eval transform."""
-        out = self.loaded.transform(pil_image.convert("RGB"))
-        return np.asarray(out, dtype=np.float32)
-
-    def admit(self, slot: int, image: np.ndarray, prompt: str) -> int:
-        """Install a request into ``slot``; returns its first generated token."""
-        return self.admit_many([(slot, image, prompt)])[0]
-
-    def encode_prompt(self, prompt: str):
-        """Tokenize + truncate a prompt (memoized — the paged front sizes
-        pages from the same encoding it later admits with)."""
-        cache = getattr(self, "_encode_cache", None)
-        if cache is None:
-            cache = self._encode_cache = {}
-        ids = cache.get(prompt)
-        if ids is None:
-            ids = tuple(self.loaded.tokenizer.encode(prompt)[: self.max_prompt_len])
-            if len(cache) > 1024:  # bound the memo on adversarial traffic
-                cache.clear()
-            cache[prompt] = ids
-        return ids
-
-    def decode_text(self, token_ids: List[int]) -> str:
-        row = token_ids
-        if self.eos_id is not None and self.eos_id in row:
-            row = row[: row.index(self.eos_id)]
-        return self.loaded.tokenizer.decode(
-            [int(x) for x in row if int(x) >= 0], skip_special_tokens=True
-        ).strip()
+from multimodal_concept_learning_tpu.serve.engine import EngineHostAPI
 
 
 class ContinuousEngine(EngineHostAPI):

@@ -25,7 +25,46 @@ import jax.numpy as jnp
 import numpy as np
 
 
-class ServingEngine:
+class EngineHostAPI:
+    """Host-side request plumbing shared by every serving engine (the
+    whole-batch ServingEngine here and the slot-level engines in
+    serve/continuous.py and serve/paged.py).  Expects ``self.loaded``,
+    ``eos_id``, ``max_prompt_len``; ``admit`` additionally needs the
+    slot-level engines' ``admit_many``."""
+
+    def preprocess_image(self, pil_image) -> np.ndarray:
+        """PIL image -> [3, H, W] float array via the training's eval transform."""
+        out = self.loaded.transform(pil_image.convert("RGB"))
+        return np.asarray(out, dtype=np.float32)
+
+    def admit(self, slot: int, image: np.ndarray, prompt: str) -> int:
+        """Install a request into ``slot``; returns its first generated token."""
+        return self.admit_many([(slot, image, prompt)])[0]
+
+    def encode_prompt(self, prompt: str):
+        """Tokenize + truncate a prompt (memoized — the paged front sizes
+        pages from the same encoding it later admits with)."""
+        cache = getattr(self, "_encode_cache", None)
+        if cache is None:
+            cache = self._encode_cache = {}
+        ids = cache.get(prompt)
+        if ids is None:
+            ids = tuple(self.loaded.tokenizer.encode(prompt)[: self.max_prompt_len])
+            if len(cache) > 1024:  # bound the memo on adversarial traffic
+                cache.clear()
+            cache[prompt] = ids
+        return ids
+
+    def decode_text(self, token_ids: List[int]) -> str:
+        row = list(token_ids)
+        if self.eos_id is not None and self.eos_id in row:
+            row = row[: row.index(self.eos_id)]
+        return self.loaded.tokenizer.decode(
+            [int(x) for x in row if int(x) >= 0], skip_special_tokens=True
+        ).strip()
+
+
+class ServingEngine(EngineHostAPI):
     """Batched text generation over a loaded MLLM (serve/loader.py)."""
 
     def __init__(
@@ -60,21 +99,15 @@ class ServingEngine:
             )
         )
 
-    def preprocess_image(self, pil_image) -> np.ndarray:
-        """PIL image -> [3, H, W] float array via the training's eval transform."""
-        out = self.loaded.transform(pil_image.convert("RGB"))
-        return np.asarray(out, dtype=np.float32)
-
     def _encode_prompts(self, prompts: Sequence[str]):
         nvt = self.loaded.config.num_vision_tokens
-        tok = self.loaded.tokenizer
         b = self.batch_size
         t = nvt + self.max_prompt_len
         ids = np.full((b, t), self.pad_id, np.int32)
         mask = np.zeros((b, t), np.int32)
         mask[:, :nvt] = 1  # vision placeholder tokens always attended
         for i, p in enumerate(prompts):
-            enc = tok.encode(p)[: self.max_prompt_len]
+            enc = self.encode_prompt(p)
             ids[i, nvt:nvt + len(enc)] = enc
             mask[i, :nvt + len(enc)] = 1
         return ids, mask
@@ -193,4 +226,4 @@ class Batcher:
                 p.event.set()
 
 
-__all__ = ["ServingEngine", "Batcher"]
+__all__ = ["EngineHostAPI", "ServingEngine", "Batcher"]

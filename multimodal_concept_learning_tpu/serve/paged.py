@@ -45,7 +45,7 @@ from multimodal_concept_learning_tpu.ops.paged_kv import (
     init_paged_kv_cache,
     pages_needed,
 )
-from multimodal_concept_learning_tpu.serve.continuous import EngineHostAPI
+from multimodal_concept_learning_tpu.serve.engine import EngineHostAPI
 
 
 class PagedContinuousEngine(EngineHostAPI):
