@@ -25,6 +25,12 @@ in a ``max_prompt_len`` M engine, each slot holds ~ceil(L/p) instead of
 ceil(M/p) pages — which is what makes long-context configurations (large
 M, mixed L) servable at all.
 
+Scope: a single-chip engine (one process, one device).  Mesh-sharded
+decode is the dense engine's domain (parallel/serving.py, GSPMD over the
+dense caches); the paged kernel is a Pallas custom call, which GSPMD
+cannot auto-partition — a TP paged path would wrap it in shard_map over
+the head axis (future work, needs on-chip validation).
+
 The reference never serves (its eval is argmax at supervised positions,
 src/multimodal/multimodal_training.py:273-303); this is a framework
 addition, API-compatible with ``ContinuousBatcher``.
