@@ -94,6 +94,69 @@ def test_paged_decode_kernel_matches_gather(gqa_group, window):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_write_ops_null_page_invariant():
+    """Writes past a row's length (prompt padding) land on page 0 and never
+    touch another row's pages; each row's own positions are exact."""
+    import jax.numpy as jnp
+
+    from multimodal_concept_learning_tpu.ops.paged_kv import (
+        gather_pages,
+        write_prompt_kv,
+        write_token_kv,
+    )
+
+    rng = np.random.default_rng(2)
+    b, np_, ps, hk, d = 2, 3, 4, 2, 8
+    p = 1 + b * np_
+    pt = jnp.asarray(np.arange(1, 1 + b * np_).reshape(b, np_), jnp.int32)
+    pool = jnp.full((p, hk, ps, d), 7.0, jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((b, 10, hk, d)), jnp.float32)
+    lens = jnp.asarray([10, 3], jnp.int32)
+
+    pool = write_prompt_kv(pool, pt, lens, kv)
+    g = np.asarray(gather_pages(pool, pt))
+    np.testing.assert_array_equal(g[0, :10], np.asarray(kv[0, :10]))
+    np.testing.assert_array_equal(g[1, :3], np.asarray(kv[1, :3]))
+    # row 1's positions 3..9 were redirected to the null page: its own
+    # allocated pages beyond position 3 still hold the fill value
+    assert (g[1, 4:10] == 7.0).all()
+    # the null page absorbed the writes (no longer all-fill)
+    assert not (np.asarray(pool[0]) == 7.0).all()
+
+    tok = jnp.asarray(rng.standard_normal((b, hk, d)), jnp.float32)
+    pool = write_token_kv(pool, pt, lens, tok)
+    g = np.asarray(gather_pages(pool, pt))
+    np.testing.assert_array_equal(g[0, 10], np.asarray(tok[0]))
+    np.testing.assert_array_equal(g[1, 3], np.asarray(tok[1]))
+
+
+def test_encode_prompt_memo():
+    """EngineHostAPI.encode_prompt: truncates to max_prompt_len, returns the
+    cached object on repeat, and bounds the memo."""
+    from multimodal_concept_learning_tpu.serve.engine import EngineHostAPI
+
+    class _Tok:
+        calls = 0
+
+        def encode(self, p):
+            _Tok.calls += 1
+            return list(range(len(p)))
+
+    class _Loaded:
+        tokenizer = _Tok()
+
+    eng = EngineHostAPI()
+    eng.loaded = _Loaded()
+    eng.max_prompt_len = 4
+    first = eng.encode_prompt("hello world")
+    assert first == (0, 1, 2, 3)  # truncated
+    assert eng.encode_prompt("hello world") is first  # memo hit
+    assert _Tok.calls == 1
+    for i in range(1100):  # exceed the 1024 bound: memo clears, not grows
+        eng.encode_prompt(f"p{i}")
+    assert len(eng._encode_cache) <= 1025
+
+
 def test_lm_paged_matches_dense():
     """prefill_paged + decode_step_paged == prefill + decode_step on a tiny
     Gemma-3-featured LM (qk-norm, sandwich norms, alternating sliding and
