@@ -1,0 +1,151 @@
+"""Multi-LoRA serving: per-request adapter selection as a jax.vmap transform.
+
+vLLM-style multi-LoRA serving — one deployed base model answering requests
+for many fine-tuned adapters in the same batch — usually means model
+surgery: every adapted projection grows a gather over a weight bank.  On
+TPU/JAX it does not, because decode and prefill are *row-independent*
+(each batch row attends only to its own KV cache; serve/continuous.py
+builds on exactly that property).  Per-request adapters are therefore a
+functional transform, not new model code:
+
+1. stack k trained adapters' per-request weights on a leading axis
+   (``stack_adapter_params``: shared base weights from the first tree,
+   adapter-surface leaves ``jnp.stack``-ed to ``[k, ...]``);
+2. gather each row's weights by its adapter id
+   (``select_adapter_params``: adapter leaves become ``[B, ...]``);
+3. ``jax.vmap`` the per-row computation with base weights broadcast
+   (``in_axes=None``) and the gathered weights mapped (``in_axes=0``) —
+   ``adapter_in_axes`` builds that axes tree.
+
+XLA's batching rules turn the broadcast base matmuls back into exactly the
+batched program the plain model runs (x:[B,t,H] @ W:[H,F] — mapping only
+``x`` IS the ordinary batched matmul), so serving k adapters costs the
+base program plus small batched adapter einsums ([B,t,H]x[B,H,r], r<=64)
+— per-request adapters ride the same dispatch, no regrouping, no separate
+programs per adapter.
+
+The **adapter surface** is exactly what ``trainable_params_setting=
+"language_lora"`` trains (models/mllm.py trainable_mask): every
+``<proj>_lora`` factor pair *plus the vision->LM projector* — two
+checkpoints fine-tuned from one base differ in precisely those leaves, so
+per-request selection over them reproduces each checkpoint bit-for-bit.
+
+The reference has no serving at all (SURVEY.md §2); this extends the
+framework's ``language_lora`` training axis (ops/lora.py) to deployment.
+Exactness is pinned by tests/test_multi_lora.py: a mixed-adapter batch
+decodes token-identically to each adapter's own merged model.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _path_keys(path):
+    return [str(getattr(k, "key", "")) for k in path]
+
+
+def _is_adapter_path(path) -> bool:
+    """True for leaves on the per-request adapter surface: a ``<proj>_lora``
+    module subtree or the MLLM's vision projector (both trained by the
+    ``language_lora`` setting; everything else is shared base)."""
+    keys = _path_keys(path)
+    return any(k.endswith("_lora") for k in keys) or "projector" in keys
+
+
+def stack_adapter_params(trees: Sequence[dict]):
+    """Stack k same-architecture param trees into one adapter bank.
+
+    Base (shared) leaves are taken from ``trees[0]`` — multi-LoRA serving
+    presumes every adapter was trained from that shared base (the
+    ``language_lora`` setting freezes everything but the adapter surface,
+    so this holds for its checkpoints by construction).  Adapter-surface
+    leaves are stacked to ``[k, ...]``.
+
+    A bank pytree is structurally indistinguishable from a plain tree
+    (every leaf just grows a leading axis), so carry k out of band —
+    serve/loader.LoadedMLLM.num_adapters is where the serving stack
+    keeps it.
+    """
+    assert len(trees) >= 1
+    return jax.tree_util.tree_map_with_path(
+        lambda path, *leaves: jnp.stack(leaves)
+        if _is_adapter_path(path) else leaves[0],
+        trees[0], *trees[1:],
+    )
+
+
+def identity_adapter_params(params):
+    """Zero a tree's LoRA factors (delta = x @ 0 @ 0): the resulting entry
+    serves the raw base model through its own projector — use it as the
+    bank's "no adapter" id."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jnp.zeros_like(leaf)
+        if any(k.endswith("_lora") for k in _path_keys(path)) else leaf,
+        params,
+    )
+
+
+def select_adapter_params(stacked, adapter_idx: jax.Array):
+    """Gather each row's weights: adapter leaves ``[k, ...]`` -> ``[B, ...]``
+    via ``leaf[adapter_idx]``; base leaves pass through untouched."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: leaf[adapter_idx]
+        if _is_adapter_path(path) else leaf,
+        stacked,
+    )
+
+
+def adapter_in_axes(params):
+    """The ``jax.vmap`` in_axes tree for a ``select_adapter_params`` output:
+    0 on adapter leaves (mapped per row), None on base leaves (broadcast).
+    vmap traverses in_axes treating None as a leaf, so the plain dict tree
+    this returns is consumed as-is."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: 0 if _is_adapter_path(path) else None, params,
+    )
+
+
+def multi_lora_generate(
+    model,
+    stacked,
+    adapter_idx: jax.Array,
+    images: jax.Array,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    **generate_kwargs,
+):
+    """``models.mllm.generate`` with per-row adapters.
+
+    adapter_idx: [B] int32 into the bank's leading axis.  The sampling key
+    (``generate_kwargs["key"]``, if any) is split per row so sampled rows
+    stay independent.  Pure; wrap in jax.jit for serving.
+    """
+    from multimodal_concept_learning_tpu.models.mllm import generate
+
+    b = input_ids.shape[0]
+    per_row = select_adapter_params(stacked, adapter_idx)
+    axes = adapter_in_axes(per_row)
+    key = generate_kwargs.pop("key", None)
+    keys = jax.random.split(key, b) if key is not None else jnp.zeros((b,))
+
+    def row(p, img, ids, mask, k):
+        kw = dict(generate_kwargs)
+        if key is not None:
+            kw["key"] = k
+        return generate(model, p, img[None], ids[None], mask[None], **kw)[0]
+
+    return jax.vmap(row, in_axes=(axes, 0, 0, 0, 0))(
+        per_row, images, input_ids, attention_mask, keys)
+
+
+__all__ = [
+    "stack_adapter_params",
+    "identity_adapter_params",
+    "select_adapter_params",
+    "adapter_in_axes",
+    "multi_lora_generate",
+]

@@ -5,11 +5,18 @@ The reference has no inference/serving surface at all (SURVEY.md — its eval
 is teacher-forced argmax at supervised positions); this package is the
 framework's deployment path over the KV-cache decode loop (models/mllm),
 composing with int8 weight quantization (ops/quant.py), sampling
-(ops/sampling.py), mesh-sharded decode (parallel/serving.py), and a paged
-KV cache (ops/paged_kv.py, serve/paged.py) for long-context serving.
+(ops/sampling.py), mesh-sharded decode (parallel/serving.py), a paged
+KV cache (ops/paged_kv.py, serve/paged.py) for long-context serving, and
+multi-LoRA adapter banks (ops/multi_lora.py, serve/loader.load_adapter_bank)
+for per-request adapters on the dense fronts.
 """
 
 from multimodal_concept_learning_tpu.serve.engine import Batcher, ServingEngine
-from multimodal_concept_learning_tpu.serve.loader import LoadedMLLM, load_trained_mllm
+from multimodal_concept_learning_tpu.serve.loader import (
+    LoadedMLLM,
+    load_adapter_bank,
+    load_trained_mllm,
+)
 
-__all__ = ["Batcher", "ServingEngine", "LoadedMLLM", "load_trained_mllm"]
+__all__ = ["Batcher", "ServingEngine", "LoadedMLLM", "load_adapter_bank",
+           "load_trained_mllm"]

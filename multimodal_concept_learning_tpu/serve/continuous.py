@@ -55,6 +55,10 @@ class ContinuousEngine(EngineHostAPI):
     ):
         from multimodal_concept_learning_tpu.models.lm import init_kv_cache
         from multimodal_concept_learning_tpu.models.mllm import MLLM  # noqa: F401
+        from multimodal_concept_learning_tpu.ops.multi_lora import (
+            adapter_in_axes,
+            select_adapter_params,
+        )
         from multimodal_concept_learning_tpu.ops.sampling import sample_logits
 
         self.loaded = loaded
@@ -84,6 +88,12 @@ class ContinuousEngine(EngineHostAPI):
         self.seq_lens = jnp.zeros((num_slots,), jnp.int32)
         self.cache_mask = jnp.zeros((num_slots, self.cache_len), jnp.int32)
         self.last_tok = jnp.zeros((num_slots,), jnp.int32)
+        # multi-LoRA bank (serve/loader.load_adapter_bank): per-slot adapter
+        # ids; prefill/decode become per-row vmaps with the slot's factors
+        # gathered from the bank (ops/multi_lora.py — rows are independent,
+        # which is the same property this engine's slots already rely on)
+        self.num_adapters = getattr(loaded, "num_adapters", 0)
+        self.adapter_ids = np.zeros((num_slots,), np.int32)  # host-side
 
         def head(p, h):
             return model.apply({"params": p}, h,
@@ -93,9 +103,33 @@ class ContinuousEngine(EngineHostAPI):
             return sample_logits(logits, key, temperature=temperature,
                                  top_k=top_k, top_p=top_p)
 
+        def prefill_rows(p, images, ids, mask, aidx):
+            """Batched prompt prefill; with an adapter bank, each row runs
+            under its own gathered adapter weights via jax.vmap (base
+            weights broadcast — ops/multi_lora.py)."""
+            if not self.num_adapters:
+                small = init_kv_cache(lm_cfg, images.shape[0], self.cache_len)
+                return model.apply(
+                    {"params": p}, images, ids, mask, small,
+                    method=lambda m, *x: m.prefill(*x),
+                )
+            p_rows = select_adapter_params(p, aidx)
+            axes = adapter_in_axes(p_rows)
+
+            def row(p1, img, ids1, mask1):
+                small = init_kv_cache(lm_cfg, 1, self.cache_len)
+                hidden, small = model.apply(
+                    {"params": p1}, img[None], ids1[None], mask1[None], small,
+                    method=lambda m, *x: m.prefill(*x),
+                )
+                return hidden[0], jax.tree_util.tree_map(lambda x: x[0], small)
+
+            return jax.vmap(row, in_axes=(axes, 0, 0, 0))(
+                p_rows, images, ids, mask)
+
         @partial(jax.jit, donate_argnums=(1, 2, 3, 4))
         def admit(p, caches, seq_lens, cache_mask, last_tok, slots, valid,
-                  images, ids, mask, key):
+                  images, ids, mask, key, aidx):
             """Prefill up to ``num_slots`` requests in ONE batched call and
             install row a into slot ``slots[a]`` where ``valid[a]``.
 
@@ -107,11 +141,7 @@ class ContinuousEngine(EngineHostAPI):
             — burst admission costs one dispatch.
             """
             a = images.shape[0]
-            small = init_kv_cache(lm_cfg, a, self.cache_len)
-            hidden, small = model.apply(
-                {"params": p}, images, ids, mask, small,
-                method=lambda m, *x: m.prefill(*x),
-            )
+            hidden, small = prefill_rows(p, images, ids, mask, aidx)
             plens = mask.sum(axis=1).astype(jnp.int32)
             rows_a = jnp.arange(a)
             firsts = sample(head(p, hidden[rows_a, plens - 1]), key).astype(jnp.int32)
@@ -129,10 +159,27 @@ class ContinuousEngine(EngineHostAPI):
             return caches, seq_lens, cache_mask, last_tok, firsts
 
         @partial(jax.jit, donate_argnums=(1, 2, 3, 4))
-        def step(p, caches, seq_lens, cache_mask, last_tok, active, key):
+        def step(p, caches, seq_lens, cache_mask, last_tok, active,
+                 adapter_ids, key):
             """Advance every active slot ``steps_per_call`` tokens per call
             (inactive rows are inert; all writes stay under cache_len)."""
             rows = jnp.arange(num_slots)
+            if self.num_adapters:
+                # gather once per call (loop-invariant across the scan);
+                # embed/head have no adapter surface and stay batch-level
+                p_rows = select_adapter_params(p, adapter_ids)
+                axes = adapter_in_axes(p_rows)
+
+                def row_decode(p1, emb1, cache_row, seq_len, cmask_row):
+                    h, new = model.apply(
+                        {"params": p1}, emb1[None],
+                        jax.tree_util.tree_map(lambda x: x[None], cache_row),
+                        seq_len[None], cmask_row[None],
+                        method=lambda m, *a: m.language_model.decode_step(*a),
+                    )
+                    return h[0], jax.tree_util.tree_map(lambda x: x[0], new)
+
+                decode = jax.vmap(row_decode, in_axes=(axes, 0, 0, 0, 0))
 
             def body(carry, step_key):
                 caches, seq_lens, cache_mask, last_tok = carry
@@ -144,10 +191,14 @@ class ContinuousEngine(EngineHostAPI):
                     {"params": p}, last_tok[:, None],
                     method=lambda m, ids: m.language_model.embed(ids),
                 )
-                hidden, caches = model.apply(
-                    {"params": p}, emb, caches, seq_lens, cache_mask,
-                    method=lambda m, *a: m.language_model.decode_step(*a),
-                )
+                if self.num_adapters:
+                    hidden, caches = decode(p_rows, emb, caches, seq_lens,
+                                            cache_mask)
+                else:
+                    hidden, caches = model.apply(
+                        {"params": p}, emb, caches, seq_lens, cache_mask,
+                        method=lambda m, *a: m.language_model.decode_step(*a),
+                    )
                 nxt = sample(head(p, hidden[:, 0]), step_key).astype(jnp.int32)
                 seq_lens = seq_lens + can_write.astype(jnp.int32)
                 last_tok = jnp.where(can_write, nxt, last_tok)
@@ -167,10 +218,14 @@ class ContinuousEngine(EngineHostAPI):
     def admit_many(self, requests) -> List[int]:
         """Install up to ``num_slots`` requests in one batched prefill call.
 
-        requests: list of (slot, image, prompt) with distinct free slots.
-        Returns each request's first generated token (same order).
+        requests: list of (slot, image, prompt) or (slot, image, prompt,
+        adapter) with distinct free slots.  Returns each request's first
+        generated token (same order).
         """
         assert 0 < len(requests) <= self.num_slots
+        requests = [r if len(r) == 4 else (*r, 0) for r in requests]
+        if any(a for *_, a in requests) and not self.num_adapters:
+            raise ValueError("engine has no adapter bank (load_adapter_bank)")
         cfg = self.loaded.config
         # Bucketed admission width: the prefill program is compiled per
         # power-of-two batch shape, so a 1-request admit pays a 1-wide vision
@@ -185,21 +240,25 @@ class ContinuousEngine(EngineHostAPI):
         ids = np.full((a, self.prompt_t), self.pad_id, np.int32)
         mask = np.zeros((a, self.prompt_t), np.int32)
         valid = np.zeros((a,), bool)
-        used = [s for s, _, _ in requests]
+        aidx = np.zeros((a,), np.int32)
+        used = [s for s, _, _, _ in requests]
         leftovers = [s for s in range(self.num_slots) if s not in used]
         slots = np.asarray(used + leftovers[: a - len(used)], np.int32)
-        for i, (_, image, prompt) in enumerate(requests):
+        for i, (slot, image, prompt, adapter) in enumerate(requests):
             img[i] = image
             enc = self.encode_prompt(prompt)
             ids[i, self.nvt:self.nvt + len(enc)] = enc
             mask[i, : self.nvt + len(enc)] = 1
             valid[i] = True
+            aidx[i] = adapter
+            self.adapter_ids[slot] = adapter
         self._key, key = jax.random.split(self._key)
         (self.caches, self.seq_lens, self.cache_mask, self.last_tok,
          firsts) = self._admit(
             self.loaded.params, self.caches, self.seq_lens, self.cache_mask,
             self.last_tok, jnp.asarray(slots), jnp.asarray(valid),
             jnp.asarray(img), jnp.asarray(ids), jnp.asarray(mask), key,
+            jnp.asarray(aidx),
         )
         firsts = np.asarray(firsts)
         return [int(firsts[i]) for i in range(len(requests))]
@@ -211,7 +270,8 @@ class ContinuousEngine(EngineHostAPI):
         (self.caches, self.seq_lens, self.cache_mask, self.last_tok,
          nxt) = self._step(
             self.loaded.params, self.caches, self.seq_lens, self.cache_mask,
-            self.last_tok, jnp.asarray(active), key,
+            self.last_tok, jnp.asarray(active),
+            jnp.asarray(self.adapter_ids), key,
         )
         return np.asarray(nxt)
 
@@ -241,12 +301,14 @@ class ContinuousBatcher:
         self._thread.start()
 
     def submit(self, image: np.ndarray, prompt: str, timeout: float = 300.0,
-               on_token=None) -> str:
+               on_token=None, adapter: int = 0) -> str:
         """Blocking; ``on_token(token_id)`` streams each generated token as
-        the decode loop produces it (called from the worker thread)."""
+        the decode loop produces it (called from the worker thread).
+        ``adapter`` selects the request's multi-LoRA adapter on bank
+        engines (serve/loader.load_adapter_bank)."""
         from multimodal_concept_learning_tpu.serve.engine import _Pending
 
-        p = _Pending(image, prompt, on_token)
+        p = _Pending(image, prompt, on_token, adapter)
         self._q.put(p)
         if not p.event.wait(timeout):
             raise TimeoutError("generation timed out")
@@ -322,7 +384,8 @@ class ContinuousBatcher:
                     incoming = incoming[:k]
             if incoming:
                 free_slots = [i for i, s in enumerate(self._slots) if s is None]
-                batch = [(free_slots[i], r.image, r.prompt)
+                batch = [(free_slots[i], r.image, r.prompt,
+                          getattr(r, "adapter", 0))
                          for i, r in enumerate(incoming)]
                 try:
                     firsts = eng.admit_many(batch)
@@ -332,7 +395,7 @@ class ContinuousBatcher:
                         r.event.set()
                     incoming = []
                     firsts = []
-                for (slot_i, _, _), r, first in zip(batch, incoming, firsts):
+                for (slot_i, *_), r, first in zip(batch, incoming, firsts):
                     s = _Slot(r)
                     s.tokens.append(first)
                     self._emit(s, first)

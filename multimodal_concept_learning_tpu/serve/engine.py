@@ -79,6 +79,9 @@ class ServingEngine(EngineHostAPI):
         seed: int = 0,
     ):
         from multimodal_concept_learning_tpu.models.mllm import generate
+        from multimodal_concept_learning_tpu.ops.multi_lora import (
+            multi_lora_generate,
+        )
 
         self.loaded = loaded
         self.batch_size = batch_size
@@ -91,13 +94,27 @@ class ServingEngine(EngineHostAPI):
         self._lock = threading.Lock()
 
         model = loaded.model
-        self._gen_fn = jax.jit(
-            lambda p, img, ids, mask, key: generate(
-                model, p, img, ids, mask, max_new_tokens=max_new_tokens,
-                eos_id=self.eos_id, pad_id=self.pad_id, key=key,
-                temperature=temperature, top_k=top_k, top_p=top_p,
+        # multi-LoRA bank (serve/loader.load_adapter_bank): params carry
+        # stacked adapter leaves, requests pick adapters per row, and the
+        # generate program is the per-row vmap (ops/multi_lora.py)
+        self.num_adapters = getattr(loaded, "num_adapters", 0)
+        if self.num_adapters:
+            self._gen_fn = jax.jit(
+                lambda p, img, ids, mask, key, aidx: multi_lora_generate(
+                    model, p, aidx, img, ids, mask,
+                    max_new_tokens=max_new_tokens,
+                    eos_id=self.eos_id, pad_id=self.pad_id, key=key,
+                    temperature=temperature, top_k=top_k, top_p=top_p,
+                )
             )
-        )
+        else:
+            self._gen_fn = jax.jit(
+                lambda p, img, ids, mask, key: generate(
+                    model, p, img, ids, mask, max_new_tokens=max_new_tokens,
+                    eos_id=self.eos_id, pad_id=self.pad_id, key=key,
+                    temperature=temperature, top_k=top_k, top_p=top_p,
+                )
+            )
 
     def _encode_prompts(self, prompts: Sequence[str]):
         nvt = self.loaded.config.num_vision_tokens
@@ -112,11 +129,14 @@ class ServingEngine(EngineHostAPI):
             mask[i, :nvt + len(enc)] = 1
         return ids, mask
 
-    def generate(self, images: Sequence[np.ndarray], prompts: Sequence[str]) -> List[str]:
+    def generate(self, images: Sequence[np.ndarray], prompts: Sequence[str],
+                 adapters: Optional[Sequence[int]] = None) -> List[str]:
         """Generate one answer per (image, prompt); len(prompts) <= batch_size.
 
         images: preprocessed [3, H, W] arrays (see preprocess_image).
-        Thread-safe; pads the batch to the engine's fixed shape.
+        adapters: per-request multi-LoRA adapter ids (bank engines only;
+        default 0 = raw base).  Thread-safe; pads the batch to the engine's
+        fixed shape.
         """
         n = len(prompts)
         assert n == len(images) and 0 < n <= self.batch_size
@@ -125,11 +145,20 @@ class ServingEngine(EngineHostAPI):
         for i, a in enumerate(images):
             img[i] = a
         ids, mask = self._encode_prompts(prompts)
+        extra = ()
+        if self.num_adapters:
+            aidx = np.zeros((self.batch_size,), np.int32)
+            for i, a in enumerate(adapters if adapters is not None else []):
+                assert 0 <= a < self.num_adapters, f"adapter {a} out of range"
+                aidx[i] = a
+            extra = (jnp.asarray(aidx),)
+        elif adapters is not None and any(adapters):
+            raise ValueError("engine has no adapter bank (load_adapter_bank)")
         with self._lock:
             self._key, key = jax.random.split(self._key)
             out = np.asarray(self._gen_fn(
                 self.loaded.params, jnp.asarray(img), jnp.asarray(ids),
-                jnp.asarray(mask), key,
+                jnp.asarray(mask), key, *extra,
             ))
         texts = []
         for i in range(n):
@@ -147,9 +176,10 @@ class ServingEngine(EngineHostAPI):
 
 
 class _Pending:
-    __slots__ = ("image", "prompt", "event", "result", "error", "on_token")
+    __slots__ = ("image", "prompt", "event", "result", "error", "on_token",
+                 "adapter")
 
-    def __init__(self, image, prompt, on_token=None):
+    def __init__(self, image, prompt, on_token=None, adapter=0):
         self.image = image
         self.prompt = prompt
         self.event = threading.Event()
@@ -159,6 +189,8 @@ class _Pending:
         # produced (continuous batcher only; the whole-batch front produces
         # all tokens at once and never calls it mid-generation)
         self.on_token = on_token
+        # multi-LoRA adapter id (bank engines; 0 = raw base)
+        self.adapter = adapter
 
 
 class Batcher:
@@ -174,13 +206,14 @@ class Batcher:
         self._thread.start()
 
     def submit(self, image: np.ndarray, prompt: str, timeout: float = 300.0,
-               on_token=None) -> str:
+               on_token=None, adapter: int = 0) -> str:
         """Blocking: enqueue and wait for the generated text.
 
         ``on_token`` is accepted for interface parity with the continuous
         front but never fires mid-generation here (the whole batch decodes
-        in one device call)."""
-        p = _Pending(image, prompt, on_token)
+        in one device call).  ``adapter`` selects the request's multi-LoRA
+        adapter on bank engines (serve/loader.load_adapter_bank)."""
+        p = _Pending(image, prompt, on_token, adapter)
         self._q.put(p)
         if not p.event.wait(timeout):
             raise TimeoutError("generation timed out")
@@ -213,7 +246,8 @@ class Batcher:
                 batch.append(nxt)
             try:
                 texts = self.engine.generate(
-                    [p.image for p in batch], [p.prompt for p in batch]
+                    [p.image for p in batch], [p.prompt for p in batch],
+                    adapters=[p.adapter for p in batch],
                 )
                 for p, t in zip(batch, texts):
                     p.result = t

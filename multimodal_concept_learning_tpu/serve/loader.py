@@ -29,6 +29,10 @@ class LoadedMLLM(NamedTuple):
     config: MultimodalTrainingConfig
     labels_mapping: dict
     transform: object      # eval-mode transform pipeline
+    # multi-LoRA bank size (load_adapter_bank); 0 = plain params.  Carried
+    # out of band because a stacked bank pytree is structurally
+    # indistinguishable from a plain LoRA tree (ops/multi_lora.py).
+    num_adapters: int = 0
 
 
 def load_trained_mllm(results_dir: str, checkpoint: str = "best_model.pt",
@@ -101,4 +105,49 @@ def load_trained_mllm(results_dir: str, checkpoint: str = "best_model.pt",
     return LoadedMLLM(model, tokenizer, params, config, labels_mapping, transform)
 
 
-__all__ = ["LoadedMLLM", "load_trained_mllm"]
+def load_adapter_bank(results_dir: str, adapter_dirs, checkpoint: str = "best_model.pt",
+                      verbose: bool = True) -> LoadedMLLM:
+    """Load a multi-LoRA serving bank (ops/multi_lora.py).
+
+    ``results_dir`` provides the shared base weights, tokenizer and config
+    (it must be a ``language_lora``-trained run, lm_lora_rank > 0); each
+    entry of ``adapter_dirs`` is another results dir fine-tuned from the
+    same base.  The returned LoadedMLLM's params are the stacked bank:
+
+      adapter 0        the raw base model (zeroed factors, base projector)
+      adapter 1..k     adapter_dirs in order
+
+    To also serve ``results_dir``'s own adapter, include it in
+    ``adapter_dirs``.  int8 does not compose with an unmerged bank (the
+    factors must stay float and separate); quantized multi-LoRA serving
+    would quantize the shared base only — not implemented.
+    """
+    from multimodal_concept_learning_tpu.ops.multi_lora import (
+        identity_adapter_params,
+        stack_adapter_params,
+    )
+
+    base = load_trained_mllm(results_dir, checkpoint=checkpoint,
+                             merge_lora=False, verbose=verbose)
+    if getattr(base.config, "lm_lora_rank", 0) <= 0:
+        raise ValueError("multi-LoRA serving needs a language_lora base "
+                         f"(lm_lora_rank > 0), got {results_dir}")
+    trees = [identity_adapter_params(base.params)]
+    base_struct = jax.tree_util.tree_structure(base.params)
+    for d in adapter_dirs:
+        other = load_trained_mllm(d, checkpoint=checkpoint,
+                                  merge_lora=False, verbose=False)
+        if jax.tree_util.tree_structure(other.params) != base_struct:
+            raise ValueError(
+                f"adapter {d} has a different parameter structure than the "
+                "base (check lm_lora_rank / model presets match)")
+        trees.append(other.params)
+    bank = stack_adapter_params(trees)
+    if verbose:
+        print(f"Stacked multi-LoRA bank: {len(trees)} adapters "
+              f"(0 = raw base, 1..{len(trees) - 1} = "
+              f"{[os.path.basename(os.path.normpath(d)) for d in adapter_dirs]})")
+    return base._replace(params=bank, num_adapters=len(trees))
+
+
+__all__ = ["LoadedMLLM", "load_trained_mllm", "load_adapter_bank"]

@@ -73,6 +73,12 @@ class PagedContinuousEngine(EngineHostAPI):
     ):
         from multimodal_concept_learning_tpu.ops.sampling import sample_logits
 
+        if getattr(loaded, "num_adapters", 0):
+            raise ValueError(
+                "the paged front does not support multi-LoRA banks — serve "
+                "a bank through the dense fronts (ServingEngine or "
+                "ContinuousEngine), or merge one adapter for paged serving")
+        self.num_adapters = 0
         self.loaded = loaded
         self.num_slots = num_slots
         self.max_new_tokens = max_new_tokens
@@ -202,12 +208,17 @@ class PagedContinuousEngine(EngineHostAPI):
     def admit_many(self, requests) -> List[int]:
         """Install up to ``num_slots`` requests in one batched prefill call.
 
-        requests: list of (slot, image, prompt) with distinct free slots.
-        Raises PagePoolExhausted (before touching any state) if the free
-        list cannot cover them all — callers gate with admissible_prefix.
-        Returns each request's first generated token (same order).
+        requests: list of (slot, image, prompt) with distinct free slots
+        (a trailing adapter entry from the shared batcher must be 0 — no
+        multi-LoRA here, see __init__).  Raises PagePoolExhausted (before
+        touching any state) if the free list cannot cover them all —
+        callers gate with admissible_prefix.  Returns each request's first
+        generated token (same order).
         """
         assert 0 < len(requests) <= self.num_slots
+        assert not any(r[3] for r in requests if len(r) == 4), \
+            "paged front has no adapter bank"
+        requests = [r[:3] for r in requests]
         cfg = self.loaded.config
         np_max = self.max_pages_per_seq
         # bucketed admission width (see ContinuousEngine.admit_many)

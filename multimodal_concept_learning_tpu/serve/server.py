@@ -64,20 +64,25 @@ def build_app(batcher):
                 else:
                     raise KeyError("image_b64 or image_path required")
                 image = batcher.engine.preprocess_image(img)
+                adapter = int(req.get("adapter", 0))
+                n_bank = getattr(batcher.engine, "num_adapters", 0)
+                if adapter and not 0 <= adapter < max(n_bank, 1):
+                    raise ValueError(
+                        f"adapter {adapter} out of range (bank size {n_bank})")
             except Exception as e:  # noqa: BLE001 — malformed request
                 self._reply(400, {"error": str(e)})
                 return
             if req.get("stream"):
-                self._stream(image, prompt)
+                self._stream(image, prompt, adapter)
                 return
             try:
-                text = batcher.submit(image, prompt)
+                text = batcher.submit(image, prompt, adapter=adapter)
             except Exception as e:  # noqa: BLE001 — generation failure
                 self._reply(500, {"error": str(e)})
                 return
             self._reply(200, {"text": text})
 
-        def _stream(self, image, prompt):
+        def _stream(self, image, prompt, adapter=0):
             """NDJSON token stream: one {"token_id": N} line per generated
             token as the decode loop produces it (continuous mode; the
             whole-batch front emits everything with the final line), then
@@ -92,7 +97,8 @@ def build_app(batcher):
             def run():
                 try:
                     holder["text"] = batcher.submit(image, prompt,
-                                                    on_token=tq.put)
+                                                    on_token=tq.put,
+                                                    adapter=adapter)
                 except Exception as e:  # noqa: BLE001
                     holder["error"] = str(e)
                 tq.put(None)
@@ -125,7 +131,7 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
                 temperature: float = 0.0, top_k=None, top_p=None, seed: int = 0,
                 continuous: bool = False, steps_per_call: int = 4,
                 paged: bool = False, page_size: int = 16,
-                num_pages=None):
+                num_pages=None, adapters=None):
     """Build (ThreadingHTTPServer, batcher); caller runs serve_forever().
 
     ``continuous=True`` uses slot-level continuous batching
@@ -134,11 +140,23 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
     ``paged=True`` (implies continuous) stores KV in a shared page pool
     (serve/paged.py) — size it with ``num_pages``/``page_size``; a full
     pool holds queued requests instead of failing them.
+    ``adapters`` (list of results dirs) serves a multi-LoRA bank: requests
+    pick an adapter with {"adapter": i} (0 = raw base, i>=1 = the i-th
+    dir); requires a language_lora base, excludes int8 and paged.
     """
-    from multimodal_concept_learning_tpu.serve.loader import load_trained_mllm
+    from multimodal_concept_learning_tpu.serve.loader import (
+        load_adapter_bank,
+        load_trained_mllm,
+    )
 
-    loaded = load_trained_mllm(results_dir, checkpoint=checkpoint, int8=int8,
-                               int8_vision=int8_vision)
+    if adapters:
+        if int8 or int8_vision or paged:
+            raise ValueError("multi-LoRA banks exclude --int8/--paged "
+                             "(serve merged checkpoints there instead)")
+        loaded = load_adapter_bank(results_dir, adapters, checkpoint=checkpoint)
+    else:
+        loaded = load_trained_mllm(results_dir, checkpoint=checkpoint, int8=int8,
+                                   int8_vision=int8_vision)
     if paged:
         from multimodal_concept_learning_tpu.serve.continuous import ContinuousBatcher
         from multimodal_concept_learning_tpu.serve.paged import PagedContinuousEngine
@@ -203,6 +221,10 @@ def main(argv=None):
     parser.add_argument("--num_pages", type=int, default=None,
                         help="paged mode: pool size in pages (default: "
                              "worst case for batch_size slots)")
+    parser.add_argument("--adapters", type=str, default=None,
+                        help="comma-separated language_lora results dirs: "
+                             "serve a multi-LoRA bank; requests select with "
+                             '{"adapter": i} (0 = raw base)')
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--top_k", type=int, default=None)
     parser.add_argument("--top_p", type=float, default=None)
@@ -219,6 +241,7 @@ def main(argv=None):
         seed=args.sample_seed, continuous=args.continuous,
         steps_per_call=args.steps_per_call, paged=args.paged,
         page_size=args.page_size, num_pages=args.num_pages,
+        adapters=args.adapters.split(",") if args.adapters else None,
     )
     print(f"Serving on http://{args.host}:{args.port} "
           f"(batch_size={args.batch_size}, max_wait_ms={args.max_wait_ms})")

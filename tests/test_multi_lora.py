@@ -1,0 +1,225 @@
+"""Multi-LoRA serving (ops/multi_lora.py + serve engine banks).
+
+Pins the whole contract: stacking/selection round-trips; a mixed-adapter
+batch generates token-identically to (a) each adapter's own tree and (b)
+each adapter's *merged* base model — i.e. per-request adapters are exact,
+not approximate; both dense serving fronts route per-request adapters; the
+paged front and bank-less engines reject adapter requests loudly.
+
+Beyond-reference subsystem (the reference has no serving, SURVEY.md §2);
+the adapter surface matches trainable_params_setting="language_lora"
+(projector + ``*_lora`` factors, models/mllm.py trainable_mask).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_concept_learning_tpu.models import (
+    LMConfig,
+    MLLM,
+    MLLMConfig,
+    ViTConfig,
+)
+from multimodal_concept_learning_tpu.ops.multi_lora import (
+    adapter_in_axes,
+    identity_adapter_params,
+    multi_lora_generate,
+    select_adapter_params,
+    stack_adapter_params,
+)
+
+RANK = 4
+NVT = 17
+IMG = 32
+
+
+def _cfg(lora_rank=RANK, dtype=jnp.float32):
+    vision = ViTConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, patch_size=8, image_size=IMG, num_labels=4,
+        dtype=dtype,
+    )
+    lm = dataclasses.replace(
+        LMConfig.preset("nano", vocab_size=1152), dtype=dtype,
+        lora_rank=lora_rank,
+    )
+    return MLLMConfig(vision=vision, lm=lm, num_vision_tokens=NVT, dtype=dtype)
+
+
+def _adapter_tree(base, seed):
+    """A distinct trained-adapter stand-in: random factors + projector."""
+    r = np.random.default_rng(seed)
+
+    def fill(path, leaf):
+        keys = [str(getattr(k, "key", k)) for k in path]
+        if any(k.endswith("_lora") for k in keys) or "projector" in keys:
+            return jnp.asarray(r.standard_normal(leaf.shape) * 0.05, leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fill, base)
+
+
+@pytest.fixture(scope="module")
+def bank_setup():
+    model = MLLM(_cfg())
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((4, 3, IMG, IMG)), jnp.float32)
+    ids = np.full((4, NVT + 8), 0, np.int32)
+    ids[:, NVT:] = rng.integers(4, 1000, (4, 8))
+    ids, mask = jnp.asarray(ids), jnp.ones((4, NVT + 8), jnp.int32)
+    p0 = model.init(jax.random.key(0), images, ids, mask)["params"]
+    trees = [identity_adapter_params(p0), _adapter_tree(p0, 1), _adapter_tree(p0, 2)]
+    return model, trees, stack_adapter_params(trees), (images, ids, mask)
+
+
+def test_bank_roundtrip(bank_setup):
+    model, trees, bank, _ = bank_setup
+    # selecting a constant index recovers each tree's adapter leaves exactly
+    for i in range(3):
+        sel = select_adapter_params(bank, jnp.asarray([i], jnp.int32))
+        for (path, leaf), (_, orig) in zip(
+            jax.tree_util.tree_leaves_with_path(sel),
+            jax.tree_util.tree_leaves_with_path(trees[i]),
+        ):
+            key = jax.tree_util.keystr(path)
+            if "_lora" in key or "projector" in key:
+                np.testing.assert_array_equal(np.asarray(leaf[0]), np.asarray(orig))
+    # in_axes: 0 exactly on the adapter surface
+    axes = adapter_in_axes(bank)
+    flat = jax.tree_util.tree_leaves_with_path(
+        axes, is_leaf=lambda x: x is None)
+    assert any(a == 0 for _, a in flat) and any(a is None for _, a in flat)
+    for path, a in flat:
+        key = jax.tree_util.keystr(path)
+        assert (a == 0) == ("_lora" in key or "projector" in key), key
+
+
+def test_generate_matches_per_adapter_and_merged(bank_setup):
+    """Mixed-adapter batch == per-adapter trees == per-adapter MERGED models."""
+    from multimodal_concept_learning_tpu.models.mllm import greedy_generate
+    from multimodal_concept_learning_tpu.ops.lora import merge_lora_params
+
+    model, trees, bank, (images, ids, mask) = bank_setup
+    aidx = [0, 2, 1, 2]
+    out = np.asarray(multi_lora_generate(
+        model, bank, jnp.asarray(aidx, jnp.int32), images, ids, mask,
+        max_new_tokens=5, eos_id=None, pad_id=0))
+    base_model = MLLM(_cfg(lora_rank=0))
+    cfg = model.config.lm
+    for i, a in enumerate(aidx):
+        ref = greedy_generate(model, trees[a], images[i:i + 1], ids[i:i + 1],
+                              mask[i:i + 1], max_new_tokens=5)
+        np.testing.assert_array_equal(out[i], np.asarray(ref[0]), err_msg=f"row {i}")
+        merged = merge_lora_params(trees[a], alpha=cfg.lora_alpha)
+        ref_m = greedy_generate(base_model, merged, images[i:i + 1],
+                                ids[i:i + 1], mask[i:i + 1], max_new_tokens=5)
+        np.testing.assert_array_equal(out[i], np.asarray(ref_m[0]),
+                                      err_msg=f"row {i} vs merged")
+
+
+class _ServeCfg:
+    num_vision_tokens = NVT
+    image_size = IMG
+
+
+def _loaded(model, params, n_adapters=0):
+    from multimodal_concept_learning_tpu.serve.loader import LoadedMLLM
+    from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer
+
+    return LoadedMLLM(model, ConceptTokenizer(), params, _ServeCfg(), {},
+                      None, num_adapters=n_adapters)
+
+
+@pytest.fixture(scope="module")
+def engines(bank_setup):
+    from multimodal_concept_learning_tpu.serve import ServingEngine
+
+    model, trees, bank, _ = bank_setup
+    bank_engine = ServingEngine(_loaded(model, bank, 3), batch_size=3,
+                                max_new_tokens=4, max_prompt_len=8)
+    single = [ServingEngine(_loaded(model, t), batch_size=3,
+                            max_new_tokens=4, max_prompt_len=8)
+              for t in trees]
+    return bank_engine, single
+
+
+def test_serving_engine_bank(engines):
+    bank_engine, single = engines
+    assert bank_engine.num_adapters == 3
+    rng = np.random.default_rng(3)
+    imgs = [rng.standard_normal((3, IMG, IMG)).astype(np.float32)
+            for _ in range(3)]
+    prompts = ["Is the circle red?", "Is the circle green?", "Is it blue?"]
+    texts = bank_engine.generate(imgs, prompts, adapters=[0, 2, 1])
+    for i, a in enumerate([0, 2, 1]):
+        ref = single[a].generate([imgs[i]], [prompts[i]])
+        assert texts[i] == ref[0], (i, a)
+
+
+def test_serving_engine_without_bank_rejects(engines, bank_setup):
+    _, single = engines
+    rng = np.random.default_rng(4)
+    img = rng.standard_normal((3, IMG, IMG)).astype(np.float32)
+    with pytest.raises(ValueError, match="adapter bank"):
+        single[0].generate([img], ["hi"], adapters=[1])
+
+
+def test_continuous_engine_bank(engines, bank_setup):
+    from multimodal_concept_learning_tpu.serve.continuous import (
+        ContinuousBatcher,
+        ContinuousEngine,
+    )
+
+    model, trees, bank, _ = bank_setup
+    bank_engine, single = engines
+    eng = ContinuousEngine(_loaded(model, bank, 3), num_slots=3,
+                           max_new_tokens=4, max_prompt_len=8)
+    assert eng.num_adapters == 3
+    batcher = ContinuousBatcher(eng)
+    try:
+        rng = np.random.default_rng(5)
+        imgs = [rng.standard_normal((3, IMG, IMG)).astype(np.float32)
+                for _ in range(3)]
+        prompts = ["Is the circle red?", "Is the circle green?", "Is it blue?"]
+        import threading
+
+        results = {}
+
+        def call(i, a):
+            results[i] = batcher.submit(imgs[i], prompts[i], adapter=a)
+
+        threads = [threading.Thread(target=call, args=(i, a))
+                   for i, a in enumerate([1, 0, 2])]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for i, a in enumerate([1, 0, 2]):
+            ref = single[a].generate([imgs[i]], [prompts[i]])
+            assert results[i] == ref[0], (i, a)
+    finally:
+        batcher.shutdown()
+
+
+def test_continuous_without_bank_rejects(bank_setup):
+    from multimodal_concept_learning_tpu.serve.continuous import ContinuousEngine
+
+    model, trees, _, _ = bank_setup
+    eng = ContinuousEngine(_loaded(model, trees[1]), num_slots=2,
+                           max_new_tokens=2, max_prompt_len=8)
+    rng = np.random.default_rng(6)
+    img = rng.standard_normal((3, IMG, IMG)).astype(np.float32)
+    with pytest.raises(ValueError, match="adapter bank"):
+        eng.admit_many([(0, img, "hi", 1)])
+
+
+def test_paged_engine_rejects_bank(bank_setup):
+    from multimodal_concept_learning_tpu.serve.paged import PagedContinuousEngine
+
+    model, _, bank, _ = bank_setup
+    with pytest.raises(ValueError, match="multi-LoRA"):
+        PagedContinuousEngine(_loaded(model, bank, 3), num_slots=2)
