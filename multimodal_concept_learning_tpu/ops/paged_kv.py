@@ -181,9 +181,16 @@ def paged_decode_attention(
     window: int32 scalar, sliding window size or -1/None for global.
     Returns [B, 1, Hq, D].
 
-    ``use_kernel=None`` picks the Pallas kernel on TPU and the exact
-    gather fallback elsewhere; both compute identical math (pinned by
-    tests/test_paged_kv.py).
+    ``use_kernel=None`` defaults to the exact gather fallback everywhere;
+    both paths compute identical math (pinned by tests/test_paged_kv.py).
+    Measured on a v5e (scripts/bench_paged.py, gemma3-1b, batch 8,
+    BASELINE.md): the gather path matches the dense cache within noise
+    even at 1024-token contexts (2.6 ms/tok both; XLA's gather-of-pages
+    copy is cheap next to the decode matmuls), while the Pallas kernel is
+    grid-latency-bound on this 1-kv-head model — it wins only at short
+    contexts with 16-token pages (2.60 vs 2.97) and loses up to 2.8x at
+    long contexts (page_size 64 recovers it to ~par: 2.97 vs 2.63).
+    Opt in per process with MCL_PAGED_KERNEL=1 (TPU only).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -192,18 +199,19 @@ def paged_decode_attention(
     window = jnp.asarray(window, jnp.int32)
 
     if use_kernel is None:
-        env = os.environ.get("MCL_PAGED_KERNEL")  # benchmark A/B override
+        env = os.environ.get("MCL_PAGED_KERNEL")  # A/B override
         if env is not None:
             use_kernel = env == "1"
+            if use_kernel:
+                # device .platform is "tpu" under the axon runtime too (the
+                # house predicate, cf. ops/attention._flash_ok); Pallas
+                # compiles nowhere else (interpret mode is for tests)
+                try:
+                    use_kernel = jax.devices()[0].platform == "tpu"
+                except Exception:  # noqa: BLE001 — uninitializable backend
+                    use_kernel = False
         else:
-            # device .platform is "tpu" under the axon runtime too (the
-            # house predicate, cf. ops/attention._flash_ok / models/vit.py);
-            # jax.default_backend() would return the PLUGIN name ("axon")
-            # and silently strand the kernel
-            try:
-                use_kernel = jax.devices()[0].platform == "tpu"
-            except Exception:  # noqa: BLE001 — uninitializable backend
-                use_kernel = False
+            use_kernel = False
     if use_kernel:
         from multimodal_concept_learning_tpu.ops.paged_attention_kernel import (
             paged_decode_attention_kernel,

@@ -9,8 +9,10 @@ This engine stores KV in a shared page pool (ops/paged_kv.py) instead:
   from its REAL prompt length) and prefills straight into them — one
   fixed-shape device program, same as the dense engine;
 - **decode** advances every slot one token per scan iteration against the
-  pool (CausalLM.decode_step_paged; on TPU the Pallas paged-attention
-  kernel, ops/paged_attention_kernel.py);
+  pool (CausalLM.decode_step_paged; exact gather read by default —
+  measured at parity with the dense cache even at 1k contexts, BASELINE.md
+  — with the Pallas kernel, ops/paged_attention_kernel.py, behind
+  MCL_PAGED_KERNEL=1);
 - **release** returns a finished request's pages to the free list and
   zeroes its page-table row, so a stale slot's decode writes land on the
   null page and can never corrupt a page the allocator re-issued.

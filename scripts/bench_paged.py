@@ -99,6 +99,8 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--page_size", type=int, default=16)
     parser.add_argument("--lengths", type=str, default="2,16,64")
+    parser.add_argument("--text_len", type=int, default=TEXT_LEN,
+                        help="prompt text tokens (raise for long-context A/B)")
     parser.add_argument("--preset", type=str, default="gemma3-1b")
     parser.add_argument("--tiny", action="store_true",
                         help="nano preset at 32px (CPU smoke test)")
@@ -119,8 +121,8 @@ def main():
     rng = np.random.default_rng(0)
     b = args.batch
     images = jnp.asarray(rng.normal(size=(b, 3, imgsz, imgsz)).astype(np.float32))
-    ids = np.zeros((b, nvt + TEXT_LEN), np.int32)
-    ids[:, nvt:] = rng.integers(4, len(tokenizer) - 91, size=(b, TEXT_LEN))
+    ids = np.zeros((b, nvt + args.text_len), np.int32)
+    ids[:, nvt:] = rng.integers(4, len(tokenizer) - 91, size=(b, args.text_len))
     mask = np.ones_like(ids)
     ids, mask = jnp.asarray(ids), jnp.asarray(mask)
 
@@ -168,7 +170,7 @@ def main():
         ref = tokens[n]["dense"]
         for name, toks in tokens[n].items():
             assert np.array_equal(toks, ref), (n, name)
-    print(f"[paged] batch={b} prompt={nvt + TEXT_LEN} page_size="
+    print(f"[paged] batch={b} prompt={nvt + args.text_len} page_size="
           f"{args.page_size} lengths={lengths} (token-exact across variants)")
     for name, (per_tok, fixed) in results.items():
         print(f"[paged]   {name:13s} {per_tok * 1e3:7.2f} ms/tok "
