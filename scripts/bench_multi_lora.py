@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Multi-LoRA serving overhead: bank-of-k vmap generate vs plain generate.
+
+The multi-LoRA transform (ops/multi_lora.py) claims the vmapped program
+costs ~the base program: broadcast base matmuls batch back to the plain
+batched matmuls, and the per-row adapter einsums ([B,t,H]x[B,H,r], r<=64,
+plus the per-row projector) ride their tails.  This measures that claim
+on-chip with the serving shapes: greedy generate at several lengths,
+slope-fit ms/token + fixed cost (BASELINE.md microbench-traps protocol),
+for (a) the plain model, (b) a rank-r bank of k adapters with mixed
+per-row ids.
+
+Usage: python scripts/bench_multi_lora.py [--batch 8] [--rank 8] [--k 4]
+       [--lengths 2,16,64] [--preset gemma3-1b] [--tiny]
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, "/root/repo")
+from multimodal_concept_learning_tpu.models import MLLM, MLLMConfig  # noqa: E402
+from multimodal_concept_learning_tpu.models.mllm import greedy_generate  # noqa: E402
+from multimodal_concept_learning_tpu.ops.multi_lora import (  # noqa: E402
+    identity_adapter_params,
+    multi_lora_generate,
+    stack_adapter_params,
+)
+from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer  # noqa: E402
+
+TEXT_LEN = 24
+REPEATS = 3
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--rank", type=int, default=8)
+    parser.add_argument("--k", type=int, default=4)
+    parser.add_argument("--lengths", type=str, default="2,16,64")
+    parser.add_argument("--preset", type=str, default="gemma3-1b")
+    parser.add_argument("--tiny", action="store_true")
+    args = parser.parse_args()
+
+    if args.tiny:
+        preset, vision, imgsz, nvt = "nano", "vit-t-8", 32, 17
+    else:
+        preset, vision, imgsz, nvt = args.preset, "vit-b-16", 224, 197
+
+    tokenizer = ConceptTokenizer()
+    config = MLLMConfig.create(
+        vocab_size=len(tokenizer), vision_preset=vision, lm_preset=preset,
+        num_vision_tokens=nvt, image_size=imgsz, lm_lora_rank=args.rank)
+    model = MLLM(config)
+
+    rng = np.random.default_rng(0)
+    b = args.batch
+    images = jnp.asarray(rng.normal(size=(b, 3, imgsz, imgsz)).astype(np.float32))
+    ids = np.zeros((b, nvt + TEXT_LEN), np.int32)
+    ids[:, nvt:] = rng.integers(4, len(tokenizer), size=(b, TEXT_LEN))
+    mask = np.ones_like(ids)
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    p0 = jax.jit(model.init)(jax.random.key(0), images, ids, mask)["params"]
+    if not args.tiny:
+        p0 = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p0)
+
+    def build_bank(p):
+        """k distinct adapters built ON DEVICE from p (keys vary the
+        factors) — never materialize k trees on the host, and never close
+        over the bank (413 trap: it goes in as an argument)."""
+        def variant(i):
+            def f(path, leaf):
+                keys = [str(getattr(kk, "key", kk)) for kk in path]
+                if any(kk.endswith("_lora") for kk in keys) or "projector" in keys:
+                    k2 = jax.random.fold_in(jax.random.key(7), i * 1000 + hash(tuple(keys)) % 997)
+                    return (jax.random.normal(k2, leaf.shape) * 0.02).astype(leaf.dtype)
+                return leaf
+            return jax.tree_util.tree_map_with_path(f, p)
+
+        return stack_adapter_params(
+            [identity_adapter_params(p)] + [variant(i) for i in range(args.k - 1)])
+
+    bank = jax.jit(build_bank)(p0)
+    aidx = jnp.asarray(rng.integers(0, args.k, size=(b,)), jnp.int32)
+    lengths = [int(x) for x in args.lengths.split(",")]
+
+    def timed(fn, *fargs):
+        t0 = time.time()
+        out = np.asarray(fn(*fargs))
+        print(f"    compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        for _ in range(REPEATS):
+            out = np.asarray(fn(*fargs))
+        return (time.time() - t0) / REPEATS, out
+
+    results = {}
+    for name in ("plain", "bank"):
+        print(f"[mlora] {name}:", file=sys.stderr)
+        times = {}
+        for n in lengths:
+            if name == "plain":
+                fn = jax.jit(lambda p, i, t, m, n=n: greedy_generate(
+                    model, p, i, t, m, max_new_tokens=n))
+                times[n], toks = timed(fn, p0, images, ids, mask)
+            else:
+                fn = jax.jit(lambda p, a, i, t, m, n=n: multi_lora_generate(
+                    model, p, a, i, t, m, max_new_tokens=n, eos_id=None,
+                    pad_id=0))
+                times[n], toks = timed(fn, bank, aidx, images, ids, mask)
+            print(f"    n_new={n:4d}: {times[n] * 1e3:8.1f} ms", file=sys.stderr)
+        per_tok, fixed = np.polyfit(lengths, [times[n] for n in lengths], 1)
+        results[name] = (per_tok, fixed)
+    print(f"[mlora] batch={b} prompt={nvt + TEXT_LEN} rank={args.rank} "
+          f"k={args.k} lengths={lengths}")
+    for name, (per_tok, fixed) in results.items():
+        print(f"[mlora]   {name:6s} {per_tok * 1e3:7.2f} ms/tok "
+              f"(fixed {fixed * 1e3:7.1f} ms)")
+    pt0, pt1 = results["plain"][0], results["bank"][0]
+    print(f"[mlora]   per-token overhead: {(pt1 / pt0 - 1) * 100:+.1f}%")
+
+
+if __name__ == "__main__":
+    main()
