@@ -176,28 +176,28 @@ class MLLM(nn.Module):
 
     # -- KV-cache inference (serving path) -----------------------------------
 
-    def prefill(self, images, input_ids, attention_mask, caches, channels_last: bool = False):
-        """Vision tower + splice + LM prefill.  Returns (hidden [B,T,H], caches)."""
+    def prompt_embeds(self, images, input_ids, channels_last: bool = False):
+        """Vision tower + splice only: the [B, T, H] prompt embedding matrix
+        the LM prefill consumes.  Exposed for chunked-prefill staging
+        (serve/chunked.py), which feeds it to decode_chunk piecewise."""
         nvt = self.config.num_vision_tokens
         image_embeds = self.vision_model(images, deterministic=True, channels_last=channels_last)
         projected = self.projector(image_embeds)
         text_embeds = self.language_model.embed(input_ids[:, nvt:])
-        inputs_embeds = jnp.concatenate(
+        return jnp.concatenate(
             [projected.astype(text_embeds.dtype), text_embeds], axis=1
         )
+
+    def prefill(self, images, input_ids, attention_mask, caches, channels_last: bool = False):
+        """Vision tower + splice + LM prefill.  Returns (hidden [B,T,H], caches)."""
+        inputs_embeds = self.prompt_embeds(images, input_ids, channels_last)
         return self.language_model.prefill(inputs_embeds, attention_mask, caches)
 
     def prefill_paged(self, images, input_ids, attention_mask, pools,
                       page_table, channels_last: bool = False):
         """Vision tower + splice + paged LM prefill (ops/paged_kv.py).
         Returns (hidden [B,T,H], updated pools)."""
-        nvt = self.config.num_vision_tokens
-        image_embeds = self.vision_model(images, deterministic=True, channels_last=channels_last)
-        projected = self.projector(image_embeds)
-        text_embeds = self.language_model.embed(input_ids[:, nvt:])
-        inputs_embeds = jnp.concatenate(
-            [projected.astype(text_embeds.dtype), text_embeds], axis=1
-        )
+        inputs_embeds = self.prompt_embeds(images, input_ids, channels_last)
         return self.language_model.prefill_paged(
             inputs_embeds, attention_mask, pools, page_table
         )

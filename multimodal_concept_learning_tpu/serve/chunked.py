@@ -1,0 +1,178 @@
+"""Chunked prefill: admission that never stalls in-flight decodes.
+
+The dense continuous engine (serve/continuous.py) prefills a whole prompt
+in one device program: while that program runs, every in-flight request's
+next token waits.  At the reference's 221-token prompts that stall is one
+prefill (~50 ms); at long-context configurations (max_prompt 2048) it is
+most of a second per admission — the latency spike vLLM-style schedulers
+exist to remove.
+
+This engine splits admission into bounded pieces, interleaved by the
+batcher between decode steps:
+
+1. **staging** — one program computes the prompt's [1, T, H] embedding
+   matrix (vision tower + projector splice + token embeds,
+   MLLM.prompt_embeds) and parks it on device; the slot's ``seq_lens`` is
+   parked at the sacrificial tail slot so concurrent decode calls (which
+   unconditionally write every row's k/v at its ``seq_lens``) cannot
+   touch the rows the chunks are about to fill;
+2. **chunks** — each ``advance_prefill()`` call forwards ONE
+   ``chunk_size``-token slice through ``CausalLM.decode_chunk`` (the same
+   primitive the speculative verifier uses: per-row start, causal within
+   the chunk, committed-prefix bias), writing K/V straight into the
+   slot's cache row via a dynamic row slice — batch-1 FLOPs, not
+   num_slots-wide;
+3. **finish** — when the last chunk lands, sample the first token from
+   the final real position's hidden state and flip the slot live
+   (seq_lens/cache_mask/last_tok) for the ordinary decode loop.
+
+Decode stall per admission drops from O(prompt) to O(chunk_size); total
+admission FLOPs are unchanged (the same tokens forward once).  Token
+parity with the one-shot engine is exact and pinned by
+tests/test_chunked.py — decode_chunk vs full forward is already the
+speculative path's invariant.
+
+Scope: dense caches, single adapter (no multi-LoRA bank), single chip —
+the same envelope as ContinuousEngine; the paged front keeps one-shot
+admission (its prefill writes through page tables, and its admission cost
+is already bounded by the pool's backpressure).
+"""
+
+from __future__ import annotations
+
+import collections
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_concept_learning_tpu.serve.continuous import ContinuousEngine
+
+
+class ChunkedContinuousEngine(ContinuousEngine):
+    """ContinuousEngine with chunked admission; same batcher contract plus
+    ``admit_many`` returning None for still-prefilling requests and
+    ``advance_prefill()`` yielding (slot, first_token) completions."""
+
+    def __init__(self, loaded, chunk_size: int = 64, **kwargs):
+        if getattr(loaded, "num_adapters", 0):
+            raise ValueError(
+                "chunked prefill does not support multi-LoRA banks — use "
+                "ContinuousEngine for bank serving")
+        super().__init__(loaded, **kwargs)
+        self.chunk_size = int(chunk_size)
+        assert self.chunk_size > 0
+        self._sampler = dict(temperature=kwargs.get("temperature", 0.0),
+                             top_k=kwargs.get("top_k"),
+                             top_p=kwargs.get("top_p"))
+        from multimodal_concept_learning_tpu.ops.sampling import sample_logits
+
+        model = loaded.model
+        g = self.chunk_size
+        cache_len = self.cache_len
+
+        @jax.jit
+        def embed_prompt(p, image, ids):
+            emb = model.apply(
+                {"params": p}, image, ids,
+                method=lambda m, im, i: m.prompt_embeds(im, i))
+            # pad by one chunk so the sliding chunk window never clamps
+            return jnp.pad(emb, ((0, 0), (0, g), (0, 0)))
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def chunk_call(p, caches, emb, row, start):
+            """Forward emb[0, start:start+g] for slot ``row`` against its
+            committed prefix [0, start); returns the chunk's final-norm
+            hidden states for first-token sampling on the last chunk.
+            Writes past the prompt (padded tail) land at slots decode will
+            overwrite before attending — garbage never becomes visible."""
+            chunk = jax.lax.dynamic_slice_in_dim(emb, start, g, 1)
+            cache_row = jax.tree_util.tree_map(
+                lambda c: jax.lax.dynamic_slice_in_dim(c, row, 1, 0), caches)
+            prefix = (jnp.arange(cache_len)[None, :] < start).astype(jnp.int32)
+            h, new_row = model.apply(
+                {"params": p}, chunk, cache_row, start[None], prefix,
+                method=lambda m, *a: m.language_model.decode_chunk(*a))
+            caches = jax.tree_util.tree_map(
+                lambda c, nr: jax.lax.dynamic_update_slice_in_dim(
+                    c, nr.astype(c.dtype), row, 0), caches, new_row)
+            return caches, h[0]
+
+        @jax.jit
+        def finish(p, seq_lens, cache_mask, last_tok, row, plen, h, off, key):
+            h_last = jax.lax.dynamic_slice_in_dim(h, off, 1, 0)   # [1, H]
+            logits = model.apply(
+                {"params": p}, h_last,
+                method=lambda m, x: m.language_model.lm_head(x))
+            first = sample_logits(logits, key, **self._sampler).astype(jnp.int32)[0]
+            seq_lens = seq_lens.at[row].set(plen)
+            cache_mask = cache_mask.at[row].set(
+                (jnp.arange(cache_len) < plen).astype(jnp.int32))
+            last_tok = last_tok.at[row].set(first)
+            return seq_lens, cache_mask, last_tok, first
+
+        @jax.jit
+        def park(seq_lens, cache_mask, row):
+            # decode writes land at seq_lens unconditionally; the tail slot
+            # is sacrificial (never marked attendable — see step's can_write)
+            return (seq_lens.at[row].set(cache_len - 1),
+                    cache_mask.at[row].set(0))
+
+        self._embed_prompt = embed_prompt
+        self._chunk_call = chunk_call
+        self._finish = finish
+        self._park = park
+        # FIFO of in-progress admissions: dicts with slot/emb/plen/start
+        self._staged: "collections.deque" = collections.deque()
+
+    @property
+    def prefilling_slots(self):
+        return {st["slot"] for st in self._staged}
+
+    def admit_many(self, requests) -> List[Optional[int]]:
+        """Stage requests for chunked admission; returns None per request
+        (first tokens arrive from ``advance_prefill`` completions)."""
+        assert 0 < len(requests) <= self.num_slots
+        requests = [r if len(r) == 4 else (*r, 0) for r in requests]
+        if any(a for *_, a in requests):
+            raise ValueError("engine has no adapter bank (load_adapter_bank)")
+        for slot, image, prompt, _ in requests:
+            ids = np.full((1, self.prompt_t), self.pad_id, np.int32)
+            enc = self.encode_prompt(prompt)
+            ids[0, self.nvt:self.nvt + len(enc)] = enc
+            emb = self._embed_prompt(
+                self.loaded.params, jnp.asarray(image[None], jnp.float32),
+                jnp.asarray(ids))
+            self.seq_lens, self.cache_mask = self._park(
+                self.seq_lens, self.cache_mask, jnp.asarray(slot, jnp.int32))
+            self._staged.append({"slot": slot, "emb": emb,
+                                 "plen": self.nvt + len(enc), "start": 0})
+        return [None] * len(requests)
+
+    def advance_prefill(self):
+        """Forward one chunk of the oldest staged admission; returns
+        [(slot, first_token)] for admissions that just completed."""
+        if not self._staged:
+            return []
+        st = self._staged[0]
+        self.caches, h = self._chunk_call(
+            self.loaded.params, self.caches, st["emb"],
+            jnp.asarray(st["slot"], jnp.int32),
+            jnp.asarray(st["start"], jnp.int32))
+        st["start"] += self.chunk_size
+        if st["start"] < st["plen"]:
+            return []
+        off = st["plen"] - 1 - (st["start"] - self.chunk_size)
+        self._key, key = jax.random.split(self._key)
+        (self.seq_lens, self.cache_mask, self.last_tok, first) = self._finish(
+            self.loaded.params, self.seq_lens, self.cache_mask, self.last_tok,
+            jnp.asarray(st["slot"], jnp.int32),
+            jnp.asarray(st["plen"], jnp.int32), h,
+            jnp.asarray(off, jnp.int32), key)
+        self._staged.popleft()
+        return [(st["slot"], int(first))]
+
+
+__all__ = ["ChunkedContinuousEngine"]

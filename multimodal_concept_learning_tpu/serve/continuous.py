@@ -344,6 +344,33 @@ class ContinuousBatcher:
         if rel is not None:
             rel(i)
 
+    def _install_first(self, slot_i: int, first: int):
+        """Record a request's first generated token (at admission, or at a
+        chunked admission's completion) and retire it if already done."""
+        eng = self.engine
+        s = self._slots[slot_i]
+        s.tokens.append(first)
+        self._emit(s, first)
+        if (eng.eos_id is not None and first == eng.eos_id) or \
+                eng.max_new_tokens == 1:
+            self._finish(slot_i)
+
+    def _fail_all(self, e: Exception):
+        """A device-side failure mid-call invalidates the engine's
+        donated-buffer state: fail every in-flight request with the error
+        (instead of dying silently and hanging submit()) and stop the
+        worker — the engine cannot be trusted after this."""
+        for i, s in enumerate(self._slots):
+            if s is not None:
+                s.pending.error = e
+                s.pending.event.set()
+                self._slots[i] = None
+                try:
+                    self._release(i)
+                except Exception:  # noqa: BLE001 — engine is already dead
+                    pass
+        self._stop = True
+
     def _worker(self):
         eng = self.engine
         held = []  # requests seen while no slot/pages were free (keeps FIFO)
@@ -397,39 +424,43 @@ class ContinuousBatcher:
                     firsts = []
                 for (slot_i, *_), r, first in zip(batch, incoming, firsts):
                     s = _Slot(r)
-                    s.tokens.append(first)
-                    self._emit(s, first)
                     self._slots[slot_i] = s
                     self.stats["admissions"] += 1
-                    if (eng.eos_id is not None and first == eng.eos_id) or \
-                            eng.max_new_tokens == 1:
-                        self._finish(slot_i)
+                    if first is None:
+                        continue  # chunked admission: first token arrives
+                        # from advance_prefill completions below
+                    self._install_first(slot_i, first)
             if self._stop:
                 break
-            active = np.asarray([s is not None for s in self._slots], bool)
+            # chunked-prefill engines: forward one admission chunk per loop
+            # iteration, interleaved with the decode step below so in-flight
+            # requests stall at most one chunk per admission
+            advance = getattr(eng, "advance_prefill", None)
+            if advance is not None:
+                try:
+                    completions = advance()
+                except Exception as e:  # noqa: BLE001 — same contract as step
+                    self._fail_all(e)
+                    break
+                for slot_i, first in completions:
+                    self._install_first(slot_i, first)
+            prefilling = getattr(eng, "prefilling_slots", frozenset())
+            active = np.asarray(
+                [s is not None and i not in prefilling
+                 for i, s in enumerate(self._slots)], bool)
             if not active.any():
                 continue
             try:
                 toks = eng.step(active)  # [slots, steps_per_call]
             except Exception as e:  # noqa: BLE001
-                # A device-side failure mid-step invalidates the engine's
-                # donated-buffer state: fail every in-flight request with the
-                # error (instead of dying silently and hanging submit()) and
-                # stop the worker — the engine cannot be trusted after this.
-                for i, s in enumerate(self._slots):
-                    if s is not None:
-                        s.pending.error = e
-                        s.pending.event.set()
-                        self._slots[i] = None
-                        try:
-                            self._release(i)
-                        except Exception:  # noqa: BLE001 — engine is already dead
-                            pass
-                self._stop = True
+                self._fail_all(e)
                 break
             self.stats["steps"] += 1
             for i, s in enumerate(self._slots):
-                if s is None:
+                if s is None or i in prefilling:
+                    # a still-prefilling slot's step row is garbage (its
+                    # decode hasn't started) — its tokens arrive via
+                    # advance_prefill completions, then ordinary steps
                     continue
                 for t in toks[i]:
                     s.tokens.append(int(t))

@@ -131,7 +131,7 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
                 temperature: float = 0.0, top_k=None, top_p=None, seed: int = 0,
                 continuous: bool = False, steps_per_call: int = 4,
                 paged: bool = False, page_size: int = 16,
-                num_pages=None, adapters=None):
+                num_pages=None, adapters=None, chunked_prefill: int = 0):
     """Build (ThreadingHTTPServer, batcher); caller runs serve_forever().
 
     ``continuous=True`` uses slot-level continuous batching
@@ -143,6 +143,9 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
     ``adapters`` (list of results dirs) serves a multi-LoRA bank: requests
     pick an adapter with {"adapter": i} (0 = raw base, i>=1 = the i-th
     dir); requires a language_lora base, excludes int8 and paged.
+    ``chunked_prefill=N`` (continuous mode) admits prompts in N-token
+    chunks interleaved with decode steps (serve/chunked.py), bounding the
+    decode stall per admission.
     """
     from multimodal_concept_learning_tpu.serve.loader import (
         load_adapter_bank,
@@ -175,12 +178,21 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
             ContinuousEngine,
         )
 
-        engine = ContinuousEngine(
-            loaded, num_slots=batch_size, max_new_tokens=max_new_tokens,
+        kw = dict(
+            num_slots=batch_size, max_new_tokens=max_new_tokens,
             max_prompt_len=max_prompt_len, temperature=temperature,
             top_k=top_k, top_p=top_p, seed=seed,
             steps_per_call=steps_per_call,
         )
+        if chunked_prefill:
+            from multimodal_concept_learning_tpu.serve.chunked import (
+                ChunkedContinuousEngine,
+            )
+
+            engine = ChunkedContinuousEngine(
+                loaded, chunk_size=chunked_prefill, **kw)
+        else:
+            engine = ContinuousEngine(loaded, **kw)
         batcher = ContinuousBatcher(engine)
     else:
         from multimodal_concept_learning_tpu.serve.engine import Batcher, ServingEngine
@@ -221,6 +233,10 @@ def main(argv=None):
     parser.add_argument("--num_pages", type=int, default=None,
                         help="paged mode: pool size in pages (default: "
                              "worst case for batch_size slots)")
+    parser.add_argument("--chunked_prefill", type=int, default=0,
+                        help="continuous mode: admit prompts in N-token "
+                             "chunks interleaved with decode steps "
+                             "(0 = one-shot admission)")
     parser.add_argument("--adapters", type=str, default=None,
                         help="comma-separated language_lora results dirs: "
                              "serve a multi-LoRA bank; requests select with "
@@ -242,6 +258,7 @@ def main(argv=None):
         steps_per_call=args.steps_per_call, paged=args.paged,
         page_size=args.page_size, num_pages=args.num_pages,
         adapters=args.adapters.split(",") if args.adapters else None,
+        chunked_prefill=args.chunked_prefill,
     )
     print(f"Serving on http://{args.host}:{args.port} "
           f"(batch_size={args.batch_size}, max_wait_ms={args.max_wait_ms})")

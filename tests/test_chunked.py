@@ -1,0 +1,133 @@
+"""Chunked prefill (serve/chunked.py) == one-shot admission, token for token.
+
+The chunked engine forwards a prompt through CausalLM.decode_chunk in
+chunk_size pieces, interleaved with in-flight decode steps; every request
+must still produce exactly the greedy tokens of an isolated
+ServingEngine.generate call — across chunk sizes that divide, exceed, and
+straddle the prompt length, and while other requests are mid-decode.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+from PIL import Image
+
+COLORS = [[255, 0, 0], [0, 255, 0]]
+
+
+def _circle_image(rgb, size=32):
+    img = Image.new("RGB", (size, size), (255, 255, 255))
+    px = img.load()
+    cx = cy = size // 2
+    for x in range(size):
+        for y in range(size):
+            if (x - cx) ** 2 + (y - cy) ** 2 <= (size // 3) ** 2:
+                px[x, y] = tuple(rgb)
+    return img
+
+
+@pytest.fixture(scope="module")
+def loaded(trained_results_dir):
+    from multimodal_concept_learning_tpu.serve import load_trained_mllm
+
+    return load_trained_mllm(trained_results_dir, verbose=False)
+
+
+def _prompts():
+    return [
+        "Is the color of the circle red?",
+        "Is the color of the circle green?",
+        "Is the color of the circle blue?",
+        "Is the color of the circle orange?",
+    ]
+
+
+@pytest.mark.parametrize("chunk_size", [8, 16, 64])
+def test_chunked_matches_isolated_generate(loaded, chunk_size):
+    """chunk sizes straddling the prompt length (17 vision + <=16 text):
+    8 (many chunks, ragged tail), 16 (divides pre-pad layouts), 64 (one
+    chunk covers everything — the staging/park/finish path alone)."""
+    from multimodal_concept_learning_tpu.serve import ServingEngine
+    from multimodal_concept_learning_tpu.serve.chunked import (
+        ChunkedContinuousEngine,
+    )
+    from multimodal_concept_learning_tpu.serve.continuous import ContinuousBatcher
+
+    n_new, plen = 4, 16
+    ref_engine = ServingEngine(loaded, batch_size=1, max_new_tokens=n_new,
+                               max_prompt_len=plen)
+    imgs = [ref_engine.preprocess_image(_circle_image(COLORS[i % 2]))
+            for i in range(4)]
+    want = [ref_engine.generate([imgs[i]], [p])[0]
+            for i, p in enumerate(_prompts())]
+
+    eng = ChunkedContinuousEngine(loaded, chunk_size=chunk_size, num_slots=2,
+                                  max_new_tokens=n_new, max_prompt_len=plen)
+    batcher = ContinuousBatcher(eng)
+    try:
+        results = {}
+
+        def call(i):
+            results[i] = batcher.submit(imgs[i], _prompts()[i], timeout=600)
+
+        # more requests than slots: admissions must interleave with decodes
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert results == dict(enumerate(want))
+    finally:
+        batcher.shutdown()
+
+
+def test_chunked_streams_and_finishes_midflight(loaded):
+    """A request admitted while another is mid-decode gets exact tokens,
+    and streaming fires for chunk-admitted requests too."""
+    from multimodal_concept_learning_tpu.serve import ServingEngine
+    from multimodal_concept_learning_tpu.serve.chunked import (
+        ChunkedContinuousEngine,
+    )
+    from multimodal_concept_learning_tpu.serve.continuous import ContinuousBatcher
+
+    n_new, plen = 6, 16
+    ref_engine = ServingEngine(loaded, batch_size=1, max_new_tokens=n_new,
+                               max_prompt_len=plen)
+    imgs = [ref_engine.preprocess_image(_circle_image(c)) for c in COLORS]
+    prompts = _prompts()[:2]
+    want = [ref_engine.generate([imgs[i]], [prompts[i]])[0] for i in range(2)]
+
+    eng = ChunkedContinuousEngine(loaded, chunk_size=8, num_slots=2,
+                                  max_new_tokens=n_new, max_prompt_len=plen)
+    batcher = ContinuousBatcher(eng)
+    try:
+        streamed = []
+        results = {}
+
+        def first():
+            results[0] = batcher.submit(imgs[0], prompts[0], timeout=600)
+
+        t0 = threading.Thread(target=first)
+        t0.start()
+        # let request 0 admit and start decoding before the second arrives
+        import time
+
+        time.sleep(1.0)
+        results[1] = batcher.submit(imgs[1], prompts[1], timeout=600,
+                                    on_token=streamed.append)
+        t0.join(timeout=600)
+        assert results[0] == want[0]
+        assert results[1] == want[1]
+        assert streamed, "chunk-admitted request never streamed tokens"
+    finally:
+        batcher.shutdown()
+
+
+def test_chunked_rejects_bank(loaded):
+    from multimodal_concept_learning_tpu.serve.chunked import (
+        ChunkedContinuousEngine,
+    )
+
+    with pytest.raises(ValueError, match="multi-LoRA"):
+        ChunkedContinuousEngine(loaded._replace(num_adapters=2), num_slots=2)
