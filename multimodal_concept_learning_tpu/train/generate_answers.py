@@ -94,10 +94,13 @@ def main(argv=None):
 
     from multimodal_concept_learning_tpu.serve.loader import load_trained_mllm
 
-    model, tokenizer, params, config, labels_mapping, transform = load_trained_mllm(
+    loaded = load_trained_mllm(
         args.results_dir, checkpoint=args.checkpoint, int8=args.int8,
         int8_vision=args.int8_vision,
     )
+    model, tokenizer, params, config, labels_mapping, transform = (
+        loaded.model, loaded.tokenizer, loaded.params, loaded.config,
+        loaded.labels_mapping, loaded.transform)
     dataset_cls = (ColorDataset if config.dataset_name == "color_multimodal"
                    else ImageNetDataset)
     splits = load_split_datasets(
