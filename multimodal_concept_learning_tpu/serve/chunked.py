@@ -114,11 +114,11 @@ class ChunkedContinuousEngine(ContinuousEngine):
             return seq_lens, cache_mask, last_tok, first
 
         @jax.jit
-        def park(seq_lens, cache_mask, row):
+        def park(seq_lens, cache_mask, rows):
             # decode writes land at seq_lens unconditionally; the tail slot
             # is sacrificial (never marked attendable — see step's can_write)
-            return (seq_lens.at[row].set(cache_len - 1),
-                    cache_mask.at[row].set(0))
+            return (seq_lens.at[rows].set(cache_len - 1),
+                    cache_mask.at[rows].set(0))
 
         self._embed_prompt = embed_prompt
         self._chunk_call = chunk_call
@@ -133,22 +133,38 @@ class ChunkedContinuousEngine(ContinuousEngine):
 
     def admit_many(self, requests) -> List[Optional[int]]:
         """Stage requests for chunked admission; returns None per request
-        (first tokens arrive from ``advance_prefill`` completions)."""
+        (first tokens arrive from ``advance_prefill`` completions).
+
+        Staging is BATCHED over bucketed power-of-two widths (one embed
+        program per bucket, like the dense admit): the vision tower — the
+        bulk of staging cost at small widths — amortizes across the group,
+        so a burst of admissions costs ~one stage call, not one each.
+        """
         assert 0 < len(requests) <= self.num_slots
         requests = [r if len(r) == 4 else (*r, 0) for r in requests]
         if any(a for *_, a in requests):
             raise ValueError("engine has no adapter bank (load_adapter_bank)")
-        for slot, image, prompt, _ in requests:
-            ids = np.full((1, self.prompt_t), self.pad_id, np.int32)
+        cfg = self.loaded.config
+        a = 1
+        while a < len(requests):
+            a *= 2
+        a = min(a, self.num_slots)
+        img = np.zeros((a, 3, cfg.image_size, cfg.image_size), np.float32)
+        ids = np.full((a, self.prompt_t), self.pad_id, np.int32)
+        plens = []
+        for i, (_, image, prompt, _) in enumerate(requests):
+            img[i] = image
             enc = self.encode_prompt(prompt)
-            ids[0, self.nvt:self.nvt + len(enc)] = enc
-            emb = self._embed_prompt(
-                self.loaded.params, jnp.asarray(image[None], jnp.float32),
-                jnp.asarray(ids))
-            self.seq_lens, self.cache_mask = self._park(
-                self.seq_lens, self.cache_mask, jnp.asarray(slot, jnp.int32))
-            self._staged.append({"slot": slot, "emb": emb,
-                                 "plen": self.nvt + len(enc), "start": 0})
+            ids[i, self.nvt:self.nvt + len(enc)] = enc
+            plens.append(self.nvt + len(enc))
+        emb = self._embed_prompt(
+            self.loaded.params, jnp.asarray(img), jnp.asarray(ids))
+        slots = [slot for slot, *_ in requests]
+        self.seq_lens, self.cache_mask = self._park(
+            self.seq_lens, self.cache_mask, jnp.asarray(slots, jnp.int32))
+        for i, slot in enumerate(slots):
+            self._staged.append({"slot": slot, "emb": emb[i:i + 1],
+                                 "plen": plens[i], "start": 0})
         return [None] * len(requests)
 
     def advance_prefill(self):

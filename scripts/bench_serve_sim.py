@@ -93,6 +93,8 @@ def sim_continuous(times, lengths, *, num_slots, dispatch, t_admit,
     request has aged this long (batches prefills under load)."""
     n = len(times)
     done = np.zeros(n)
+    gaps = []   # inter-token emission gaps of in-flight requests (streaming)
+    last_emit = {}
     slots = []  # list of [request_idx, tokens_remaining]
     clock = 0.0
     i = 0
@@ -111,6 +113,7 @@ def sim_continuous(times, lengths, *, num_slots, dispatch, t_admit,
             clock += dispatch + t_admit[min(_bucket(k), num_slots)]
             for r in range(i, i + k):
                 slots.append([r, int(lengths[r]) - 1])  # prefill emits 1 tok
+                last_emit[r] = clock
             i += k
             # requests finishing on their first token
             slots = [s for s in slots if s[1] > 0 or not _finish(s, clock, done)]
@@ -119,13 +122,64 @@ def sim_continuous(times, lengths, *, num_slots, dispatch, t_admit,
         clock += dispatch + t_step * steps_per_call
         for s in slots:
             s[1] -= steps_per_call
+            gaps.append(clock - last_emit[s[0]])
+            last_emit[s[0]] = clock
         slots = [s for s in slots if s[1] > 0 or not _finish(s, clock, done)]
-    return done - times
+    return done - times, gaps
 
 
 def _finish(slot, clock, done):
     done[slot[0]] = clock
     return True  # always drop from the active list
+
+
+def sim_chunked(times, lengths, plens, *, num_slots, dispatch, t_stage,
+                t_chunk, chunk, t_step, steps_per_call=1):
+    """ChunkedContinuousEngine front (serve/chunked.py): bucketed batched
+    staging (vision tower + prompt embeds, one program per power-of-two
+    width — ``t_stage`` maps widths to cost), then ceil(plen/chunk) chunk
+    calls — one per worker iteration, interleaved with a decode step — so
+    admission cost follows the ACTUAL prompt length while the one-shot
+    front's fixed-shape prefill always pays the worst case."""
+    n = len(times)
+    done = np.zeros(n)
+    gaps = []   # inter-token emission gaps of in-flight requests (streaming)
+    last_emit = {}
+    slots = []     # decoding: [idx, tokens_remaining]
+    staged = []    # prefilling: [idx, chunks_remaining]
+    clock = 0.0
+    i = 0
+    while i < n or slots or staged:
+        free = num_slots - len(slots) - len(staged)
+        waiting = np.searchsorted(times, clock, side="right") - i
+        k = min(free, waiting)
+        if k == 0 and not slots and not staged:
+            clock = times[i]  # idle: jump to next arrival
+            continue
+        if k > 0:  # one bucketed stage call for the whole group
+            clock += dispatch + t_stage[min(_bucket(k), num_slots)]
+            for r in range(i, i + k):
+                staged.append([r, int(np.ceil(plens[r] / chunk))])
+        i += k
+        if staged:  # one chunk of the oldest admission per iteration
+            clock += dispatch + t_chunk
+            staged[0][1] -= 1
+            if staged[0][1] <= 0:
+                r = staged.pop(0)[0]
+                last_emit[r] = clock
+                if lengths[r] <= 1:
+                    done[r] = clock  # first token was the whole answer
+                else:
+                    slots.append([r, int(lengths[r]) - 1])
+        if slots:
+            clock += dispatch + t_step * steps_per_call
+            for s in slots:
+                s[1] -= steps_per_call
+                gaps.append(clock - last_emit[s[0]])
+                last_emit[s[0]] = clock
+            slots = [s for s in slots
+                     if s[1] > 0 or not _finish(s, clock, done)]
+    return done - times, gaps
 
 
 def admit_costs(args):
@@ -141,6 +195,55 @@ def admit_costs(args):
     return out
 
 
+def run_sim_long(args):
+    """Long-context scenario: heterogeneous REAL prompt lengths (uniform
+    pmin..pmax total tokens) against a max_prompt-sized engine.  The
+    one-shot continuous front pays its fixed-shape full-length prefill per
+    admission; the chunked front pays ceil(plen/chunk) chunks."""
+    rng = np.random.default_rng(0)
+    rows = []
+    for dispatch in args.dispatch:
+        for rate in args.rates:
+            times, lengths = _arrivals(args.n, rate, args.max_new, rng)
+            plens = rng.integers(args.pmin, args.pmax + 1, size=args.n)
+            def costs(spec, fallback):
+                if spec:
+                    return {int(kv.split(":")[0]): float(kv.split(":")[1])
+                            for kv in spec.split(",")}
+                return {w: fallback * (1 + 0.15 * (w - 1))
+                        for w in [1, 2, 4, 8, 16] if w <= args.slots}
+
+            lat_os, gaps_os = sim_continuous(
+                times, lengths, num_slots=args.slots, dispatch=dispatch,
+                t_admit=costs(args.t_admit_list, args.t_admit_long),
+                t_step=args.t_step, steps_per_call=args.steps_per_call)
+            lat_ch, gaps_ch = sim_chunked(
+                times, lengths, plens, num_slots=args.slots,
+                dispatch=dispatch,
+                t_stage=costs(args.t_stage_list, args.t_stage),
+                t_chunk=args.t_chunk, chunk=args.chunk,
+                t_step=args.t_step, steps_per_call=args.steps_per_call)
+            for front, lat, gaps in (("one-shot", lat_os, gaps_os),
+                                     ("chunked", lat_ch, gaps_ch)):
+                span = (times + lat).max() - times.min()
+                rows.append(dict(
+                    dispatch_ms=dispatch * 1e3, offered_rps=rate, front=front,
+                    achieved_rps=round(len(times) / span, 1),
+                    p50_ms=round(float(np.percentile(lat, 50)) * 1e3, 1),
+                    p95_ms=round(float(np.percentile(lat, 95)) * 1e3, 1),
+                    tok_p95_ms=round(float(np.percentile(gaps, 95)) * 1e3, 1),
+                    tok_max_ms=round(float(np.max(gaps)) * 1e3, 1),
+                ))
+    print(f"{'disp':>6} {'offered':>8} {'front':>12} {'rps':>7} "
+          f"{'p50ms':>8} {'p95ms':>8} {'tokp95':>8} {'tokmax':>8}")
+    for r in rows:
+        print(f"{r['dispatch_ms']:6.0f} {r['offered_rps']:8.1f} {r['front']:>12} "
+              f"{r['achieved_rps']:7.1f} {r['p50_ms']:8.1f} {r['p95_ms']:8.1f} "
+              f"{r['tok_p95_ms']:8.1f} {r['tok_max_ms']:8.1f}")
+    print(json.dumps(rows))
+    return rows
+
+
 def run_sim(args):
     rng = np.random.default_rng(0)
     rows = []
@@ -150,7 +253,7 @@ def run_sim(args):
             lat_wb = sim_whole_batch(
                 times, lengths, batch_size=args.batch, dispatch=dispatch,
                 t_gen=args.t_gen)
-            lat_ct = sim_continuous(
+            lat_ct, _ = sim_continuous(
                 times, lengths, num_slots=args.slots, dispatch=dispatch,
                 t_admit=admit_costs(args), t_step=args.t_step,
                 steps_per_call=args.steps_per_call,
@@ -280,6 +383,123 @@ def calibrate(args):
     return out
 
 
+def calibrate_long(args):
+    """On-chip costs for the long-context chunked-vs-one-shot comparison:
+    a max_prompt_long engine's one-shot admission (fixed-shape full-length
+    prefill), the chunked front's staging program, and its per-chunk cost
+    at --chunk tokens (drained over one real long admission)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from multimodal_concept_learning_tpu.configs import MultimodalTrainingConfig
+    from multimodal_concept_learning_tpu.models import MLLM, MLLMConfig
+    from multimodal_concept_learning_tpu.serve.chunked import ChunkedContinuousEngine
+    from multimodal_concept_learning_tpu.serve.continuous import ContinuousEngine
+    from multimodal_concept_learning_tpu.serve.loader import LoadedMLLM
+    from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer
+
+    rng = np.random.default_rng(0)
+    trivial = jax.jit(lambda x: x + 1)
+    _ = float(trivial(jnp.float32(0)))
+    t0 = time.time()
+    for _ in range(20):
+        _ = float(trivial(jnp.float32(0)))
+    dispatch = (time.time() - t0) / 20
+    print(f"[cal-long] dispatch latency: {dispatch * 1e3:.1f} ms", file=sys.stderr)
+
+    tokenizer = ConceptTokenizer()
+    config = MLLMConfig.create(
+        vocab_size=len(tokenizer), vision_preset="vit-b-16",
+        lm_preset="gemma3-1b", num_vision_tokens=197, image_size=224,
+    )
+    model = MLLM(config)
+    images = jnp.asarray(rng.normal(size=(1, 3, 224, 224)).astype(np.float32))
+    ids = jnp.zeros((1, 197 + 16), jnp.int32)
+    params = jax.jit(model.init)(jax.random.key(0), images, ids,
+                                 jnp.ones_like(ids))["params"]
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    tcfg = MultimodalTrainingConfig.from_params(
+        {"num_vision_tokens": 197, "image_size": 224})
+    loaded = LoadedMLLM(model=model, tokenizer=tokenizer, params=params,
+                        config=tcfg, labels_mapping={}, transform=None)
+
+    def timed(fn, reps=3):
+        fn()  # warmup/compile
+        t0 = time.time()
+        for _ in range(reps):
+            fn()
+        return (time.time() - t0) / reps
+
+    pimg = rng.normal(size=(3, 224, 224)).astype(np.float32)
+    long_prompt = " ".join(["red blue green one two"] * 400)  # > max_prompt tokens
+
+    widths = []
+    w = 1
+    while w <= args.slots:
+        widths.append(w)
+        w *= 2
+
+    eng_os = ContinuousEngine(loaded, num_slots=args.slots,
+                              max_new_tokens=args.max_new,
+                              max_prompt_len=args.max_prompt_long,
+                              steps_per_call=args.steps_per_call)
+    admit_walls = {w: timed(lambda w=w: eng_os.admit_many(
+        [(s, pimg, long_prompt) for s in range(w)])) for w in widths}
+    active = np.ones(args.slots, bool)
+    wall_step = timed(lambda: eng_os.step(active))
+    del eng_os
+
+    eng_ch = ChunkedContinuousEngine(
+        loaded, chunk_size=args.chunk, num_slots=args.slots,
+        max_new_tokens=args.max_new, max_prompt_len=args.max_prompt_long,
+        steps_per_call=args.steps_per_call)
+    plen = 197 + len(eng_ch.encode_prompt(long_prompt))
+    n_chunks = int(np.ceil(plen / args.chunk))
+
+    def stage_only(w):
+        eng_ch.admit_many([(s, pimg, long_prompt) for s in range(w)])
+        last = None
+        while eng_ch._staged:
+            last = eng_ch._staged.pop()  # staging only; no chunks run
+        # fence by fetching a scalar — block_until_ready is unreliable on
+        # the tunneled backend (CLAUDE.md)
+        float(last["emb"][0, 0, 0])
+
+    stage_walls = {w: timed(lambda w=w: stage_only(w)) for w in widths}
+
+    def drain():
+        eng_ch.admit_many([(0, pimg, long_prompt)])
+        float(eng_ch._staged[0]["emb"][0, 0, 0])  # settle staging first
+        while not eng_ch.advance_prefill():
+            # fence each chunk — unfenced advances pipeline on the device
+            # and the host loop only measures enqueue cost
+            float(eng_ch.caches[0]["k"][0, 0, 0, 0])
+
+    wall_drain = timed(drain)
+    wall_chunk = (wall_drain - stage_walls[1]) / n_chunks
+
+    out = dict(
+        dispatch=dispatch,
+        t_admit_list=",".join(
+            f"{w}:{max(t - dispatch, 1e-4):.4f}" for w, t in admit_walls.items()),
+        t_stage_list=",".join(
+            f"{w}:{max(t - dispatch, 1e-4):.4f}" for w, t in stage_walls.items()),
+        t_chunk=max(wall_chunk - dispatch, 1e-4),
+        t_step=max(wall_step - dispatch, 1e-4),
+        chunk=args.chunk, max_prompt_long=args.max_prompt_long,
+        plen_measured=plen, n_chunks=n_chunks,
+        slots=args.slots, max_new=args.max_new,
+        steps_per_call=args.steps_per_call,
+    )
+    print(json.dumps(out))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--calibrate", action="store_true")
@@ -298,9 +518,30 @@ def main():
                     help="per-bucket admit costs 'w:sec,w:sec' from --calibrate")
     for k, v in DEFAULTS.items():
         ap.add_argument(f"--{k}", type=float, default=v)
+    # long-context chunked-prefill comparison (serve/chunked.py)
+    ap.add_argument("--calibrate_long", action="store_true")
+    ap.add_argument("--long", action="store_true",
+                    help="simulate one-shot vs chunked admission at "
+                         "long/mixed prompt lengths")
+    ap.add_argument("--chunk", type=int, default=256)
+    ap.add_argument("--max_prompt_long", type=int, default=1024)
+    ap.add_argument("--pmin", type=int, default=256,
+                    help="min actual prompt tokens (incl. vision)")
+    ap.add_argument("--pmax", type=int, default=1200,
+                    help="max actual prompt tokens (incl. vision)")
+    ap.add_argument("--t_admit_long", type=float, default=0.300)
+    ap.add_argument("--t_stage", type=float, default=0.050)
+    ap.add_argument("--t_stage_list", type=str, default="",
+                    help="per-bucket staging costs 'w:sec,w:sec' from "
+                         "--calibrate_long")
+    ap.add_argument("--t_chunk", type=float, default=0.060)
     args = ap.parse_args()
     if args.calibrate:
         calibrate(args)
+    elif args.calibrate_long:
+        calibrate_long(args)
+    elif args.long:
+        run_sim_long(args)
     else:
         run_sim(args)
 
