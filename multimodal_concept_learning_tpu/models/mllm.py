@@ -298,6 +298,61 @@ def greedy_generate(model, params, images, input_ids, attention_mask,
                     channels_last=channels_last)
 
 
+def paged_generate(model, params, images, input_ids, attention_mask,
+                   max_new_tokens, page_size, eos_id=None, pad_id=0):
+    """Greedy decoding over a paged KV cache (ops/paged_kv.py).
+
+    Each row gets one consecutive run of ``pages_needed(t + new)`` pages
+    from a pool built INSIDE the traced function (zeros + iota — cheap on
+    device, and the serialized HLO never embeds the multi-MB pool as a
+    constant).  Token-exact vs ``greedy_generate`` (tests/test_paged_kv.py)
+    and the jittable entry point for mesh-sharded paged decode
+    (parallel/serving.make_sharded_paged_generate).  Pure; wrap in jax.jit.
+    """
+    from multimodal_concept_learning_tpu.ops.paged_kv import (
+        init_paged_kv_cache,
+        pages_needed,
+    )
+
+    lm_cfg = model.config.lm
+    b, t = input_ids.shape
+    rows = jnp.arange(b)
+    np_max = pages_needed(t + max_new_tokens, page_size)
+    pools = init_paged_kv_cache(lm_cfg, 1 + b * np_max, page_size)
+    pt = jnp.arange(1, 1 + b * np_max, dtype=jnp.int32).reshape(b, np_max)
+
+    def head(h):
+        return model.apply(
+            {"params": params}, h, method=lambda m, x: m.language_model.lm_head(x)
+        )
+
+    hidden, pools = model.apply(
+        {"params": params}, images, input_ids, attention_mask, pools, pt,
+        method=lambda m, *x: m.prefill_paged(*x))
+    seq_lens = attention_mask.sum(axis=1).astype(jnp.int32)
+    first_tok = jnp.argmax(
+        head(hidden[rows, seq_lens - 1]), axis=-1).astype(jnp.int32)
+    done = (jnp.zeros((b,), bool) if eos_id is None
+            else first_tok == eos_id)
+
+    def body(carry, _):
+        tok, seq_lens, pools, done = carry
+        emb = model.apply(
+            {"params": params}, tok[:, None],
+            method=lambda m, ids: m.language_model.embed(ids))
+        h, pools = model.apply(
+            {"params": params}, emb, pools, pt, seq_lens,
+            method=lambda m, *a: m.language_model.decode_step_paged(*a))
+        nxt = jnp.argmax(head(h[:, 0]), axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, pad_id, nxt)
+        new_done = done if eos_id is None else done | (nxt == eos_id)
+        return (nxt, seq_lens + 1, pools, new_done), nxt
+
+    carry = (first_tok, seq_lens, pools, done)
+    _, rest = jax.lax.scan(body, carry, None, length=max_new_tokens - 1)
+    return jnp.concatenate([first_tok[:, None], rest.T], axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Trainable-parameter masking (reference mllm.py:157-193)
 # ---------------------------------------------------------------------------

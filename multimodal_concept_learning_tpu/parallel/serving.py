@@ -77,4 +77,50 @@ def make_sharded_generate(
     return gen_fn, sharded
 
 
-__all__ = ["make_sharded_generate"]
+def make_sharded_paged_generate(
+    model,
+    params,
+    mesh: Mesh,
+    max_new_tokens: int,
+    page_size: int = 16,
+    eos_id: Optional[int] = None,
+    pad_id: int = 0,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    fsdp_axis: Optional[str] = None,
+):
+    """``make_sharded_generate`` over the PAGED cache path
+    (models/mllm.paged_generate): same Megatron TP parameter layout and
+    data-sharded batch, with the page pools built inside the program.
+
+    The read path is the exact gather (ops/paged_kv.py's measured on-chip
+    default) — plain XLA gathers/scatters that GSPMD partitions like any
+    other op, which is what makes the paged cache mesh-spannable without a
+    shard_map wrapper around the Pallas kernel (the opt-in kernel stays
+    single-chip).  GSPMD propagates the batch sharding into the per-row
+    page-table iota and pool writes; each data shard's rows only ever
+    touch their own page runs.  Greedy only (the serving engines own
+    sampling).
+    """
+    from multimodal_concept_learning_tpu.models.mllm import paged_generate
+
+    sharded = shard_params(params, mesh, model_axis=model_axis, fsdp_axis=fsdp_axis)
+    p_shardings = param_shardings(params, mesh, model_axis=model_axis,
+                                  fsdp_axis=fsdp_axis)
+    batch = NamedSharding(mesh, P(data_axis))
+
+    def run(p, images, input_ids, attention_mask):
+        return paged_generate(
+            model, p, images, input_ids, attention_mask, max_new_tokens,
+            page_size, eos_id=eos_id, pad_id=pad_id,
+        )
+
+    gen_fn = jax.jit(
+        run,
+        in_shardings=(p_shardings, batch, batch, batch),
+        out_shardings=batch,
+    )
+    return gen_fn, sharded
+
+
+__all__ = ["make_sharded_generate", "make_sharded_paged_generate"]

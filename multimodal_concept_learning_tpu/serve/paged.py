@@ -27,11 +27,14 @@ in a ``max_prompt_len`` M engine, each slot holds ~ceil(L/p) instead of
 ceil(M/p) pages — which is what makes long-context configurations (large
 M, mixed L) servable at all.
 
-Scope: a single-chip engine (one process, one device).  Mesh-sharded
-decode is the dense engine's domain (parallel/serving.py, GSPMD over the
-dense caches); the paged kernel is a Pallas custom call, which GSPMD
-cannot auto-partition — a TP paged path would wrap it in shard_map over
-the head axis (future work, needs on-chip validation).
+Scope: this ENGINE is single-chip (one process, one device).  The paged
+decode PATH itself is mesh-spannable: with the exact-gather read (the
+measured on-chip default) the pool ops are plain XLA gathers/scatters
+that GSPMD partitions like anything else —
+``parallel/serving.make_sharded_paged_generate`` runs DP x TP paged
+decode token-exactly (tests/test_serving_parallel.py).  Only the opt-in
+Pallas kernel is single-chip (a custom call GSPMD cannot partition; a
+shard_map-over-heads wrapper remains future work).
 
 The reference never serves (its eval is argmax at supervised positions,
 src/multimodal/multimodal_training.py:273-303); this is a framework

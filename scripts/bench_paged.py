@@ -34,64 +34,24 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 sys.path.insert(0, "/root/repo")
 from multimodal_concept_learning_tpu.models import MLLM, MLLMConfig  # noqa: E402
 from multimodal_concept_learning_tpu.models.mllm import greedy_generate  # noqa: E402
-from multimodal_concept_learning_tpu.ops.paged_kv import (  # noqa: E402
-    init_paged_kv_cache,
-    pages_needed,
-)
 from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer  # noqa: E402
 
 TEXT_LEN = 24
 REPEATS = 3
 
 
-def paged_generate(model, n_new, page_size, use_kernel):
-    """Greedy decode over a paged cache; one consecutive page run per row.
-
-    Returns fn(params, images, ids, mask): pools and the page table are
-    built INSIDE the jitted function (zeros + iota — cheap on device) so
-    the serialized HLO never embeds the multi-MB pool as a constant
-    (CLAUDE.md: big closed-over arrays -> HTTP 413 on remote compile).
-    """
-    lm_cfg = model.config.lm
-
-    def head(p, h):
-        return model.apply({"params": p}, h,
-                           method=lambda m, x: m.language_model.lm_head(x))
-
-    # pin the read path for the A/B (monkeypatch-free: thread use_kernel via
-    # the env override consumed by paged_kv.paged_decode_attention, read at
-    # trace time — set it before the first call compiles)
+def make_paged_fn(model, n_new, page_size, use_kernel):
+    """jitted models.mllm.paged_generate with the read path pinned for the
+    A/B (monkeypatch-free: the env override is consumed by
+    paged_kv.paged_decode_attention at trace time — set before the first
+    call compiles)."""
     import os
+
+    from multimodal_concept_learning_tpu.models.mllm import paged_generate
+
     os.environ["MCL_PAGED_KERNEL"] = "1" if use_kernel else "0"
-
-    def fn(p, images, ids, mask):
-        b, t = ids.shape
-        np_max = pages_needed(t + n_new, page_size)
-        rows = jnp.arange(b)
-        pools = init_paged_kv_cache(lm_cfg, 1 + b * np_max, page_size)
-        pt = jnp.arange(1, 1 + b * np_max, dtype=jnp.int32).reshape(b, np_max)
-        hidden, pools = model.apply(
-            {"params": p}, images, ids, mask, pools, pt,
-            method=lambda m, *x: m.prefill_paged(*x))
-        seq_lens = mask.sum(axis=1).astype(jnp.int32)
-        first = jnp.argmax(
-            head(p, hidden[rows, seq_lens - 1]), axis=-1).astype(jnp.int32)
-
-        def body(carry, _):
-            tok, seq_lens, pools_ = carry
-            emb = model.apply({"params": p}, tok[:, None],
-                              method=lambda m, i: m.language_model.embed(i))
-            h, pools_ = model.apply(
-                {"params": p}, emb, pools_, pt, seq_lens,
-                method=lambda m, *a: m.language_model.decode_step_paged(*a))
-            nxt = jnp.argmax(head(p, h[:, 0]), axis=-1).astype(jnp.int32)
-            return (nxt, seq_lens + 1, pools_), nxt
-
-        (tok, _, _), rest = jax.lax.scan(
-            body, (first, seq_lens, pools), None, length=n_new - 1)
-        return jnp.concatenate([first[:, None], rest.T], axis=1)
-
-    return jax.jit(fn)
+    return jax.jit(lambda p, images, ids, mask: paged_generate(
+        model, p, images, ids, mask, n_new, page_size))
 
 
 def main():
@@ -146,9 +106,9 @@ def main():
     variants = [
         ("dense", lambda n: jax.jit(lambda p, i, t, m: greedy_generate(
             model, p, i, t, m, max_new_tokens=n))),
-        ("paged-kernel", lambda n: paged_generate(
+        ("paged-kernel", lambda n: make_paged_fn(
             model, n, args.page_size, True)),
-        ("paged-gather", lambda n: paged_generate(
+        ("paged-gather", lambda n: make_paged_fn(
             model, n, args.page_size, False)),
     ]
     # the Pallas kernel is TPU-only (interpret mode is not a benchmark);

@@ -111,3 +111,33 @@ def test_sharded_generate_sampling_reproducible(eight_devices):
     b = np.asarray(gen_fn(sharded, images, ids, mask, jax.random.key(5)))
     np.testing.assert_array_equal(a, b)
     assert a.shape == (ids.shape[0], 4)
+
+
+def test_sharded_paged_generate_matches_single_device(eight_devices):
+    """DP x TP sharded PAGED decode (parallel/serving.py
+    make_sharded_paged_generate) == single-device paged_generate ==
+    dense greedy_generate — GSPMD partitions the exact-gather pool reads
+    without any shard_map wrapper, closing the paged engine's documented
+    single-chip scope for the gather path."""
+    from multimodal_concept_learning_tpu.models.mllm import paged_generate
+    from multimodal_concept_learning_tpu.parallel.serving import (
+        make_sharded_paged_generate,
+    )
+
+    model, config = _mllm()
+    images, ids, mask = _prompt(config)
+    params = model.init(jax.random.key(0), images, ids, mask)["params"]
+    n_new, ps = 5, 4
+
+    dense = np.asarray(greedy_generate(model, params, images, ids, mask, n_new))
+    single = np.asarray(paged_generate(model, params, images, ids, mask,
+                                       n_new, ps))
+    np.testing.assert_array_equal(single, dense)
+
+    mesh = make_mesh(eight_devices, axis_names=("data", "model"), shape=(4, 2))
+    gen_fn, sharded = make_sharded_paged_generate(model, params, mesh, n_new,
+                                                  page_size=ps)
+    out = gen_fn(sharded, images, ids, mask)
+    np.testing.assert_array_equal(np.asarray(out), dense)
+    assert not out.sharding.is_fully_replicated
+    assert out.addressable_shards[0].data.shape[0] == ids.shape[0] // 4
