@@ -1,0 +1,156 @@
+"""Beam-search decoding over the KV-cache serving path.
+
+Completes the framework's decode-mode suite (greedy / temperature-top-k/p
+sampling / self-speculative, models/mllm.py + models/speculative.py) with
+the classic width-K search: prefill ONCE at batch B, tile the per-layer
+caches to B*K rows, and run a fixed-shape lax.scan where every step
+
+1. embeds each beam's last token and advances all B*K rows one decode
+   step (the same ``CausalLM.decode_step`` program serving uses);
+2. scores the K*V continuations per batch row (log-softmax; finished
+   beams may only continue with ``pad_id`` at zero cost, the standard
+   finished-beam freeze);
+3. keeps the top K by total log-probability (``jax.lax.top_k`` over the
+   flattened [K*V] candidates) and REORDERS beam state — token history,
+   scores, done flags, and every cache row — with one gather along the
+   B*K axis.
+
+TPU shape notes: everything is static-shaped ([B*K] rows, K*V candidate
+matrix), the per-step cache reorder is a contiguous row gather (K rows of
+[S, hk, d] per batch element — bandwidth ~ the decode step's own cache
+read), and the token history rides the scan carry as [B, K, max_new]
+int32 so no host backtracking pass is needed.
+
+The reference never decodes at all (its eval is teacher-forced argmax,
+src/multimodal/multimodal_training.py:273-303); this is a framework
+extension.  Exactness pins (tests/test_beam.py): K=1 equals greedy
+token-for-token, and on a depth-2 search K=V recovers the brute-force
+global optimum (with K=V every depth-1 prefix survives, so the optimum
+cannot be pruned).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG = jnp.float32(-1e30)
+
+
+def beam_generate(
+    model,
+    params,
+    images: jax.Array,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    max_new_tokens: int,
+    num_beams: int,
+    eos_id: Optional[int] = None,
+    pad_id: int = 0,
+    length_penalty: float = 0.0,
+    return_scores: bool = False,
+):
+    """Width-``num_beams`` beam search; returns tokens [B, max_new_tokens]
+    (the best beam per row; positions after ``eos_id`` are ``pad_id``).
+
+    ``length_penalty`` alpha divides each beam's final log-probability by
+    ``len**alpha`` (generated tokens up to and including eos); 0 = pure
+    sum of log-probs.  ``return_scores`` additionally returns the chosen
+    beam's (unpenalized) total log-probability [B].  Pure; wrap in
+    jax.jit for serving.
+    """
+    from multimodal_concept_learning_tpu.models.lm import init_kv_cache
+    from multimodal_concept_learning_tpu.models.mllm import MLLM
+
+    k = num_beams
+    b, t = input_ids.shape
+    rows = jnp.arange(b)
+    caches = init_kv_cache(model.config.lm, b, t + max_new_tokens)
+
+    def head(h):
+        return model.apply(
+            {"params": params}, h,
+            method=lambda m, x: m.language_model.lm_head(x))
+
+    hidden, caches = model.apply(
+        {"params": params}, images, input_ids, attention_mask, caches,
+        method=MLLM.prefill)
+    seq_lens = attention_mask.sum(axis=1).astype(jnp.int32)
+    logprobs0 = jax.nn.log_softmax(
+        head(hidden[rows, seq_lens - 1]).astype(jnp.float32), axis=-1)  # [B, V]
+    v = logprobs0.shape[-1]
+    assert k <= v, "beam width cannot exceed the vocabulary"
+
+    scores, first = jax.lax.top_k(logprobs0, k)          # [B, K] both
+    first = first.astype(jnp.int32)
+    done = (jnp.zeros((b, k), bool) if eos_id is None
+            else first == eos_id)
+    history = jnp.full((b, k, max_new_tokens), pad_id, jnp.int32)
+    history = history.at[:, :, 0].set(first)
+
+    # tile to B*K rows: beams of row b occupy rows b*K .. b*K+K-1
+    caches = jax.tree_util.tree_map(
+        lambda c: jnp.repeat(c, k, axis=0), caches)
+    cache_mask = jnp.repeat(
+        jnp.pad(attention_mask.astype(jnp.int32),
+                ((0, 0), (0, max_new_tokens))), k, axis=0)   # [B*K, S]
+    seq_lens_bk = jnp.repeat(seq_lens, k)                    # [B*K]
+    rows_bk = jnp.arange(b * k)
+    base = (jnp.arange(b) * k)[:, None]                      # [B, 1]
+
+    # a done beam's only continuation: pad_id at zero additional cost
+    done_row = jnp.full((v,), _NEG).at[pad_id].set(0.0)
+
+    def body(carry, step):
+        history, scores, done, seq_lens_bk, cache_mask, caches = carry
+        last = history[:, :, step - 1].reshape(b * k)
+        emb = model.apply(
+            {"params": params}, last[:, None],
+            method=lambda m, ids: m.language_model.embed(ids))
+        cache_mask = cache_mask.at[rows_bk, seq_lens_bk].set(1)
+        h, caches = model.apply(
+            {"params": params}, emb, caches, seq_lens_bk, cache_mask,
+            method=lambda m, *a: m.language_model.decode_step(*a))
+        lp = jax.nn.log_softmax(
+            head(h[:, 0]).astype(jnp.float32), axis=-1).reshape(b, k, v)
+        lp = jnp.where(done[:, :, None], done_row[None, None, :], lp)
+        cand = scores[:, :, None] + lp                       # [B, K, V]
+        scores, flat_idx = jax.lax.top_k(cand.reshape(b, k * v), k)
+        parent = flat_idx // v                               # [B, K]
+        token = (flat_idx % v).astype(jnp.int32)
+        gather = (base + parent).reshape(b * k)              # rows to keep
+        caches = jax.tree_util.tree_map(lambda c: c[gather], caches)
+        cache_mask = cache_mask[gather]
+        seq_lens_bk = seq_lens_bk[gather] + 1
+        done = jnp.take_along_axis(done, parent, axis=1)
+        history = jnp.take_along_axis(
+            history, parent[:, :, None], axis=1).at[:, :, step].set(
+            jnp.where(done, pad_id, token))
+        if eos_id is not None:
+            done = done | (token == eos_id)
+        return (history, scores, done, seq_lens_bk, cache_mask, caches), None
+
+    carry = (history, scores, done, seq_lens_bk, cache_mask, caches)
+    if max_new_tokens > 1:
+        carry, _ = jax.lax.scan(
+            body, carry, jnp.arange(1, max_new_tokens))
+    history, scores, done, *_ = carry
+
+    if eos_id is None:
+        gen_lens = jnp.full((b, k), max_new_tokens)
+    else:
+        hit = history == eos_id
+        gen_lens = jnp.where(
+            hit.any(axis=-1), hit.argmax(axis=-1) + 1, max_new_tokens)
+    penalized = scores / jnp.maximum(gen_lens, 1) ** jnp.float32(length_penalty)
+    best = jnp.argmax(penalized, axis=1)                     # [B]
+    out = jnp.take_along_axis(
+        history, best[:, None, None], axis=1)[:, 0]          # [B, max_new]
+    if return_scores:
+        return out, jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+    return out
+
+
+__all__ = ["beam_generate"]

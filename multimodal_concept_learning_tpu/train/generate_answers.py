@@ -88,9 +88,16 @@ def main(argv=None):
                         help=">0: self-speculative greedy decoding with this "
                              "early-exit draft depth (models/speculative.py)")
     parser.add_argument("--draft_len", type=int, default=4)
+    parser.add_argument("--num_beams", type=int, default=1,
+                        help=">1: beam search of this width (models/beam.py; "
+                             "greedy path when 1)")
+    parser.add_argument("--length_penalty", type=float, default=0.0,
+                        help="beam search: alpha dividing scores by len**a")
     args = parser.parse_args(argv)
     if args.draft_layers > 0 and args.temperature > 0:
         parser.error("--draft_layers implies greedy (temperature 0)")
+    if args.num_beams > 1 and (args.temperature > 0 or args.draft_layers > 0):
+        parser.error("--num_beams implies greedy, non-speculative decoding")
 
     from multimodal_concept_learning_tpu.serve.loader import load_trained_mllm
 
@@ -128,7 +135,17 @@ def main(argv=None):
     eos_id = getattr(tokenizer, "eos_token_id", None)
     pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
 
-    if args.draft_layers > 0:
+    if args.num_beams > 1:
+        from multimodal_concept_learning_tpu.models.beam import beam_generate
+
+        gen_fn = jax.jit(
+            lambda p, img, ids, mask, key: beam_generate(
+                model, p, img, ids, mask, max_new_tokens=args.max_new_tokens,
+                num_beams=args.num_beams, eos_id=eos_id, pad_id=pad_id,
+                length_penalty=args.length_penalty,
+            )
+        )
+    elif args.draft_layers > 0:
         from multimodal_concept_learning_tpu.models.speculative import (
             speculative_generate,
         )

@@ -1,0 +1,157 @@
+"""Beam search (models/beam.py).
+
+Pins: width-1 beam == greedy token-for-token (incl. ragged prompts and
+eos freezing); on a depth-2 search with K=V the global optimum cannot be
+pruned, so beam must recover the brute-force best sequence and its exact
+log-probability; finished beams freeze (pads after eos, score equals the
+teacher-forced sum of the returned tokens).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_concept_learning_tpu.models import (
+    LMConfig,
+    MLLM,
+    MLLMConfig,
+    ViTConfig,
+)
+from multimodal_concept_learning_tpu.models.beam import beam_generate
+from multimodal_concept_learning_tpu.models.mllm import greedy_generate
+
+VOCAB = 16
+
+
+def _model(vocab=VOCAB):
+    vision = ViTConfig(hidden_size=32, intermediate_size=64,
+                       num_hidden_layers=1, num_attention_heads=2,
+                       patch_size=8, image_size=16, num_labels=0,
+                       dtype=jnp.float32)
+    lm = dataclasses.replace(LMConfig.preset("nano", vocab_size=vocab),
+                             dtype=jnp.float32)
+    cfg = MLLMConfig(vision=vision, lm=lm, num_vision_tokens=5,
+                     max_answer_tokens=2, dtype=jnp.float32)
+    return MLLM(cfg), cfg
+
+
+def _prompt(cfg, b=3, text_len=5, vocab=VOCAB):
+    rng = np.random.default_rng(4)
+    nvt = cfg.num_vision_tokens
+    images = jnp.asarray(rng.normal(size=(b, 3, 16, 16)).astype(np.float32))
+    ids = np.zeros((b, nvt + text_len), np.int32)
+    ids[:, nvt:] = rng.integers(2, vocab, size=(b, text_len))
+    mask = np.ones_like(ids)
+    if b > 1:
+        mask[1, -2:] = 0  # ragged padding
+        ids[mask == 0] = 0
+    return images, jnp.asarray(ids), jnp.asarray(mask)
+
+
+def test_beam_width_one_is_greedy():
+    model, cfg = _model()
+    images, ids, mask = _prompt(cfg)
+    params = model.init(jax.random.key(0), images, ids, mask)["params"]
+    for eos in (None, 7):
+        want = np.asarray(greedy_generate(model, params, images, ids, mask,
+                                          6, eos_id=eos, pad_id=0))
+        got = np.asarray(beam_generate(model, params, images, ids, mask,
+                                       6, num_beams=1, eos_id=eos, pad_id=0))
+        np.testing.assert_array_equal(got, want, err_msg=f"eos={eos}")
+
+
+def _bruteforce_depth2(model, params, images, ids, mask):
+    """Exact scores of every 2-token continuation via the cache path."""
+    from multimodal_concept_learning_tpu.models.lm import init_kv_cache
+    from multimodal_concept_learning_tpu.models.mllm import MLLM
+
+    b, t = ids.shape
+    assert b == 1
+    caches = init_kv_cache(model.config.lm, 1, t + 2)
+
+    def head(h):
+        return model.apply({"params": params}, h,
+                           method=lambda m, x: m.language_model.lm_head(x))
+
+    hidden, caches = model.apply({"params": params}, images, ids, mask,
+                                 caches, method=MLLM.prefill)
+    plen = int(np.asarray(mask.sum(axis=1))[0])
+    lp0 = jax.nn.log_softmax(head(hidden[:, plen - 1]).astype(jnp.float32))[0]
+    v = lp0.shape[0]
+
+    # V rows, row i continues with token i
+    caches_v = jax.tree_util.tree_map(lambda c: jnp.repeat(c, v, axis=0), caches)
+    cmask = jnp.repeat(jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, 2))),
+                       v, axis=0)
+    seq = jnp.full((v,), plen, jnp.int32)
+    cmask = cmask.at[jnp.arange(v), seq].set(1)
+    emb = model.apply({"params": params}, jnp.arange(v, dtype=jnp.int32)[:, None],
+                      method=lambda m, i: m.language_model.embed(i))
+    h, _ = model.apply({"params": params}, emb, caches_v, seq, cmask,
+                       method=lambda m, *a: m.language_model.decode_step(*a))
+    lp1 = jax.nn.log_softmax(head(h[:, 0]).astype(jnp.float32), axis=-1)  # [V, V]
+    return np.asarray(lp0)[:, None] + np.asarray(lp1)  # [V(t1), V(t2)]
+
+
+def test_beam_full_width_depth2_is_exhaustive():
+    """K=V keeps every depth-1 prefix alive, so the depth-2 optimum is
+    exactly the brute-force argmax — tokens AND total log-prob."""
+    model, cfg = _model()
+    images, ids, mask = _prompt(cfg, b=1)
+    params = model.init(jax.random.key(1), images, ids, mask)["params"]
+
+    table = _bruteforce_depth2(model, params, images, ids, mask)
+    t1, t2 = np.unravel_index(np.argmax(table), table.shape)
+
+    out, score = beam_generate(model, params, images, ids, mask, 2,
+                               num_beams=VOCAB, return_scores=True)
+    np.testing.assert_array_equal(np.asarray(out)[0], [t1, t2])
+    np.testing.assert_allclose(float(score[0]), table[t1, t2], rtol=1e-5)
+
+
+def test_beam_eos_freezes_and_pads():
+    """Returned sequences pad after eos, and the reported score equals the
+    teacher-forced log-prob of exactly the pre-eos tokens."""
+    model, cfg = _model()
+    images, ids, mask = _prompt(cfg, b=1)
+    params = model.init(jax.random.key(2), images, ids, mask)["params"]
+    table = _bruteforce_depth2(model, params, images, ids, mask)
+
+    # choose the argmax first token as eos: [eos] then scores lp0[eos] and
+    # every rival beam's total is lp0[t1] + (terms <= 0) with
+    # lp0[t1] <= lp0[eos], so the frozen beam must win
+    from multimodal_concept_learning_tpu.models.lm import init_kv_cache
+    from multimodal_concept_learning_tpu.models.mllm import MLLM
+
+    caches = init_kv_cache(model.config.lm, 1, ids.shape[1] + 2)
+    hidden, _ = model.apply({"params": params}, images, ids, mask, caches,
+                            method=MLLM.prefill)
+    plen = int(np.asarray(mask.sum(axis=1))[0])
+    logits = model.apply({"params": params}, hidden[:, plen - 1],
+                         method=lambda m, x: m.language_model.lm_head(x))
+    lp0 = np.asarray(jax.nn.log_softmax(logits.astype(jnp.float32))[0])
+    eos = int(np.argmax(lp0))
+
+    out, score = beam_generate(model, params, images, ids, mask, 4,
+                               num_beams=4, eos_id=eos, pad_id=0,
+                               return_scores=True)
+    del table
+    out = np.asarray(out)[0]
+    assert out[0] == eos and (out[1:] == 0).all(), out
+    np.testing.assert_allclose(float(score[0]), lp0[eos], rtol=1e-5)
+
+
+def test_generate_answers_beam_cli(trained_results_dir, tmp_path):
+    """--num_beams routes the evaluation CLI through beam_generate."""
+    import json
+
+    from multimodal_concept_learning_tpu.train.generate_answers import main
+
+    out = tmp_path / "gen_beam.jsonl"
+    main(["--results_dir", trained_results_dir, "--num_beams", "2",
+          "--limit", "4", "--max_new_tokens", "3", "--batch_size", "4",
+          "--output", str(out)])
+    lines = [json.loads(line) for line in open(out)]
+    assert len(lines) == 4 and all("generated" in r or r for r in lines)
