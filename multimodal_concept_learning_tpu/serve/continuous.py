@@ -292,10 +292,13 @@ class ContinuousBatcher:
     """
 
     def __init__(self, engine: ContinuousEngine):
+        from multimodal_concept_learning_tpu.serve.engine import LatencyTracker
+
         self.engine = engine
         self._q: "queue.Queue" = queue.Queue()
         self._slots: List[Optional[_Slot]] = [None] * engine.num_slots
         self.stats = {"requests": 0, "steps": 0, "admissions": 0}
+        self.latency = LatencyTracker()
         self._stop = False
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
@@ -308,13 +311,26 @@ class ContinuousBatcher:
         engines (serve/loader.load_adapter_bank)."""
         from multimodal_concept_learning_tpu.serve.engine import _Pending
 
+        import time as _time
+
         p = _Pending(image, prompt, on_token, adapter)
+        t0 = _time.monotonic()
         self._q.put(p)
         if not p.event.wait(timeout):
             raise TimeoutError("generation timed out")
         if p.error is not None:
             raise p.error
+        self.latency.record(_time.monotonic() - t0)
         return p.result
+
+    def metrics(self) -> dict:
+        out = {**self.stats, "queued": self._q.qsize(),
+               "in_flight": sum(s is not None for s in self._slots),
+               **self.latency.summary()}
+        prefilling = getattr(self.engine, "prefilling_slots", None)
+        if prefilling is not None:
+            out["prefilling"] = len(prefilling)
+        return out
 
     def shutdown(self):
         self._stop = True

@@ -15,6 +15,7 @@ throughput under heavy load ~= batch_size per decode.
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 import time
@@ -23,6 +24,40 @@ from typing import List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class LatencyTracker:
+    """Sliding-window request-latency summary for the /metrics endpoint.
+
+    Records client-visible latency (queueing + batching + device time) at
+    request completion; ``summary()`` reports count and p50/p95/p99 over
+    the last ``window`` requests.  Thread-safe (both batchers complete
+    requests from a worker thread while submitters read metrics)."""
+
+    def __init__(self, window: int = 512):
+        self._lat = collections.deque(maxlen=window)
+        self._lock = threading.Lock()
+        self._count = 0
+
+    def record(self, seconds: float):
+        with self._lock:
+            self._lat.append(seconds)
+            self._count += 1
+
+    def summary(self) -> dict:
+        with self._lock:
+            lat = list(self._lat)
+            count = self._count
+        out = {"completed": count, "window": len(lat)}
+        if lat:
+            p50, p95, p99 = np.percentile(lat, [50, 95, 99])
+            out.update(
+                latency_p50_ms=round(float(p50) * 1e3, 1),
+                latency_p95_ms=round(float(p95) * 1e3, 1),
+                latency_p99_ms=round(float(p99) * 1e3, 1),
+                latency_mean_ms=round(float(np.mean(lat)) * 1e3, 1),
+            )
+        return out
 
 
 class EngineHostAPI:
@@ -201,6 +236,7 @@ class Batcher:
         self.max_wait_s = max_wait_ms / 1000.0
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0}
+        self.latency = LatencyTracker()
         self._stop = False
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
@@ -214,12 +250,18 @@ class Batcher:
         in one device call).  ``adapter`` selects the request's multi-LoRA
         adapter on bank engines (serve/loader.load_adapter_bank)."""
         p = _Pending(image, prompt, on_token, adapter)
+        t0 = time.monotonic()
         self._q.put(p)
         if not p.event.wait(timeout):
             raise TimeoutError("generation timed out")
         if p.error is not None:
             raise p.error
+        self.latency.record(time.monotonic() - t0)
         return p.result
+
+    def metrics(self) -> dict:
+        return {**self.stats, "queued": self._q.qsize(),
+                **self.latency.summary()}
 
     def shutdown(self):
         self._stop = True
@@ -260,4 +302,4 @@ class Batcher:
                 p.event.set()
 
 
-__all__ = ["EngineHostAPI", "ServingEngine", "Batcher"]
+__all__ = ["EngineHostAPI", "ServingEngine", "Batcher", "LatencyTracker"]

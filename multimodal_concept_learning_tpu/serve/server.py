@@ -4,6 +4,8 @@ POST /generate   {"prompt": str, "image_b64": <base64 image file>} or
                  {"prompt": str, "image_path": <server-local path>}
                  -> {"text": str}
 GET  /healthz    -> {"ok": true, "requests": N, "batches": M}
+GET  /metrics    -> stats + queue depth + sliding-window latency
+                 percentiles (p50/p95/p99 ms over the last 512 requests)
 
 Requests are dynamically micro-batched (serve/engine.Batcher): concurrent
 clients coalesce into one fixed-shape jitted generate call.  The reference
@@ -44,6 +46,8 @@ def build_app(batcher):
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"ok": True, **batcher.stats})
+            elif self.path == "/metrics":
+                self._reply(200, batcher.metrics())
             else:
                 self._reply(404, {"error": "not found"})
 

@@ -128,6 +128,13 @@ def test_http_server(trained_results_dir):
         assert r.status == 200, body
         assert isinstance(body["text"], str)
 
+        # /metrics: stats + queue depth + sliding-window latency summary
+        conn.request("GET", "/metrics")
+        r = conn.getresponse()
+        metrics = json.loads(r.read())
+        assert r.status == 200 and metrics["completed"] >= 1
+        assert metrics["latency_p50_ms"] > 0 and "queued" in metrics
+
         # malformed request -> 400, not a crash
         conn.request("POST", "/generate", body=json.dumps({"prompt": "x"}),
                      headers={"Content-Type": "application/json"})
