@@ -304,16 +304,20 @@ class ContinuousBatcher:
         self._thread.start()
 
     def submit(self, image: np.ndarray, prompt: str, timeout: float = 300.0,
-               on_token=None, adapter: int = 0) -> str:
+               on_token=None, adapter: int = 0, max_tokens=None,
+               stop=None) -> str:
         """Blocking; ``on_token(token_id)`` streams each generated token as
         the decode loop produces it (called from the worker thread).
         ``adapter`` selects the request's multi-LoRA adapter on bank
-        engines (serve/loader.load_adapter_bank)."""
+        engines (serve/loader.load_adapter_bank).  ``max_tokens`` caps this
+        request below the engine's budget and ``stop`` strings retire the
+        slot early at detection (the final text is cut at the marker;
+        streamed tokens may overshoot it by the detection step)."""
         from multimodal_concept_learning_tpu.serve.engine import _Pending
 
         import time as _time
 
-        p = _Pending(image, prompt, on_token, adapter)
+        p = _Pending(image, prompt, on_token, adapter, max_tokens, stop)
         t0 = _time.monotonic()
         self._q.put(p)
         if not p.event.wait(timeout):
@@ -346,8 +350,11 @@ class ContinuousBatcher:
                 s.pending.on_token = None
 
     def _finish(self, i: int):
+        from multimodal_concept_learning_tpu.serve.engine import truncate_at_stops
+
         slot = self._slots[i]
-        slot.pending.result = self.engine.decode_text(slot.tokens)
+        slot.pending.result = truncate_at_stops(
+            self.engine.decode_text(slot.tokens), slot.pending.stop)
         slot.pending.event.set()
         self._slots[i] = None
         self.stats["requests"] += 1
@@ -363,13 +370,29 @@ class ContinuousBatcher:
     def _install_first(self, slot_i: int, first: int):
         """Record a request's first generated token (at admission, or at a
         chunked admission's completion) and retire it if already done."""
-        eng = self.engine
         s = self._slots[slot_i]
         s.tokens.append(first)
         self._emit(s, first)
-        if (eng.eos_id is not None and first == eng.eos_id) or \
-                eng.max_new_tokens == 1:
+        if self._done(s, first):
             self._finish(slot_i)
+
+    def _done(self, s, last_tok: int) -> bool:
+        """Request-completion test: eos, engine/request token budget, or a
+        stop string appearing in the decoded text (checked only once the
+        token budget could still grow — the decode is cheap at these
+        answer lengths)."""
+        eng = self.engine
+        if eng.eos_id is not None and last_tok == eng.eos_id:
+            return True
+        budget = eng.max_new_tokens
+        if s.pending.max_tokens is not None:
+            budget = min(budget, max(int(s.pending.max_tokens), 1))
+        if len(s.tokens) >= budget:
+            return True
+        if s.pending.stop:
+            text = eng.decode_text(s.tokens)
+            return any(marker in text for marker in s.pending.stop)
+        return False
 
     def _fail_all(self, e: Exception):
         """A device-side failure mid-call invalidates the engine's
@@ -481,8 +504,7 @@ class ContinuousBatcher:
                 for t in toks[i]:
                     s.tokens.append(int(t))
                     self._emit(s, int(t))
-                    if (eng.eos_id is not None and int(t) == eng.eos_id) or \
-                            len(s.tokens) >= eng.max_new_tokens:
+                    if self._done(s, int(t)):
                         self._finish(i)
                         break
 

@@ -165,13 +165,18 @@ class ServingEngine(EngineHostAPI):
         return ids, mask
 
     def generate(self, images: Sequence[np.ndarray], prompts: Sequence[str],
-                 adapters: Optional[Sequence[int]] = None) -> List[str]:
+                 adapters: Optional[Sequence[int]] = None,
+                 max_tokens: Optional[Sequence[Optional[int]]] = None,
+                 stop: Optional[Sequence] = None) -> List[str]:
         """Generate one answer per (image, prompt); len(prompts) <= batch_size.
 
         images: preprocessed [3, H, W] arrays (see preprocess_image).
         adapters: per-request multi-LoRA adapter ids (bank engines only;
-        default 0 = raw base).  Thread-safe; pads the batch to the engine's
-        fixed shape.
+        default 0 = raw base).  max_tokens: per-request token budgets
+        (None = the engine's max_new_tokens; the fixed-shape program still
+        decodes the full budget — the cut is host-side).  stop: per-request
+        stop-string lists (earliest occurrence truncates the text).
+        Thread-safe; pads the batch to the engine's fixed shape.
         """
         n = len(prompts)
         assert n == len(images) and 0 < n <= self.batch_size
@@ -198,23 +203,27 @@ class ServingEngine(EngineHostAPI):
         texts = []
         for i in range(n):
             row = out[i]
+            if max_tokens is not None and max_tokens[i] is not None:
+                row = row[: max(int(max_tokens[i]), 1)]
             if self.eos_id is not None:
-                stop = np.nonzero(row == self.eos_id)[0]
-                if stop.size:
-                    row = row[: stop[0]]
-            texts.append(
-                self.loaded.tokenizer.decode(
-                    [int(x) for x in row if int(x) >= 0], skip_special_tokens=True
-                ).strip()
-            )
+                hit = np.nonzero(row == self.eos_id)[0]
+                if hit.size:
+                    row = row[: hit[0]]
+            text = self.loaded.tokenizer.decode(
+                [int(x) for x in row if int(x) >= 0], skip_special_tokens=True
+            ).strip()
+            if stop is not None:
+                text = truncate_at_stops(text, stop[i])
+            texts.append(text)
         return texts
 
 
 class _Pending:
     __slots__ = ("image", "prompt", "event", "result", "error", "on_token",
-                 "adapter")
+                 "adapter", "max_tokens", "stop")
 
-    def __init__(self, image, prompt, on_token=None, adapter=0):
+    def __init__(self, image, prompt, on_token=None, adapter=0,
+                 max_tokens=None, stop=None):
         self.image = image
         self.prompt = prompt
         self.event = threading.Event()
@@ -226,6 +235,23 @@ class _Pending:
         self.on_token = on_token
         # multi-LoRA adapter id (bank engines; 0 = raw base)
         self.adapter = adapter
+        # per-request generation caps: token budget (<= the engine's
+        # max_new_tokens) and stop strings (earliest occurrence truncates;
+        # the continuous front also retires the slot there)
+        self.max_tokens = max_tokens
+        self.stop = stop
+
+
+def truncate_at_stops(text: str, stop) -> str:
+    """Cut ``text`` at the earliest occurrence of any stop string."""
+    if not stop:
+        return text
+    cut = len(text)
+    for marker in stop:
+        idx = text.find(marker)
+        if idx >= 0:
+            cut = min(cut, idx)
+    return text[:cut].strip()
 
 
 class Batcher:
@@ -242,14 +268,16 @@ class Batcher:
         self._thread.start()
 
     def submit(self, image: np.ndarray, prompt: str, timeout: float = 300.0,
-               on_token=None, adapter: int = 0) -> str:
+               on_token=None, adapter: int = 0, max_tokens=None,
+               stop=None) -> str:
         """Blocking: enqueue and wait for the generated text.
 
         ``on_token`` is accepted for interface parity with the continuous
         front but never fires mid-generation here (the whole batch decodes
         in one device call).  ``adapter`` selects the request's multi-LoRA
-        adapter on bank engines (serve/loader.load_adapter_bank)."""
-        p = _Pending(image, prompt, on_token, adapter)
+        adapter on bank engines (serve/loader.load_adapter_bank);
+        ``max_tokens``/``stop`` cap this request's generation."""
+        p = _Pending(image, prompt, on_token, adapter, max_tokens, stop)
         t0 = time.monotonic()
         self._q.put(p)
         if not p.event.wait(timeout):
@@ -290,6 +318,8 @@ class Batcher:
                 texts = self.engine.generate(
                     [p.image for p in batch], [p.prompt for p in batch],
                     adapters=[p.adapter for p in batch],
+                    max_tokens=[p.max_tokens for p in batch],
+                    stop=[p.stop for p in batch],
                 )
                 for p, t in zip(batch, texts):
                     p.result = t
@@ -302,4 +332,5 @@ class Batcher:
                 p.event.set()
 
 
-__all__ = ["EngineHostAPI", "ServingEngine", "Batcher", "LatencyTracker"]
+__all__ = ["EngineHostAPI", "ServingEngine", "Batcher", "LatencyTracker",
+           "truncate_at_stops"]

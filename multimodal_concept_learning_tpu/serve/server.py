@@ -2,6 +2,10 @@
 
 POST /generate   {"prompt": str, "image_b64": <base64 image file>} or
                  {"prompt": str, "image_path": <server-local path>}
+                 optional: "adapter": i (multi-LoRA bank id),
+                 "max_tokens": N (per-request budget), "stop": str|[str]
+                 (truncate at earliest marker; continuous mode retires
+                 the slot there), "stream": true (NDJSON tokens)
                  -> {"text": str}
 GET  /healthz    -> {"ok": true, "requests": N, "batches": M}
 GET  /metrics    -> stats + queue depth + sliding-window latency
@@ -73,20 +77,28 @@ def build_app(batcher):
                 if adapter and not 0 <= adapter < max(n_bank, 1):
                     raise ValueError(
                         f"adapter {adapter} out of range (bank size {n_bank})")
+                max_tokens = req.get("max_tokens")
+                if max_tokens is not None and int(max_tokens) < 1:
+                    raise ValueError("max_tokens must be >= 1")
+                stop = req.get("stop")
+                if isinstance(stop, str):
+                    stop = [stop]
             except Exception as e:  # noqa: BLE001 — malformed request
                 self._reply(400, {"error": str(e)})
                 return
             if req.get("stream"):
-                self._stream(image, prompt, adapter)
+                self._stream(image, prompt, adapter, max_tokens, stop)
                 return
             try:
-                text = batcher.submit(image, prompt, adapter=adapter)
+                text = batcher.submit(image, prompt, adapter=adapter,
+                                      max_tokens=max_tokens, stop=stop)
             except Exception as e:  # noqa: BLE001 — generation failure
                 self._reply(500, {"error": str(e)})
                 return
             self._reply(200, {"text": text})
 
-        def _stream(self, image, prompt, adapter=0):
+        def _stream(self, image, prompt, adapter=0, max_tokens=None,
+                    stop=None):
             """NDJSON token stream: one {"token_id": N} line per generated
             token as the decode loop produces it (continuous mode; the
             whole-batch front emits everything with the final line), then
@@ -102,7 +114,9 @@ def build_app(batcher):
                 try:
                     holder["text"] = batcher.submit(image, prompt,
                                                     on_token=tq.put,
-                                                    adapter=adapter)
+                                                    adapter=adapter,
+                                                    max_tokens=max_tokens,
+                                                    stop=stop)
                 except Exception as e:  # noqa: BLE001
                     holder["error"] = str(e)
                 tq.put(None)

@@ -289,3 +289,45 @@ def test_step_failure_fails_inflight_requests(loaded):
     with pytest.raises(RuntimeError, match="simulated device failure"):
         batcher.submit(img, _prompts()[0], timeout=30)
     batcher.shutdown()
+
+
+def test_per_request_max_tokens_and_stop(loaded):
+    """Per-request caps: max_tokens truncates (and retires the slot early
+    in the continuous front), stop strings cut the text at the marker —
+    on both fronts, consistent with the isolated full-budget decode."""
+    from multimodal_concept_learning_tpu.serve import Batcher, ServingEngine
+    from multimodal_concept_learning_tpu.serve.continuous import (
+        ContinuousBatcher,
+        ContinuousEngine,
+    )
+
+    n_new, plen = 6, 16
+    ref_engine = ServingEngine(loaded, batch_size=1, max_new_tokens=n_new,
+                               max_prompt_len=plen)
+    img = ref_engine.preprocess_image(_circle_image(COLORS[0]))
+    prompt = "Is the color of the circle red?"
+    full = ref_engine.generate([img], [prompt])[0]
+    short = ref_engine.generate([img], [prompt], max_tokens=[2])[0]
+    assert full.startswith(short) and short != full
+    # a stop marker taken from the full text truncates before it
+    marker = full.split()[-1]
+    stopped = ref_engine.generate([img], [prompt], stop=[[marker]])[0]
+    assert marker not in stopped and full.startswith(stopped)
+
+    eng = ContinuousEngine(loaded, num_slots=2, max_new_tokens=n_new,
+                           max_prompt_len=plen)
+    batcher = ContinuousBatcher(eng)
+    try:
+        got_short = batcher.submit(img, prompt, max_tokens=2)
+        assert got_short == short
+        got_stopped = batcher.submit(img, prompt, stop=[marker])
+        assert got_stopped == stopped
+    finally:
+        batcher.shutdown()
+
+    wb = Batcher(ref_engine, max_wait_ms=5.0)
+    try:
+        assert wb.submit(img, prompt, max_tokens=2) == short
+        assert wb.submit(img, prompt, stop=[marker]) == stopped
+    finally:
+        wb.shutdown()
