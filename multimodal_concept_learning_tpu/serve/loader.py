@@ -106,6 +106,7 @@ def load_trained_mllm(results_dir: str, checkpoint: str = "best_model.pt",
 
 
 def load_adapter_bank(results_dir: str, adapter_dirs, checkpoint: str = "best_model.pt",
+                      int8: bool = False, int8_vision: bool = False,
                       verbose: bool = True) -> LoadedMLLM:
     """Load a multi-LoRA serving bank (ops/multi_lora.py).
 
@@ -118,9 +119,10 @@ def load_adapter_bank(results_dir: str, adapter_dirs, checkpoint: str = "best_mo
       adapter 1..k     adapter_dirs in order
 
     To also serve ``results_dir``'s own adapter, include it in
-    ``adapter_dirs``.  int8 does not compose with an unmerged bank (the
-    factors must stay float and separate); quantized multi-LoRA serving
-    would quantize the shared base only — not implemented.
+    ``adapter_dirs``.  ``int8``/``int8_vision`` quantize the SHARED BASE
+    weights only — the adapter surface (stacked factors + projector) stays
+    float and per-request, so a bank row computes exactly
+    int8(base) + float adapter (tests/test_multi_lora.py pins it).
     """
     from multimodal_concept_learning_tpu.ops.multi_lora import (
         identity_adapter_params,
@@ -143,11 +145,34 @@ def load_adapter_bank(results_dir: str, adapter_dirs, checkpoint: str = "best_mo
                 "base (check lm_lora_rank / model presets match)")
         trees.append(other.params)
     bank = stack_adapter_params(trees)
+    model = base.model
+    if int8 or int8_vision:
+        from multimodal_concept_learning_tpu.models.mllm import MLLM
+        from multimodal_concept_learning_tpu.ops.quant import quantize_mllm_params
+
+        # the quantizer converts only int8-template kernel nodes; the
+        # stacked adapter leaves and the (always-float) projector pass
+        # through with their bank axis untouched
+        bank = quantize_mllm_params(bank, model.config,
+                                    vision=int8_vision, lm=int8)
+        cfg = model.config
+        if int8:
+            cfg = dataclasses.replace(
+                cfg, lm=dataclasses.replace(cfg.lm, int8_weights=True))
+        if int8_vision:
+            cfg = dataclasses.replace(
+                cfg, vision=dataclasses.replace(cfg.vision, int8_weights=True))
+        model = MLLM(cfg)
+        if verbose:
+            what = " + ".join((["LM"] if int8 else []) +
+                              (["vision-tower"] if int8_vision else []))
+            print(f"Quantized shared-base {what} weights to int8 "
+                  "(bank factors stay float)")
     if verbose:
         print(f"Stacked multi-LoRA bank: {len(trees)} adapters "
               f"(0 = raw base, 1..{len(trees) - 1} = "
               f"{[os.path.basename(os.path.normpath(d)) for d in adapter_dirs]})")
-    return base._replace(params=bank, num_adapters=len(trees))
+    return base._replace(model=model, params=bank, num_adapters=len(trees))
 
 
 __all__ = ["LoadedMLLM", "load_trained_mllm", "load_adapter_bank"]

@@ -160,7 +160,8 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
     pool holds queued requests instead of failing them.
     ``adapters`` (list of results dirs) serves a multi-LoRA bank: requests
     pick an adapter with {"adapter": i} (0 = raw base, i>=1 = the i-th
-    dir); requires a language_lora base, excludes int8 and paged.
+    dir); requires a language_lora base, excludes paged; with --int8 the
+    shared base quantizes while the factors stay float per-request.
     ``chunked_prefill=N`` (continuous mode) admits prompts in N-token
     chunks interleaved with decode steps (serve/chunked.py), bounding the
     decode stall per admission.
@@ -171,10 +172,11 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
     )
 
     if adapters:
-        if int8 or int8_vision or paged:
-            raise ValueError("multi-LoRA banks exclude --int8/--paged "
-                             "(serve merged checkpoints there instead)")
-        loaded = load_adapter_bank(results_dir, adapters, checkpoint=checkpoint)
+        if paged:
+            raise ValueError("multi-LoRA banks exclude --paged "
+                             "(serve a merged checkpoint there instead)")
+        loaded = load_adapter_bank(results_dir, adapters, checkpoint=checkpoint,
+                                   int8=int8, int8_vision=int8_vision)
     else:
         loaded = load_trained_mllm(results_dir, checkpoint=checkpoint, int8=int8,
                                    int8_vision=int8_vision)

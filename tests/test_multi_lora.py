@@ -223,3 +223,35 @@ def test_paged_engine_rejects_bank(bank_setup):
     model, _, bank, _ = bank_setup
     with pytest.raises(ValueError, match="multi-LoRA"):
         PagedContinuousEngine(_loaded(model, bank, 3), num_slots=2)
+
+
+def test_int8_bank_matches_per_adapter_int8(bank_setup):
+    """int8 multi-LoRA: quantizing the stacked bank quantizes only the
+    shared base kernels (factors + projector keep their bank axis, float),
+    and each row decodes exactly as the same adapter's own int8 tree."""
+    from multimodal_concept_learning_tpu.models.mllm import greedy_generate
+    from multimodal_concept_learning_tpu.ops.quant import quantize_mllm_params
+    from multimodal_concept_learning_tpu.ops.multi_lora import multi_lora_generate
+
+    model, trees, bank, (images, ids, mask) = bank_setup
+    cfg = model.config
+    qcfg = dataclasses.replace(
+        cfg, lm=dataclasses.replace(cfg.lm, int8_weights=True))
+    qmodel = MLLM(qcfg)
+    qbank = quantize_mllm_params(bank, cfg, vision=False, lm=True)
+    # bank axis survived on the adapter surface; base kernels went int8
+    lora_a = qbank["language_model"]["layer_0"]["self_attn"]["q_proj_lora"]["a"]
+    assert lora_a.shape[0] == 3 and jnp.issubdtype(lora_a.dtype, jnp.floating)
+    qk = qbank["language_model"]["layer_0"]["self_attn"]["q_proj"]["kernel"]
+    assert qk.dtype == jnp.int8
+
+    aidx = [0, 2, 1, 2]
+    out = np.asarray(multi_lora_generate(
+        qmodel, qbank, jnp.asarray(aidx, jnp.int32), images, ids, mask,
+        max_new_tokens=5, eos_id=None, pad_id=0))
+    for i, a in enumerate(aidx):
+        qtree = quantize_mllm_params(trees[a], cfg, vision=False, lm=True)
+        ref = greedy_generate(qmodel, qtree, images[i:i + 1], ids[i:i + 1],
+                              mask[i:i + 1], max_new_tokens=5)
+        np.testing.assert_array_equal(out[i], np.asarray(ref[0]),
+                                      err_msg=f"row {i} adapter {a}")
