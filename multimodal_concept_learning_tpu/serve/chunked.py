@@ -61,6 +61,11 @@ class ChunkedContinuousEngine(ContinuousEngine):
             raise ValueError(
                 "chunked prefill does not support multi-LoRA banks — use "
                 "ContinuousEngine for bank serving")
+        if kwargs.get("mesh") is not None:
+            raise ValueError(
+                "chunked prefill is single-device — mesh serving uses "
+                "ContinuousEngine (its chunk/stage programs would need "
+                "their own shardings)")
         super().__init__(loaded, **kwargs)
         self.chunk_size = int(chunk_size)
         assert self.chunk_size > 0

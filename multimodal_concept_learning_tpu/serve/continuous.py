@@ -52,7 +52,19 @@ class ContinuousEngine(EngineHostAPI):
         top_p: Optional[float] = None,
         seed: int = 0,
         steps_per_call: int = 1,
+        mesh=None,
+        data_axis: str = "data",
+        model_axis: str = "model",
+        fsdp_axis: Optional[str] = None,
     ):
+        """``mesh``: serve across a device mesh — the persistent per-slot
+        state (KV caches, seq_lens, masks) shards over ``data_axis`` and
+        the parameters take the Megatron TP layout on ``model_axis``
+        (parallel/sharding_rules.py, the same layout training and
+        make_sharded_generate use), so one continuous-batching front spans
+        chips: slot count must divide the data-axis size.  Admission
+        inputs stay replicated (admits are rare; GSPMD scatters them into
+        the sharded caches).  Excludes multi-LoRA banks for now."""
         from multimodal_concept_learning_tpu.models.lm import init_kv_cache
         from multimodal_concept_learning_tpu.models.mllm import MLLM  # noqa: F401
         from multimodal_concept_learning_tpu.ops.multi_lora import (
@@ -95,6 +107,44 @@ class ContinuousEngine(EngineHostAPI):
         self.num_adapters = getattr(loaded, "num_adapters", 0)
         self.adapter_ids = np.zeros((num_slots,), np.int32)  # host-side
 
+        self.mesh = mesh
+        jit_kw_admit = dict(donate_argnums=(1, 2, 3, 4))
+        jit_kw_step = dict(donate_argnums=(1, 2, 3, 4))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from multimodal_concept_learning_tpu.parallel.sharding_rules import (
+                param_shardings,
+                shard_params,
+            )
+
+            if self.num_adapters:
+                raise ValueError("mesh serving excludes multi-LoRA banks")
+            assert num_slots % mesh.shape[data_axis] == 0, (
+                f"num_slots {num_slots} must divide data axis "
+                f"{mesh.shape[data_axis]}")
+            self.loaded = loaded = loaded._replace(params=shard_params(
+                loaded.params, mesh, model_axis=model_axis,
+                fsdp_axis=fsdp_axis))
+            p_sh = param_shardings(loaded.params, mesh, model_axis=model_axis,
+                                   fsdp_axis=fsdp_axis)
+            slot_sh = NamedSharding(mesh, P(data_axis))
+            rep = NamedSharding(mesh, P())
+            self.caches = jax.device_put(self.caches, slot_sh)
+            self.seq_lens = jax.device_put(self.seq_lens, slot_sh)
+            self.cache_mask = jax.device_put(self.cache_mask, slot_sh)
+            self.last_tok = jax.device_put(self.last_tok, slot_sh)
+            jit_kw_admit.update(
+                in_shardings=(p_sh, slot_sh, slot_sh, slot_sh, slot_sh,
+                              rep, rep, rep, rep, rep, rep, rep),
+                out_shardings=(slot_sh, slot_sh, slot_sh, slot_sh, rep),
+            )
+            jit_kw_step.update(
+                in_shardings=(p_sh, slot_sh, slot_sh, slot_sh, slot_sh,
+                              rep, rep, rep),
+                out_shardings=(slot_sh, slot_sh, slot_sh, slot_sh, rep),
+            )
+
         def head(p, h):
             return model.apply({"params": p}, h,
                                method=lambda m, x: m.language_model.lm_head(x))
@@ -127,7 +177,7 @@ class ContinuousEngine(EngineHostAPI):
             return jax.vmap(row, in_axes=(axes, 0, 0, 0))(
                 p_rows, images, ids, mask)
 
-        @partial(jax.jit, donate_argnums=(1, 2, 3, 4))
+        @partial(jax.jit, **jit_kw_admit)
         def admit(p, caches, seq_lens, cache_mask, last_tok, slots, valid,
                   images, ids, mask, key, aidx):
             """Prefill up to ``num_slots`` requests in ONE batched call and
@@ -158,7 +208,7 @@ class ContinuousEngine(EngineHostAPI):
             last_tok = last_tok.at[slots].set(jnp.where(valid, firsts, last_tok[slots]))
             return caches, seq_lens, cache_mask, last_tok, firsts
 
-        @partial(jax.jit, donate_argnums=(1, 2, 3, 4))
+        @partial(jax.jit, **jit_kw_step)
         def step(p, caches, seq_lens, cache_mask, last_tok, active,
                  adapter_ids, key):
             """Advance every active slot ``steps_per_call`` tokens per call

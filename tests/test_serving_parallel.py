@@ -141,3 +141,59 @@ def test_sharded_paged_generate_matches_single_device(eight_devices):
     np.testing.assert_array_equal(np.asarray(out), dense)
     assert not out.sharding.is_fully_replicated
     assert out.addressable_shards[0].data.shape[0] == ids.shape[0] // 4
+
+
+def test_mesh_continuous_engine_matches_isolated(eight_devices):
+    """A ContinuousEngine whose persistent state shards over a 4x2 DP x TP
+    mesh serves token-exactly: streaming admissions into sharded cache
+    rows + TP decode == isolated single-device generate, through the
+    ordinary ContinuousBatcher."""
+    import threading
+
+    from multimodal_concept_learning_tpu.serve import ServingEngine
+    from multimodal_concept_learning_tpu.serve.continuous import (
+        ContinuousBatcher,
+        ContinuousEngine,
+    )
+    from multimodal_concept_learning_tpu.serve.loader import LoadedMLLM
+    from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer
+
+    model, config = _mllm()
+
+    class _Cfg:
+        num_vision_tokens = config.num_vision_tokens
+        image_size = 16
+
+    rng = np.random.default_rng(11)
+    images, ids, mask = _prompt(config, b=2)
+    params = model.init(jax.random.key(0), images, ids, mask)["params"]
+    loaded = LoadedMLLM(model, ConceptTokenizer(), params, _Cfg(), {}, None)
+
+    n_new, plen = 4, 8
+    ref = ServingEngine(loaded, batch_size=1, max_new_tokens=n_new,
+                        max_prompt_len=plen)
+    imgs = [rng.standard_normal((3, 16, 16)).astype(np.float32)
+            for _ in range(5)]
+    prompts = [f"is it {w}?" for w in ("red", "green", "blue", "pink", "tan")]
+    want = [ref.generate([imgs[i]], [prompts[i]])[0] for i in range(5)]
+
+    mesh = make_mesh(eight_devices, axis_names=("data", "model"), shape=(4, 2))
+    eng = ContinuousEngine(loaded, num_slots=4, max_new_tokens=n_new,
+                           max_prompt_len=plen, mesh=mesh)
+    # state actually sharded across the data axis
+    assert not eng.caches[0]["k"].sharding.is_fully_replicated
+    batcher = ContinuousBatcher(eng)
+    try:
+        results = {}
+
+        def call(i):
+            results[i] = batcher.submit(imgs[i], prompts[i], timeout=600)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(5)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert results == dict(enumerate(want))
+    finally:
+        batcher.shutdown()
