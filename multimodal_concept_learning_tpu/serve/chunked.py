@@ -41,6 +41,7 @@ is already bounded by the pool's backpressure).
 from __future__ import annotations
 
 import collections
+import threading
 from functools import partial
 from typing import List, Optional
 
@@ -69,9 +70,6 @@ class ChunkedContinuousEngine(ContinuousEngine):
         super().__init__(loaded, **kwargs)
         self.chunk_size = int(chunk_size)
         assert self.chunk_size > 0
-        self._sampler = dict(temperature=kwargs.get("temperature", 0.0),
-                             top_k=kwargs.get("top_k"),
-                             top_p=kwargs.get("top_p"))
         from multimodal_concept_learning_tpu.ops.sampling import sample_logits
 
         model = loaded.model
@@ -129,12 +127,16 @@ class ChunkedContinuousEngine(ContinuousEngine):
         self._chunk_call = chunk_call
         self._finish = finish
         self._park = park
-        # FIFO of in-progress admissions: dicts with slot/emb/plen/start
+        # FIFO of in-progress admissions: dicts with slot/emb/plen/start.
+        # Only the batcher worker mutates it, but /metrics threads read
+        # prefilling_slots concurrently — guard every access.
         self._staged: "collections.deque" = collections.deque()
+        self._stage_lock = threading.Lock()
 
     @property
     def prefilling_slots(self):
-        return {st["slot"] for st in self._staged}
+        with self._stage_lock:
+            return {st["slot"] for st in self._staged}
 
     def admit_many(self, requests) -> List[Optional[int]]:
         """Stage requests for chunked admission; returns None per request
@@ -149,35 +151,25 @@ class ChunkedContinuousEngine(ContinuousEngine):
         requests = [r if len(r) == 4 else (*r, 0) for r in requests]
         if any(a for *_, a in requests):
             raise ValueError("engine has no adapter bank (load_adapter_bank)")
-        cfg = self.loaded.config
-        a = 1
-        while a < len(requests):
-            a *= 2
-        a = min(a, self.num_slots)
-        img = np.zeros((a, 3, cfg.image_size, cfg.image_size), np.float32)
-        ids = np.full((a, self.prompt_t), self.pad_id, np.int32)
-        plens = []
-        for i, (_, image, prompt, _) in enumerate(requests):
-            img[i] = image
-            enc = self.encode_prompt(prompt)
-            ids[i, self.nvt:self.nvt + len(enc)] = enc
-            plens.append(self.nvt + len(enc))
+        a, img, ids, _mask, plens = self._staging_arrays(requests)
         emb = self._embed_prompt(
             self.loaded.params, jnp.asarray(img), jnp.asarray(ids))
         slots = [slot for slot, *_ in requests]
         self.seq_lens, self.cache_mask = self._park(
             self.seq_lens, self.cache_mask, jnp.asarray(slots, jnp.int32))
-        for i, slot in enumerate(slots):
-            self._staged.append({"slot": slot, "emb": emb[i:i + 1],
-                                 "plen": plens[i], "start": 0})
+        with self._stage_lock:
+            for i, slot in enumerate(slots):
+                self._staged.append({"slot": slot, "emb": emb[i:i + 1],
+                                     "plen": plens[i], "start": 0})
         return [None] * len(requests)
 
     def advance_prefill(self):
         """Forward one chunk of the oldest staged admission; returns
         [(slot, first_token)] for admissions that just completed."""
-        if not self._staged:
+        with self._stage_lock:
+            st = self._staged[0] if self._staged else None
+        if st is None:
             return []
-        st = self._staged[0]
         self.caches, h = self._chunk_call(
             self.loaded.params, self.caches, st["emb"],
             jnp.asarray(st["slot"], jnp.int32),
@@ -192,7 +184,8 @@ class ChunkedContinuousEngine(ContinuousEngine):
             jnp.asarray(st["slot"], jnp.int32),
             jnp.asarray(st["plen"], jnp.int32), h,
             jnp.asarray(off, jnp.int32), key)
-        self._staged.popleft()
+        with self._stage_lock:
+            self._staged.popleft()
         return [(st["slot"], int(first))]
 
 

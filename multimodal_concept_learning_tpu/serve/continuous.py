@@ -62,7 +62,7 @@ class ContinuousEngine(EngineHostAPI):
         the parameters take the Megatron TP layout on ``model_axis``
         (parallel/sharding_rules.py, the same layout training and
         make_sharded_generate use), so one continuous-batching front spans
-        chips: slot count must divide the data-axis size.  Admission
+        chips: the data-axis size must divide the slot count.  Admission
         inputs stay replicated (admits are rare; GSPMD scatters them into
         the sharded caches).  Excludes multi-LoRA banks for now."""
         from multimodal_concept_learning_tpu.models.lm import init_kv_cache
@@ -121,8 +121,8 @@ class ContinuousEngine(EngineHostAPI):
             if self.num_adapters:
                 raise ValueError("mesh serving excludes multi-LoRA banks")
             assert num_slots % mesh.shape[data_axis] == 0, (
-                f"num_slots {num_slots} must divide data axis "
-                f"{mesh.shape[data_axis]}")
+                f"the data-axis size {mesh.shape[data_axis]} must divide "
+                f"num_slots {num_slots}")
             self.loaded = loaded = loaded._replace(params=shard_params(
                 loaded.params, mesh, model_axis=model_axis,
                 fsdp_axis=fsdp_axis))
@@ -149,9 +149,12 @@ class ContinuousEngine(EngineHostAPI):
             return model.apply({"params": p}, h,
                                method=lambda m, x: m.language_model.lm_head(x))
 
+        # kept on self so subclasses (serve/chunked.py's finish program)
+        # sample under exactly the settings this engine's step uses
+        self._sampler = dict(temperature=temperature, top_k=top_k, top_p=top_p)
+
         def sample(logits, key):
-            return sample_logits(logits, key, temperature=temperature,
-                                 top_k=top_k, top_p=top_p)
+            return sample_logits(logits, key, **self._sampler)
 
         def prefill_rows(p, images, ids, mask, aidx):
             """Batched prompt prefill; with an adapter bank, each row runs
@@ -276,29 +279,18 @@ class ContinuousEngine(EngineHostAPI):
         requests = [r if len(r) == 4 else (*r, 0) for r in requests]
         if any(a for *_, a in requests) and not self.num_adapters:
             raise ValueError("engine has no adapter bank (load_adapter_bank)")
-        cfg = self.loaded.config
-        # Bucketed admission width: the prefill program is compiled per
-        # power-of-two batch shape, so a 1-request admit pays a 1-wide vision
-        # prefill, not a num_slots-wide one.  (Round-3 serving simulation
-        # showed full-width admits throttle the continuous front's
-        # throughput: each freed slot re-paid the whole prefill.)
-        a = 1
-        while a < len(requests):
-            a *= 2
-        a = min(a, self.num_slots)
-        img = np.zeros((a, 3, cfg.image_size, cfg.image_size), np.float32)
-        ids = np.full((a, self.prompt_t), self.pad_id, np.int32)
-        mask = np.zeros((a, self.prompt_t), np.int32)
+        # Bucketed admission width (_staging_arrays): the prefill program
+        # is compiled per power-of-two batch shape, so a 1-request admit
+        # pays a 1-wide vision prefill, not a num_slots-wide one.  (Round-3
+        # serving simulation showed full-width admits throttle the
+        # continuous front: each freed slot re-paid the whole prefill.)
+        a, img, ids, mask, _ = self._staging_arrays(requests)
         valid = np.zeros((a,), bool)
         aidx = np.zeros((a,), np.int32)
         used = [s for s, _, _, _ in requests]
         leftovers = [s for s in range(self.num_slots) if s not in used]
         slots = np.asarray(used + leftovers[: a - len(used)], np.int32)
-        for i, (slot, image, prompt, adapter) in enumerate(requests):
-            img[i] = image
-            enc = self.encode_prompt(prompt)
-            ids[i, self.nvt:self.nvt + len(enc)] = enc
-            mask[i, : self.nvt + len(enc)] = 1
+        for i, (slot, _, _, adapter) in enumerate(requests):
             valid[i] = True
             aidx[i] = adapter
             self.adapter_ids[slot] = adapter
@@ -440,7 +432,11 @@ class ContinuousBatcher:
         if len(s.tokens) >= budget:
             return True
         if s.pending.stop:
-            text = eng.decode_text(s.tokens)
+            # bound the per-token detection cost: decode only a tail window
+            # (answers and markers here are short; a marker whose text spans
+            # further back than the window is still cut at finish time by
+            # _finish's full-text truncation, just without early retirement)
+            text = eng.decode_text(s.tokens[-32:])
             return any(marker in text for marker in s.pending.stop)
         return False
 

@@ -90,6 +90,29 @@ class EngineHostAPI:
             cache[prompt] = ids
         return ids
 
+    def _staging_arrays(self, requests):
+        """Bucketed fixed-shape admission arrays shared by the slot-level
+        engines: power-of-two width ``a`` (one compiled program per
+        bucket), zeroed image batch, pad-filled ids, attention mask, and
+        each request's true prompt length.  ``requests`` rows are
+        (slot, image, prompt[, adapter])."""
+        cfg = self.loaded.config
+        a = 1
+        while a < len(requests):
+            a *= 2
+        a = min(a, self.num_slots)
+        img = np.zeros((a, 3, cfg.image_size, cfg.image_size), np.float32)
+        ids = np.full((a, self.prompt_t), self.pad_id, np.int32)
+        mask = np.zeros((a, self.prompt_t), np.int32)
+        plens = []
+        for i, (_, image, prompt, *_rest) in enumerate(requests):
+            img[i] = image
+            enc = self.encode_prompt(prompt)
+            ids[i, self.nvt:self.nvt + len(enc)] = enc
+            mask[i, : self.nvt + len(enc)] = 1
+            plens.append(self.nvt + len(enc))
+        return a, img, ids, mask, plens
+
     def decode_text(self, token_ids: List[int]) -> str:
         row = list(token_ids)
         if self.eos_id is not None and self.eos_id in row:

@@ -35,6 +35,32 @@ class LoadedMLLM(NamedTuple):
     num_adapters: int = 0
 
 
+def _quantize_for_serving(params, model, int8: bool, int8_vision: bool,
+                          verbose: bool, label: str = ""):
+    """int8-convert a serving tree: quantize the requested towers'
+    kernels (adapter factors / projector / norms pass through — see
+    ops/quant.quantize_params) and rebuild the MLLM with the matching
+    int8_weights flags.  Returns (params, model)."""
+    from multimodal_concept_learning_tpu.models.mllm import MLLM
+    from multimodal_concept_learning_tpu.ops.quant import quantize_mllm_params
+
+    params = quantize_mllm_params(params, model.config,
+                                  vision=int8_vision, lm=int8)
+    cfg = model.config
+    if int8:
+        cfg = dataclasses.replace(
+            cfg, lm=dataclasses.replace(cfg.lm, int8_weights=True))
+    if int8_vision:
+        cfg = dataclasses.replace(
+            cfg, vision=dataclasses.replace(cfg.vision, int8_weights=True))
+    model = MLLM(cfg)
+    if verbose:
+        what = " + ".join((["LM"] if int8 else []) +
+                          (["vision-tower"] if int8_vision else []))
+        print(f"Quantized {label}{what} weights to int8 (serving mode)")
+    return params, model
+
+
 def load_trained_mllm(results_dir: str, checkpoint: str = "best_model.pt",
                       int8: bool = False, int8_vision: bool = False,
                       merge_lora: bool = True,
@@ -83,23 +109,8 @@ def load_trained_mllm(results_dir: str, checkpoint: str = "best_model.pt",
                   "into base weights")
 
     if int8 or int8_vision:
-        from multimodal_concept_learning_tpu.models.mllm import MLLM
-        from multimodal_concept_learning_tpu.ops.quant import quantize_mllm_params
-
-        params = quantize_mllm_params(params, model.config,
-                                      vision=int8_vision, lm=int8)
-        cfg = model.config
-        if int8:
-            cfg = dataclasses.replace(
-                cfg, lm=dataclasses.replace(cfg.lm, int8_weights=True))
-        if int8_vision:
-            cfg = dataclasses.replace(
-                cfg, vision=dataclasses.replace(cfg.vision, int8_weights=True))
-        model = MLLM(cfg)
-        if verbose:
-            what = " + ".join((["LM"] if int8 else []) +
-                              (["vision-tower"] if int8_vision else []))
-            print(f"Quantized {what} weights to int8 (serving mode)")
+        params, model = _quantize_for_serving(params, model, int8,
+                                              int8_vision, verbose)
 
     transform = create_transforms(config, is_train=False, seed=config.seed)
     return LoadedMLLM(model, tokenizer, params, config, labels_mapping, transform)
@@ -147,27 +158,11 @@ def load_adapter_bank(results_dir: str, adapter_dirs, checkpoint: str = "best_mo
     bank = stack_adapter_params(trees)
     model = base.model
     if int8 or int8_vision:
-        from multimodal_concept_learning_tpu.models.mllm import MLLM
-        from multimodal_concept_learning_tpu.ops.quant import quantize_mllm_params
-
         # the quantizer converts only int8-template kernel nodes; the
         # stacked adapter leaves and the (always-float) projector pass
         # through with their bank axis untouched
-        bank = quantize_mllm_params(bank, model.config,
-                                    vision=int8_vision, lm=int8)
-        cfg = model.config
-        if int8:
-            cfg = dataclasses.replace(
-                cfg, lm=dataclasses.replace(cfg.lm, int8_weights=True))
-        if int8_vision:
-            cfg = dataclasses.replace(
-                cfg, vision=dataclasses.replace(cfg.vision, int8_weights=True))
-        model = MLLM(cfg)
-        if verbose:
-            what = " + ".join((["LM"] if int8 else []) +
-                              (["vision-tower"] if int8_vision else []))
-            print(f"Quantized shared-base {what} weights to int8 "
-                  "(bank factors stay float)")
+        bank, model = _quantize_for_serving(bank, model, int8, int8_vision,
+                                            verbose, label="shared-base ")
     if verbose:
         print(f"Stacked multi-LoRA bank: {len(trees)} adapters "
               f"(0 = raw base, 1..{len(trees) - 1} = "

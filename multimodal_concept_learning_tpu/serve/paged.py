@@ -224,13 +224,7 @@ class PagedContinuousEngine(EngineHostAPI):
         assert not any(r[3] for r in requests if len(r) == 4), \
             "paged front has no adapter bank"
         requests = [r[:3] for r in requests]
-        cfg = self.loaded.config
         np_max = self.max_pages_per_seq
-        # bucketed admission width (see ContinuousEngine.admit_many)
-        a = 1
-        while a < len(requests):
-            a *= 2
-        a = min(a, self.num_slots)
 
         # allocate every request's lifetime pages up front; roll back on
         # exhaustion so a failed batch leaves the allocator untouched
@@ -243,23 +237,18 @@ class PagedContinuousEngine(EngineHostAPI):
                 self.allocator.free(pages)
             raise
 
-        img = np.zeros((a, 3, cfg.image_size, cfg.image_size), np.float32)
-        ids = np.full((a, self.prompt_t), self.pad_id, np.int32)
-        mask = np.zeros((a, self.prompt_t), np.int32)
+        # bucketed admission width (shared helper, see ContinuousEngine)
+        a, img, ids, mask, plens = self._staging_arrays(requests)
         valid = np.zeros((a,), bool)
         pt_rows = np.zeros((a, np_max), np.int32)
         cap_rows = np.zeros((a,), np.int32)
         used = [s for s, _, _ in requests]
         leftovers = [s for s in range(self.num_slots) if s not in used]
         slots = np.asarray(used + leftovers[: a - len(used)], np.int32)
-        for i, (slot, image, prompt) in enumerate(requests):
-            img[i] = image
-            enc = self.encode_prompt(prompt)
-            ids[i, self.nvt:self.nvt + len(enc)] = enc
-            mask[i, : self.nvt + len(enc)] = 1
+        for i in range(len(requests)):
             valid[i] = True
             pt_rows[i, : len(allocs[i])] = allocs[i]
-            cap_rows[i] = (self.nvt + len(enc) + self.max_new_tokens
+            cap_rows[i] = (plens[i] + self.max_new_tokens
                            + self.steps_per_call)
         self._key, key = jax.random.split(self._key)
         try:

@@ -171,6 +171,10 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
         load_trained_mllm,
     )
 
+    if chunked_prefill and (paged or not continuous):
+        raise ValueError("--chunked_prefill requires --continuous (and "
+                         "excludes --paged: the paged front keeps one-shot "
+                         "admission bounded by pool backpressure)")
     if adapters:
         if paged:
             raise ValueError("multi-LoRA banks exclude --paged "
