@@ -241,20 +241,40 @@ class LMAttention(nn.Module):
             from multimodal_concept_learning_tpu.ops import paged_kv
 
             ck, cv, pt = cache["k"], cache["v"], cache["pages"]
+            # int8 pools (init_paged_kv_cache quantized=True) carry
+            # per-(token, head) scale planes; writes quantize, the decode
+            # read dequantizes after its gather
+            ks = cache.get("k_scale")
+            vs = cache.get("v_scale")
             if decode_slots is None:  # paged prefill: prompt k/v into pages
-                ck = paged_kv.write_prompt_kv(ck, pt, cache["lens"], k)
-                cv = paged_kv.write_prompt_kv(cv, pt, cache["lens"], v)
+                wk, wv = k, v
+                if ks is not None:
+                    wk, ksc = paged_kv.quantize_kv(k)
+                    wv, vsc = paged_kv.quantize_kv(v)
+                    ks = paged_kv.write_prompt_kv(ks, pt, cache["lens"], ksc)
+                    vs = paged_kv.write_prompt_kv(vs, pt, cache["lens"], vsc)
+                ck = paged_kv.write_prompt_kv(ck, pt, cache["lens"], wk)
+                cv = paged_kv.write_prompt_kv(cv, pt, cache["lens"], wv)
                 # attention runs over the freshly computed k/v below — the
                 # caller's bias masks padding exactly as in dense prefill
             else:
                 assert decode_slots.ndim == 1, "paged decode is single-token"
-                ck = paged_kv.write_token_kv(ck, pt, decode_slots, k[:, 0])
-                cv = paged_kv.write_token_kv(cv, pt, decode_slots, v[:, 0])
+                wk, wv = k[:, 0], v[:, 0]
+                if ks is not None:
+                    wk, ksc = paged_kv.quantize_kv(wk)
+                    wv, vsc = paged_kv.quantize_kv(wv)
+                    ks = paged_kv.write_token_kv(ks, pt, decode_slots, ksc)
+                    vs = paged_kv.write_token_kv(vs, pt, decode_slots, vsc)
+                ck = paged_kv.write_token_kv(ck, pt, decode_slots, wk)
+                cv = paged_kv.write_token_kv(cv, pt, decode_slots, wv)
                 paged_out = paged_kv.paged_decode_attention(
                     q, ck, cv, pt, decode_slots + 1,
                     scale=scale, window=cache["window"],
+                    pool_k_scale=ks, pool_v_scale=vs,
                 )
             new_cache = {"k": ck, "v": cv}
+            if ks is not None:
+                new_cache.update(k_scale=ks, v_scale=vs)
         elif cache is not None:
             ck, cv = cache["k"], cache["v"]
             if decode_slots is None:  # prefill: bulk write into slots [0:T]
@@ -595,8 +615,7 @@ class CausalLM(nn.Module):
         new_pools = []
         for i, layer in enumerate(self.layers):
             sliding = cfg.layer_is_sliding(i)
-            cache = {"k": pools[i]["k"], "v": pools[i]["v"],
-                     "pages": page_table, "lens": plens}
+            cache = {**pools[i], "pages": page_table, "lens": plens}
             x, c = layer(
                 x,
                 bias_sliding if sliding else bias_global,
@@ -631,8 +650,8 @@ class CausalLM(nn.Module):
         for i, layer in enumerate(self.layers):
             sliding = cfg.layer_is_sliding(i)
             window = cfg.sliding_window if (sliding and cfg.sliding_window) else -1
-            cache = {"k": pools[i]["k"], "v": pools[i]["v"],
-                     "pages": page_table, "window": jnp.int32(window)}
+            cache = {**pools[i], "pages": page_table,
+                     "window": jnp.int32(window)}
             x, c = layer(
                 x, None,
                 rope_sliding if sliding else rope_global,

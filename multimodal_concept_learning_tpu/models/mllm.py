@@ -299,13 +299,16 @@ def greedy_generate(model, params, images, input_ids, attention_mask,
 
 
 def paged_generate(model, params, images, input_ids, attention_mask,
-                   max_new_tokens, page_size, eos_id=None, pad_id=0):
+                   max_new_tokens, page_size, eos_id=None, pad_id=0,
+                   quant_kv=False):
     """Greedy decoding over a paged KV cache (ops/paged_kv.py).
 
     Each row gets one consecutive run of ``pages_needed(t + new)`` pages
     from a pool built INSIDE the traced function (zeros + iota — cheap on
     device, and the serialized HLO never embeds the multi-MB pool as a
-    constant).  Token-exact vs ``greedy_generate`` (tests/test_paged_kv.py)
+    constant).  ``quant_kv`` stores the pools as int8 with per-token scales
+    (ops/paged_kv.init_paged_kv_cache quantized=True) — lossy, so only the
+    quant_kv=False path is token-exact vs ``greedy_generate``.  Token-exact vs ``greedy_generate`` (tests/test_paged_kv.py)
     and the jittable entry point for mesh-sharded paged decode
     (parallel/serving.make_sharded_paged_generate).  Pure; wrap in jax.jit.
     """
@@ -318,7 +321,8 @@ def paged_generate(model, params, images, input_ids, attention_mask,
     b, t = input_ids.shape
     rows = jnp.arange(b)
     np_max = pages_needed(t + max_new_tokens, page_size)
-    pools = init_paged_kv_cache(lm_cfg, 1 + b * np_max, page_size)
+    pools = init_paged_kv_cache(lm_cfg, 1 + b * np_max, page_size,
+                                quantized=quant_kv)
     pt = jnp.arange(1, 1 + b * np_max, dtype=jnp.int32).reshape(b, np_max)
 
     def head(h):

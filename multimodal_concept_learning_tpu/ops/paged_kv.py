@@ -43,18 +43,51 @@ import jax
 import jax.numpy as jnp
 
 
-def init_paged_kv_cache(cfg, num_pages: int, page_size: int):
+def init_paged_kv_cache(cfg, num_pages: int, page_size: int,
+                        quantized: bool = False):
     """Zero per-layer page pools for the paged serving path.
 
     One ``{"k", "v"}`` dict per layer, each ``[num_pages, kv_heads,
     page_size, head_dim]`` in the model compute dtype.  Page 0 is the null
     page — size the pool with one page more than you plan to allocate.
+
+    ``quantized=True`` stores K/V as int8 with per-(token, head) float32
+    scales (``"k_scale"``/``"v_scale"``, ``[num_pages, kv_heads,
+    page_size]``): writes quantize (``quantize_kv``), reads dequantize
+    after the gather.  At head_dim ``d`` a token costs ``d + 4`` bytes per
+    kv-head per side instead of ``2d`` (bf16) — ~1.97x pool capacity at
+    d=256 — with max relative roundtrip error 1/254 per element
+    (tests/test_paged_kv.py pins the bound and decode-logit closeness).
+    Zero-initialized scales make unwritten/null pages dequantize to
+    exact zeros.
     """
     shape = (num_pages, cfg.num_kv_heads, page_size, cfg.head_dim)
+    if quantized:
+        sshape = shape[:3]
+        return tuple(
+            {"k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
+             "k_scale": jnp.zeros(sshape, jnp.float32),
+             "v_scale": jnp.zeros(sshape, jnp.float32)}
+            for _ in range(cfg.num_layers)
+        )
     return tuple(
         {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
         for _ in range(cfg.num_layers)
     )
+
+
+def quantize_kv(kv: jax.Array):
+    """Symmetric int8 quantization over the trailing (head_dim) axis.
+
+    kv: [..., d] float -> (q [..., d] int8, scale [...] float32) with
+    ``q * scale ~= kv``.  The scale floor keeps all-zero rows (padding)
+    exactly zero after dequantization.
+    """
+    kv = kv.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(kv), axis=-1)
+    scale = jnp.maximum(amax, 1e-30) / 127.0
+    q = jnp.round(kv / scale[..., None]).astype(jnp.int8)
+    return q, scale
 
 
 def pages_needed(num_tokens: int, page_size: int) -> int:
@@ -108,7 +141,9 @@ def write_prompt_kv(pool: jax.Array, page_table: jax.Array, lens: jax.Array,
 
     pool: [P, hk, ps, d]; page_table: [B, NP]; lens: [B] true prompt
     lengths (right-padded layout); kv: [B, T, hk, d].  Positions >= lens
-    land on the null page.  Returns the updated pool.
+    land on the null page.  Returns the updated pool.  Also writes scale
+    planes for quantized pools: pool [P, hk, ps] with kv [B, T, hk] (the
+    trailing head_dim axis is simply absent on both sides).
     """
     b, t = kv.shape[:2]
     ps = pool.shape[2]
@@ -127,7 +162,8 @@ def write_token_kv(pool: jax.Array, page_table: jax.Array, slots: jax.Array,
     """Scatter one new token's K or V per row at position ``slots``.
 
     pool: [P, hk, ps, d]; page_table: [B, NP]; slots: [B] the token's
-    position (== the row's committed length); kv: [B, hk, d].
+    position (== the row's committed length); kv: [B, hk, d].  Scale
+    planes work the same way: pool [P, hk, ps], kv [B, hk].
     """
     ps = pool.shape[2]
     rows = jnp.arange(kv.shape[0])
@@ -146,6 +182,18 @@ def gather_pages(pool: jax.Array, page_table: jax.Array) -> jax.Array:
     _, hk, ps, d = pool.shape
     gathered = pool[page_table]                        # [B, NP, hk, ps, d]
     return gathered.transpose(0, 1, 3, 2, 4).reshape(b, np_ * ps, hk, d)
+
+
+def gather_pages_dequant(pool: jax.Array, scale: jax.Array,
+                         page_table: jax.Array, dtype) -> jax.Array:
+    """``gather_pages`` for an int8 pool + its scale plane: gathers both
+    and dequantizes to ``dtype``.  pool: [P, hk, ps, d] int8; scale:
+    [P, hk, ps] f32.  Returns [B, NP * ps, hk, d]."""
+    b, np_ = page_table.shape
+    _, hk, ps = scale.shape
+    q = gather_pages(pool, page_table)                 # [B, T, hk, d] int8
+    s = scale[page_table].transpose(0, 1, 3, 2).reshape(b, np_ * ps, hk)
+    return (q.astype(jnp.float32) * s[..., None]).astype(dtype)
 
 
 def paged_attention_mask(lens: jax.Array, total: int,
@@ -173,13 +221,18 @@ def paged_decode_attention(
     window: Optional[jax.Array] = None,
     use_kernel: Optional[bool] = None,
     interpret: bool = False,
+    pool_k_scale: Optional[jax.Array] = None,
+    pool_v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """One-token attention against a paged KV pool.
 
     q: [B, 1, Hq, D]; pools: [P, hk, ps, D]; page_table: [B, NP];
     lens: [B] attendable tokens per row INCLUDING the new token;
     window: int32 scalar, sliding window size or -1/None for global.
-    Returns [B, 1, Hq, D].
+    pool_k_scale/pool_v_scale: [P, hk, ps] f32 scale planes for int8
+    pools (init_paged_kv_cache quantized=True) — dequantized on the
+    gather path (the Pallas kernel is float-only, so scales force the
+    gather read).  Returns [B, 1, Hq, D].
 
     ``use_kernel=None`` defaults to the exact gather fallback everywhere;
     both paths compute identical math (pinned by tests/test_paged_kv.py).
@@ -198,6 +251,10 @@ def paged_decode_attention(
         window = jnp.int32(-1)
     window = jnp.asarray(window, jnp.int32)
 
+    quantized = pool_k_scale is not None
+    if quantized:
+        use_kernel = False  # the kernel streams float pages; int8 pools
+        # always take the gather read (measured at dense parity anyway)
     if use_kernel is None:
         env = os.environ.get("MCL_PAGED_KERNEL")  # A/B override
         if env is not None:
@@ -224,8 +281,12 @@ def paged_decode_attention(
 
     from multimodal_concept_learning_tpu.ops.attention import multi_head_attention
 
-    k = gather_pages(pool_k, page_table)
-    v = gather_pages(pool_v, page_table)
+    if quantized:
+        k = gather_pages_dequant(pool_k, pool_k_scale, page_table, q.dtype)
+        v = gather_pages_dequant(pool_v, pool_v_scale, page_table, q.dtype)
+    else:
+        k = gather_pages(pool_k, page_table)
+        v = gather_pages(pool_v, page_table)
     mask = paged_attention_mask(lens, k.shape[1], window)
     bias = jnp.where(mask, 0.0, jnp.float32(-1e30))[:, None, None, :]
     return multi_head_attention(q, k, v, bias=bias, scale=scale,
@@ -236,7 +297,9 @@ __all__ = [
     "PageAllocator",
     "PagePoolExhausted",
     "gather_pages",
+    "gather_pages_dequant",
     "init_paged_kv_cache",
+    "quantize_kv",
     "paged_attention_mask",
     "paged_decode_attention",
     "pages_needed",

@@ -17,6 +17,12 @@ This engine stores KV in a shared page pool (ops/paged_kv.py) instead:
   zeroes its page-table row, so a stale slot's decode writes land on the
   null page and can never corrupt a page the allocator re-issued.
 
+``quant_kv=True`` (HTTP ``--int8_kv``) stores the pool as int8 with
+per-(token, head) scales: ~2x the in-flight tokens per HBM byte at
+head_dim 256 (exact arithmetic in ops/paged_kv.init_paged_kv_cache), at
+the cost of token-exactness (bounded KV roundtrip error, pinned by
+tests/test_paged_kv.py; generations stay independent of slot contention).
+
 Whole-lifetime reservation keeps the device programs free of mid-flight
 allocation (no preemption/eviction machinery, no OOM inside a scan): the
 free list is the single backpressure point.  ``admissible_prefix`` tells
@@ -75,6 +81,7 @@ class PagedContinuousEngine(EngineHostAPI):
         top_p: Optional[float] = None,
         seed: int = 0,
         steps_per_call: int = 1,
+        quant_kv: bool = False,
     ):
         from multimodal_concept_learning_tpu.ops.sampling import sample_logits
 
@@ -118,8 +125,12 @@ class PagedContinuousEngine(EngineHostAPI):
         lm_cfg = model.config.lm
         np_max = self.max_pages_per_seq
 
-        # persistent device state
-        self.pools = init_paged_kv_cache(lm_cfg, num_pages, page_size)
+        # persistent device state; quant_kv stores int8 K/V + per-token
+        # scales (ops/paged_kv.init_paged_kv_cache) — ~2x the tokens per
+        # HBM byte, so the same pool backs ~2x the concurrent requests
+        self.quant_kv = quant_kv
+        self.pools = init_paged_kv_cache(lm_cfg, num_pages, page_size,
+                                         quantized=quant_kv)
         self.page_table = jnp.zeros((num_slots, np_max), jnp.int32)
         self.seq_lens = jnp.zeros((num_slots,), jnp.int32)
         self.caps = jnp.zeros((num_slots,), jnp.int32)
@@ -295,8 +306,9 @@ class PagedContinuousEngine(EngineHostAPI):
     # -- accounting ----------------------------------------------------------
 
     def pool_bytes(self) -> int:
-        """HBM held by the KV pools (all layers, both of k/v)."""
-        return sum(int(p["k"].nbytes + p["v"].nbytes) for p in self.pools)
+        """HBM held by the KV pools (all layers, both of k/v, plus the
+        scale planes of a quantized pool)."""
+        return sum(int(sum(a.nbytes for a in p.values())) for p in self.pools)
 
     def dense_equivalent_bytes(self) -> int:
         """What serve/continuous.py's dense cache would hold for the same

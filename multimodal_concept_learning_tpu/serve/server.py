@@ -149,7 +149,8 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
                 temperature: float = 0.0, top_k=None, top_p=None, seed: int = 0,
                 continuous: bool = False, steps_per_call: int = 4,
                 paged: bool = False, page_size: int = 16,
-                num_pages=None, adapters=None, chunked_prefill: int = 0):
+                num_pages=None, adapters=None, chunked_prefill: int = 0,
+                int8_kv: bool = False):
     """Build (ThreadingHTTPServer, batcher); caller runs serve_forever().
 
     ``continuous=True`` uses slot-level continuous batching
@@ -165,6 +166,8 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
     ``chunked_prefill=N`` (continuous mode) admits prompts in N-token
     chunks interleaved with decode steps (serve/chunked.py), bounding the
     decode stall per admission.
+    ``int8_kv`` (paged mode) stores the page pool as int8 with per-token
+    scales — ~2x the in-flight tokens for the same pool HBM.
     """
     from multimodal_concept_learning_tpu.serve.loader import (
         load_adapter_bank,
@@ -175,6 +178,9 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
         raise ValueError("--chunked_prefill requires --continuous (and "
                          "excludes --paged: the paged front keeps one-shot "
                          "admission bounded by pool backpressure)")
+    if int8_kv and not paged:
+        raise ValueError("--int8_kv requires --paged (the dense fronts "
+                         "keep full-precision caches)")
     if adapters:
         if paged:
             raise ValueError("multi-LoRA banks exclude --paged "
@@ -193,7 +199,7 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
             max_prompt_len=max_prompt_len, page_size=page_size,
             num_pages=num_pages, temperature=temperature,
             top_k=top_k, top_p=top_p, seed=seed,
-            steps_per_call=steps_per_call,
+            steps_per_call=steps_per_call, quant_kv=int8_kv,
         )
         batcher = ContinuousBatcher(engine)
     elif continuous:
@@ -265,6 +271,9 @@ def main(argv=None):
                         help="comma-separated language_lora results dirs: "
                              "serve a multi-LoRA bank; requests select with "
                              '{"adapter": i} (0 = raw base)')
+    parser.add_argument("--int8_kv", action="store_true",
+                        help="paged mode: int8-quantized page pool with "
+                             "per-token scales (~2x tokens per HBM byte)")
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--top_k", type=int, default=None)
     parser.add_argument("--top_p", type=float, default=None)
@@ -282,7 +291,7 @@ def main(argv=None):
         steps_per_call=args.steps_per_call, paged=args.paged,
         page_size=args.page_size, num_pages=args.num_pages,
         adapters=args.adapters.split(",") if args.adapters else None,
-        chunked_prefill=args.chunked_prefill,
+        chunked_prefill=args.chunked_prefill, int8_kv=args.int8_kv,
     )
     print(f"Serving on http://{args.host}:{args.port} "
           f"(batch_size={args.batch_size}, max_wait_ms={args.max_wait_ms})")

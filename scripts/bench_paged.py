@@ -9,8 +9,11 @@ microbench traps).  Three variants:
   dense          CausalLM.decode_step over the contiguous cache
   paged-kernel   decode_step_paged via the Pallas paged-attention kernel
   paged-gather   decode_step_paged via the exact gather fallback
+  paged-int8kv   gather read over int8-quantized pools (half the KV bytes;
+                 reported with its token-agreement fraction vs dense, the
+                 full-precision variants are asserted token-exact)
 
-All three produce identical tokens (asserted).  The paged variants pay the
+The full-precision variants produce identical tokens (asserted).  The paged variants pay the
 page-table indirection; the interesting question on-chip is how close the
 kernel gets to dense at the reference's short contexts (paging buys memory
 flexibility, not speed, at 240-token sequences) and where gather's
@@ -40,7 +43,7 @@ TEXT_LEN = 24
 REPEATS = 3
 
 
-def make_paged_fn(model, n_new, page_size, use_kernel):
+def make_paged_fn(model, n_new, page_size, use_kernel, quant_kv=False):
     """jitted models.mllm.paged_generate with the read path pinned for the
     A/B (monkeypatch-free: the env override is consumed by
     paged_kv.paged_decode_attention at trace time — set before the first
@@ -51,7 +54,7 @@ def make_paged_fn(model, n_new, page_size, use_kernel):
 
     os.environ["MCL_PAGED_KERNEL"] = "1" if use_kernel else "0"
     return jax.jit(lambda p, images, ids, mask: paged_generate(
-        model, p, images, ids, mask, n_new, page_size))
+        model, p, images, ids, mask, n_new, page_size, quant_kv=quant_kv))
 
 
 def main():
@@ -110,6 +113,8 @@ def main():
             model, n, args.page_size, True)),
         ("paged-gather", lambda n: make_paged_fn(
             model, n, args.page_size, False)),
+        ("paged-int8kv", lambda n: make_paged_fn(
+            model, n, args.page_size, False, quant_kv=True)),
     ]
     # the Pallas kernel is TPU-only (interpret mode is not a benchmark);
     # device .platform is "tpu" under the axon runtime too — the house
@@ -126,12 +131,21 @@ def main():
             print(f"    n_new={n:4d}: {times[n] * 1e3:8.1f} ms", file=sys.stderr)
         per_tok, fixed = np.polyfit(lengths, [times[n] for n in lengths], 1)
         results[name] = (per_tok, fixed)
-    for n in lengths:  # all variants decode identical greedy tokens
+    agree_n = agree_d = 0
+    for n in lengths:  # full-precision variants decode identical tokens
         ref = tokens[n]["dense"]
         for name, toks in tokens[n].items():
-            assert np.array_equal(toks, ref), (n, name)
+            if name == "paged-int8kv":  # int8 KV is lossy by design
+                agree_n += int((toks == ref).sum())
+                agree_d += ref.size
+            else:
+                assert np.array_equal(toks, ref), (n, name)
     print(f"[paged] batch={b} prompt={nvt + args.text_len} page_size="
-          f"{args.page_size} lengths={lengths} (token-exact across variants)")
+          f"{args.page_size} lengths={lengths} (token-exact across "
+          f"full-precision variants)")
+    if agree_d:
+        print(f"[paged]   int8kv token agreement vs dense: "
+              f"{agree_n}/{agree_d} = {agree_n / agree_d:.1%}")
     for name, (per_tok, fixed) in results.items():
         print(f"[paged]   {name:13s} {per_tok * 1e3:7.2f} ms/tok "
               f"(fixed {fixed * 1e3:7.1f} ms)")

@@ -446,3 +446,149 @@ def test_admit_exhaustion_rolls_back(loaded):
     assert isinstance(first, int)
     engine.release(0)
     assert engine.allocator.available == per_req
+
+
+# ---------------------------------------------------------------------------
+# int8 KV-cache quantization (init_paged_kv_cache quantized=True)
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_kv_roundtrip_bound():
+    """Per-(token, head) symmetric int8: elementwise error <= scale/2 =
+    amax/254; all-zero rows (padding) dequantize to EXACT zeros."""
+    import jax.numpy as jnp
+
+    from multimodal_concept_learning_tpu.ops.paged_kv import quantize_kv
+
+    rng = np.random.default_rng(0)
+    kv = rng.standard_normal((3, 5, 2, 16)).astype(np.float32)
+    kv[1, 2] = 0.0  # a padding row
+    q, s = quantize_kv(jnp.asarray(kv))
+    assert q.dtype == jnp.int8 and s.shape == kv.shape[:-1]
+    deq = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+    amax = np.abs(kv).max(axis=-1, keepdims=True)
+    assert np.all(np.abs(deq - kv) <= amax / 254 + 1e-9)
+    assert np.all(deq[1, 2] == 0.0)
+
+
+def test_lm_paged_quant_kv_close_to_dense():
+    """Quantized paged decode tracks the dense full-precision decode within
+    the int8 KV error budget on a Gemma-3-featured LM (qk-norm, sliding and
+    global layers, GQA) — and actually quantizes (int8 pools, nonzero
+    written scales)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_concept_learning_tpu.models.lm import (
+        CausalLM,
+        LMConfig,
+        init_kv_cache,
+    )
+    from multimodal_concept_learning_tpu.ops.paged_kv import init_paged_kv_cache
+
+    cfg = LMConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=4,
+        num_heads=4, num_kv_heads=2, head_dim=16, use_qk_norm=True,
+        sandwich_norms=True, sliding_window=6, sliding_window_pattern=2,
+        query_pre_attn_scalar=16.0, dtype=jnp.float32,
+    )
+    model = CausalLM(cfg)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 4), jnp.int32))["params"]
+
+    b, t, n_new, ps = 2, 10, 4, 4
+    s = t + n_new
+    rng = np.random.default_rng(1)
+    embeds = jnp.asarray(rng.standard_normal((b, t, cfg.hidden_size)) * 0.1,
+                         jnp.float32)
+    plens = np.asarray([10, 7], np.int32)
+    mask = jnp.asarray(np.arange(t)[None, :] < plens[:, None], jnp.int32)
+
+    caches = init_kv_cache(cfg, b, s)
+    hid_d, caches = model.apply({"params": params}, embeds, mask, caches,
+                                method=CausalLM.prefill)
+
+    np_max = -(-s // ps)
+    pools = init_paged_kv_cache(cfg, 1 + b * np_max, ps, quantized=True)
+    assert pools[0]["k"].dtype == jnp.int8 and "k_scale" in pools[0]
+    pt = jnp.asarray(np.arange(1, 1 + b * np_max).reshape(b, np_max), jnp.int32)
+    hid_p, pools = model.apply({"params": params}, embeds, mask, pools, pt,
+                               method=CausalLM.prefill_paged)
+    # prefill attends over the FRESH float k/v, so its hiddens are exact
+    for i in range(b):
+        np.testing.assert_allclose(
+            np.asarray(hid_p[i, : plens[i]]), np.asarray(hid_d[i, : plens[i]]),
+            rtol=2e-5, atol=2e-5,
+        )
+    assert float(jnp.max(pools[0]["k_scale"])) > 0  # scales were written
+
+    seq_lens = jnp.asarray(plens)
+    cache_mask = jnp.zeros((b, s), jnp.int32).at[:, :t].set(mask)
+    rows = jnp.arange(b)
+    worst = 0.0
+    for step in range(n_new):
+        emb = jnp.asarray(
+            rng.standard_normal((b, 1, cfg.hidden_size)) * 0.1, jnp.float32)
+        cache_mask = cache_mask.at[rows, seq_lens].set(1)
+        hd, caches = model.apply({"params": params}, emb, caches, seq_lens,
+                                 cache_mask, method=CausalLM.decode_step)
+        hp, pools = model.apply({"params": params}, emb, pools, pt, seq_lens,
+                                method=CausalLM.decode_step_paged)
+        scale = float(np.abs(np.asarray(hd)).max())
+        diff = float(np.abs(np.asarray(hp) - np.asarray(hd)).max())
+        worst = max(worst, diff / scale)
+        seq_lens = seq_lens + 1
+    # int8 KV error budget: per-element KV error <= 1/254 relative;
+    # RMSNorm/attention keep the hidden deviation the same order
+    assert worst < 0.05, f"quantized decode drifted {worst:.4f} from dense"
+    assert worst > 0.0, "quantization was a no-op"
+
+
+def test_paged_quant_kv_serving_concurrency_invariant(loaded):
+    """quant_kv serving: generations are independent of slot contention
+    (3 slots under backpressure == 1-slot isolated runs), the pool takes
+    ~half the float pool's HBM, and every page is reclaimed."""
+    from multimodal_concept_learning_tpu.serve.continuous import ContinuousBatcher
+    from multimodal_concept_learning_tpu.serve.paged import PagedContinuousEngine
+
+    n_new, plen, ps = 4, 16, 8
+    kw = dict(max_new_tokens=n_new, max_prompt_len=plen, page_size=ps,
+              quant_kv=True)
+    iso = PagedContinuousEngine(loaded, num_slots=1, **kw)
+    imgs = [iso.preprocess_image(_circle_image(COLORS[i % 2]))
+            for i in range(5)]
+    ref_batcher = ContinuousBatcher(iso)
+    want = [ref_batcher.submit(imgs[i], p, timeout=600)
+            for i, p in enumerate(_prompts())]
+    ref_batcher.shutdown()
+    assert all(isinstance(w, str) for w in want)
+
+    per_req = engine_pages(loaded, plen, n_new, 1, ps)
+    engine = PagedContinuousEngine(loaded, num_slots=3,
+                                   num_pages=2 * per_req + 1, **kw)
+    flat = PagedContinuousEngine(loaded, num_slots=3,
+                                 num_pages=2 * per_req + 1,
+                                 max_new_tokens=n_new, max_prompt_len=plen,
+                                 page_size=ps)
+    assert engine.pool_bytes() < 0.6 * flat.pool_bytes()
+    batcher = ContinuousBatcher(engine)
+    results = {}
+
+    def call(i, prompt):
+        results[i] = batcher.submit(imgs[i], prompt, timeout=600)
+
+    threads = [threading.Thread(target=call, args=(i, p))
+               for i, p in enumerate(_prompts())]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    batcher.shutdown()
+    assert [results[i] for i in range(5)] == want
+    assert engine.allocator.available == 2 * per_req
+
+
+def test_int8_kv_flag_requires_paged(trained_results_dir):
+    from multimodal_concept_learning_tpu.serve.server import make_server
+
+    with pytest.raises(ValueError, match="int8_kv requires --paged"):
+        make_server(trained_results_dir, port=0, continuous=True, int8_kv=True)
