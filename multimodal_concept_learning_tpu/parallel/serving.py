@@ -88,6 +88,7 @@ def make_sharded_paged_generate(
     data_axis: str = "data",
     model_axis: str = "model",
     fsdp_axis: Optional[str] = None,
+    quant_kv: bool = False,
 ):
     """``make_sharded_generate`` over the PAGED cache path
     (models/mllm.paged_generate): same Megatron TP parameter layout and
@@ -100,7 +101,8 @@ def make_sharded_paged_generate(
     single-chip).  GSPMD propagates the batch sharding into the per-row
     page-table iota and pool writes; each data shard's rows only ever
     touch their own page runs.  Greedy only (the serving engines own
-    sampling).
+    sampling).  ``quant_kv`` shards int8 pools + scale planes the same
+    way (elementwise dequant follows the gather's partitioning).
     """
     from multimodal_concept_learning_tpu.models.mllm import paged_generate
 
@@ -112,7 +114,7 @@ def make_sharded_paged_generate(
     def run(p, images, input_ids, attention_mask):
         return paged_generate(
             model, p, images, input_ids, attention_mask, max_new_tokens,
-            page_size, eos_id=eos_id, pad_id=pad_id,
+            page_size, eos_id=eos_id, pad_id=pad_id, quant_kv=quant_kv,
         )
 
     gen_fn = jax.jit(

@@ -142,6 +142,15 @@ def test_sharded_paged_generate_matches_single_device(eight_devices):
     assert not out.sharding.is_fully_replicated
     assert out.addressable_shards[0].data.shape[0] == ids.shape[0] // 4
 
+    # int8 pools shard the same way: sharded quant decode == single-device
+    # quant decode (same deterministic quantization on both paths)
+    single_q = np.asarray(paged_generate(model, params, images, ids, mask,
+                                         n_new, ps, quant_kv=True))
+    gen_q, sharded_q = make_sharded_paged_generate(model, params, mesh, n_new,
+                                                   page_size=ps, quant_kv=True)
+    np.testing.assert_array_equal(
+        np.asarray(gen_q(sharded_q, images, ids, mask)), single_q)
+
 
 def test_mesh_continuous_engine_matches_isolated(eight_devices):
     """A ContinuousEngine whose persistent state shards over a 4x2 DP x TP
