@@ -69,7 +69,8 @@ IMAGE_SIZE = 224
 CONTEXT = 77
 VOCAB = 49408
 
-MLLM_BATCH = 32
+MLLM_BATCH = 16  # session-5 sweep: 8/16/24/32 -> 213.8/221.5/216.8/213.5
+# imgs/s/chip (bf16 params) — 16 beats the round-2 optimum 32 by +3.7%
 MLLM_TEXT_LEN = 40
 MLLM_OOD = 90
 MLLM_REPEATS = 3

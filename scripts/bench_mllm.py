@@ -42,6 +42,11 @@ def main():
     parser.add_argument("--bf16_params", action="store_true")
     parser.add_argument("--remat_layers", action="store_true")
     parser.add_argument("--remat_mlp", action="store_true")
+    parser.add_argument("--moe_experts", type=int, default=0,
+                        help="replace the LM MLPs with top-k routed MoE "
+                             "(ops/moe.py, dense dispatch) — measures the "
+                             "expert-parallel architecture's step cost")
+    parser.add_argument("--moe_top_k", type=int, default=2)
     args = parser.parse_args()
 
     tokenizer = ConceptTokenizer()
@@ -50,6 +55,7 @@ def main():
     config = MLLMConfig.create(
         vocab_size=len(tokenizer), vision_preset="vit-b-16", lm_preset="gemma3-1b",
         num_vision_tokens=197, image_size=224,
+        lm_moe_experts=args.moe_experts, lm_moe_top_k=args.moe_top_k,
     )
     if args.remat_layers or args.remat_mlp:
         import dataclasses
@@ -117,8 +123,12 @@ def main():
     concept_updates_per_sec = args.ood * steps_per_sec
 
     # fwd FLOPs/img ~ ViT-B/16 35G + LM(26L,1152h,6912i @ 237 tok) 331G;
-    # bwd adds ~LM fwd again (dx chain; frozen-tower dW DCE'd) + answer head
-    flop_per_img = (35e9 + 331e9) + 331e9
+    # bwd adds ~LM fwd again (dx chain; frozen-tower dW DCE'd) + answer head.
+    # With MoE the dense dispatch EXECUTES every expert (~294G of the LM fwd
+    # is MLP, scaled by E) but only top_k experts are "useful" — report the
+    # executed-FLOP utilization and leave the ambiguity to the caller.
+    lm_fwd = 331e9 + (args.moe_experts - 1 if args.moe_experts else 0) * 294e9
+    flop_per_img = (35e9 + lm_fwd) + lm_fwd
     mfu = img_per_sec_chip * flop_per_img / 197e12
     print(
         f"steps/s={steps_per_sec:.2f} imgs/s/chip={img_per_sec_chip:.1f} "
