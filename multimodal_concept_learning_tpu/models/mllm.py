@@ -307,10 +307,11 @@ def paged_generate(model, params, images, input_ids, attention_mask,
     from a pool built INSIDE the traced function (zeros + iota — cheap on
     device, and the serialized HLO never embeds the multi-MB pool as a
     constant).  ``quant_kv`` stores the pools as int8 with per-token scales
-    (ops/paged_kv.init_paged_kv_cache quantized=True) — lossy, so only the
-    quant_kv=False path is token-exact vs ``greedy_generate``.  Token-exact vs ``greedy_generate`` (tests/test_paged_kv.py)
-    and the jittable entry point for mesh-sharded paged decode
-    (parallel/serving.make_sharded_paged_generate).  Pure; wrap in jax.jit.
+    (ops/paged_kv.init_paged_kv_cache quantized=True) — lossy, so
+    token-exactness vs ``greedy_generate`` (tests/test_paged_kv.py) holds
+    only at quant_kv=False.  The jittable entry point for mesh-sharded
+    paged decode (parallel/serving.make_sharded_paged_generate).  Pure;
+    wrap in jax.jit.
     """
     from multimodal_concept_learning_tpu.ops.paged_kv import (
         init_paged_kv_cache,

@@ -253,8 +253,12 @@ def paged_decode_attention(
 
     quantized = pool_k_scale is not None
     if quantized:
-        use_kernel = False  # the kernel streams float pages; int8 pools
-        # always take the gather read (measured at dense parity anyway)
+        # the kernel streams float pages; int8 pools always take the
+        # gather read (measured at dense parity anyway) — refuse an
+        # explicit kernel request rather than silently mislabel an A/B
+        assert use_kernel is not True, \
+            "the Pallas paged kernel is float-only; int8 pools use gather"
+        use_kernel = False
     if use_kernel is None:
         env = os.environ.get("MCL_PAGED_KERNEL")  # A/B override
         if env is not None:

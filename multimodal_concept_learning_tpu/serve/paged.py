@@ -127,7 +127,9 @@ class PagedContinuousEngine(EngineHostAPI):
 
         # persistent device state; quant_kv stores int8 K/V + per-token
         # scales (ops/paged_kv.init_paged_kv_cache) — ~2x the tokens per
-        # HBM byte, so the same pool backs ~2x the concurrent requests
+        # HBM byte, so an operator can afford ~2x num_pages (and with it
+        # ~2x the concurrent requests) in the same pool HBM; num_pages
+        # itself is unchanged here
         self.quant_kv = quant_kv
         self.pools = init_paged_kv_cache(lm_cfg, num_pages, page_size,
                                          quantized=quant_kv)
@@ -237,6 +239,12 @@ class PagedContinuousEngine(EngineHostAPI):
         requests = [r[:3] for r in requests]
         np_max = self.max_pages_per_seq
 
+        # bucketed admission width (shared helper, see ContinuousEngine);
+        # staged BEFORE the page reservation so a malformed request (bad
+        # image shape, encoder error) raises while the allocator is still
+        # untouched — staging after would leak the reserved pages forever
+        a, img, ids, mask, plens = self._staging_arrays(requests)
+
         # allocate every request's lifetime pages up front; roll back on
         # exhaustion so a failed batch leaves the allocator untouched
         allocs: List[List[int]] = []
@@ -247,9 +255,6 @@ class PagedContinuousEngine(EngineHostAPI):
             for pages in allocs:
                 self.allocator.free(pages)
             raise
-
-        # bucketed admission width (shared helper, see ContinuousEngine)
-        a, img, ids, mask, plens = self._staging_arrays(requests)
         valid = np.zeros((a,), bool)
         pt_rows = np.zeros((a, np_max), np.int32)
         cap_rows = np.zeros((a,), np.int32)

@@ -592,3 +592,24 @@ def test_int8_kv_flag_requires_paged(trained_results_dir):
 
     with pytest.raises(ValueError, match="int8_kv requires --paged"):
         make_server(trained_results_dir, port=0, continuous=True, int8_kv=True)
+
+
+def test_malformed_admit_leaks_no_pages(loaded):
+    """A request whose image has the wrong shape must fail BEFORE the page
+    reservation: staging raises, the allocator is untouched, and the engine
+    still serves the next well-formed request (review finding: staging
+    after alloc leaked the reserved pages forever)."""
+    from multimodal_concept_learning_tpu.serve.paged import PagedContinuousEngine
+
+    engine = PagedContinuousEngine(loaded, num_slots=2, max_new_tokens=2,
+                                   max_prompt_len=16, page_size=8)
+    before = engine.allocator.available
+    bad = np.zeros((5, 5), np.float32)  # not (3, H, W)
+    with pytest.raises(Exception):
+        engine.admit_many([(0, bad, _prompts()[0])])
+    assert engine.allocator.available == before
+    img = engine.preprocess_image(_circle_image(COLORS[0]))
+    first = engine.admit(0, img, _prompts()[0])
+    assert isinstance(first, int)
+    engine.release(0)
+    assert engine.allocator.available == before
