@@ -7,9 +7,14 @@ POST /generate   {"prompt": str, "image_b64": <base64 image file>} or
                  (truncate at earliest marker; continuous mode retires
                  the slot there), "stream": true (NDJSON tokens)
                  -> {"text": str}
-GET  /healthz    -> {"ok": true, "requests": N, "batches": M}
+GET  /healthz    -> {"ok": true, "draining": false, "requests": N, ...}
 GET  /metrics    -> stats + queue depth + sliding-window latency
                  percentiles (p50/p95/p99 ms over the last 512 requests)
+                 + http_inflight / draining
+
+SIGTERM drains gracefully (the serving counterpart of the trainers'
+PreemptionGuard): new /generate requests get 503, in-flight ones finish
+(up to --drain_grace_s), then the accept loop stops.
 
 Requests are dynamically micro-batched (serve/engine.Batcher): concurrent
 clients coalesce into one fixed-shape jitted generate call.  The reference
@@ -29,13 +34,26 @@ import argparse
 import base64
 import io
 import json
+import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
-def build_app(batcher):
-    """Returns a BaseHTTPRequestHandler subclass bound to ``batcher``."""
+def build_app(batcher, drain_state=None):
+    """Returns a BaseHTTPRequestHandler subclass bound to ``batcher``.
+
+    ``drain_state`` (dict with "draining" bool and "inflight" int, plus a
+    "lock") is shared with :func:`drain`: while draining, new /generate
+    requests get 503 and the counter lets the drainer wait for in-flight
+    ones (health/metrics endpoints keep answering so orchestrators can
+    watch the drain)."""
+    if drain_state is None:
+        drain_state = {"draining": False, "inflight": 0,
+                       "lock": threading.Lock()}
 
     class Handler(BaseHTTPRequestHandler):
+        state = drain_state  # shared with make_server/drain
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
@@ -49,9 +67,13 @@ def build_app(batcher):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(200, {"ok": True, **batcher.stats})
+                self._reply(200, {"ok": not drain_state["draining"],
+                                  "draining": drain_state["draining"],
+                                  **batcher.stats})
             elif self.path == "/metrics":
-                self._reply(200, batcher.metrics())
+                self._reply(200, {**batcher.metrics(),
+                                  "http_inflight": drain_state["inflight"],
+                                  "draining": drain_state["draining"]})
             else:
                 self._reply(404, {"error": "not found"})
 
@@ -59,6 +81,19 @@ def build_app(batcher):
             if self.path != "/generate":
                 self._reply(404, {"error": "not found"})
                 return
+            if drain_state["draining"]:
+                self._reply(503, {"error": "server draining (SIGTERM): "
+                                           "not accepting new requests"})
+                return
+            with drain_state["lock"]:
+                drain_state["inflight"] += 1
+            try:
+                self._generate()
+            finally:
+                with drain_state["lock"]:
+                    drain_state["inflight"] -= 1
+
+        def _generate(self):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
@@ -233,8 +268,36 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
             top_k=top_k, top_p=top_p, seed=seed,
         )
         batcher = Batcher(engine, max_wait_ms=max_wait_ms)
-    httpd = ThreadingHTTPServer((host, port), build_app(batcher))
+    drain_state = {"draining": False, "inflight": 0, "lock": threading.Lock()}
+    httpd = ThreadingHTTPServer((host, port), build_app(batcher, drain_state))
+    httpd.drain_state = drain_state
     return httpd, batcher
+
+
+def drain(httpd, grace_s: float = 30.0, poll_s: float = 0.05):
+    """Graceful shutdown (the serving counterpart of the trainers'
+    SIGTERM PreemptionGuard, train/common.py): flip the server into
+    draining mode (new /generate -> 503), wait until every in-flight
+    request has been answered (``grace_s`` cap — requests still running
+    at the deadline are abandoned to the process exit), then stop the
+    accept loop.  Safe to call from any thread EXCEPT the one running
+    ``serve_forever`` (``httpd.shutdown`` would deadlock there — signal
+    handlers must hand off to a thread, see ``main``)."""
+    state = httpd.drain_state
+    state["draining"] = True
+    deadline = time.monotonic() + grace_s
+    while time.monotonic() < deadline and state["inflight"] > 0:
+        time.sleep(poll_s)
+    httpd.shutdown()
+    # handler threads are daemons (ThreadingHTTPServer) and shutdown() only
+    # stops the ACCEPT loop — a connection accepted just before the flag
+    # flipped may still be mid-request (its counter increment can even land
+    # after the loop above saw 0).  Give late increments a settle window,
+    # then wait them out so the process doesn't exit under a handler and
+    # reset the client's socket.
+    time.sleep(3 * poll_s)
+    while time.monotonic() < deadline and state["inflight"] > 0:
+        time.sleep(poll_s)
 
 
 def main(argv=None):
@@ -278,6 +341,9 @@ def main(argv=None):
     parser.add_argument("--top_k", type=int, default=None)
     parser.add_argument("--top_p", type=float, default=None)
     parser.add_argument("--sample_seed", type=int, default=0)
+    parser.add_argument("--drain_grace_s", type=float, default=30.0,
+                        help="SIGTERM: seconds to wait for in-flight "
+                             "requests before stopping the accept loop")
     args = parser.parse_args(argv)
 
     httpd, batcher = make_server(
@@ -295,8 +361,22 @@ def main(argv=None):
     )
     print(f"Serving on http://{args.host}:{args.port} "
           f"(batch_size={args.batch_size}, max_wait_ms={args.max_wait_ms})")
+
+    import signal
+
+    def on_sigterm(signum, frame):
+        # the handler runs in the main thread, which is inside
+        # serve_forever — drain from a helper thread (see drain())
+        print(f"SIGTERM: draining (grace {args.drain_grace_s:.0f}s) ...",
+              flush=True)
+        threading.Thread(target=drain, args=(httpd, args.drain_grace_s),
+                         daemon=True).start()
+
+    signal.signal(signal.SIGTERM, on_sigterm)
     try:
         httpd.serve_forever()
+        if httpd.drain_state["draining"]:
+            print("Drained; shutting down.", flush=True)
     except KeyboardInterrupt:
         pass
     finally:

@@ -144,3 +144,67 @@ def test_http_server(trained_results_dir):
     finally:
         httpd.shutdown()
         batcher.shutdown()
+
+
+def test_sigterm_drain(trained_results_dir):
+    """Graceful drain (serve/server.drain): the in-flight request finishes
+    with 200, a request arriving after the drain starts gets 503, and the
+    accept loop exits once in-flight hits zero."""
+    import time
+
+    from multimodal_concept_learning_tpu.serve.server import drain, make_server
+
+    httpd, batcher = make_server(
+        trained_results_dir, port=0, batch_size=2, max_wait_ms=400.0,
+        max_new_tokens=2, max_prompt_len=16,
+    )
+    port = httpd.server_address[1]
+    serve_thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    serve_thread.start()
+    try:
+        buf = io.BytesIO()
+        _circle_image(COLORS[0]).save(buf, format="PNG")
+        payload = json.dumps({
+            "prompt": "Is the color of the circle red?",
+            "image_b64": base64.b64encode(buf.getvalue()).decode(),
+        })
+
+        results = {}
+
+        def post(key):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+            conn.request("POST", "/generate", body=payload,
+                         headers={"Content-Type": "application/json"})
+            r = conn.getresponse()
+            results[key] = (r.status, json.loads(r.read()))
+
+        t1 = threading.Thread(target=post, args=("inflight",))
+        t1.start()
+        deadline = time.monotonic() + 30
+        while (httpd.drain_state["inflight"] == 0
+               and time.monotonic() < deadline):
+            time.sleep(0.01)
+        assert httpd.drain_state["inflight"] == 1
+
+        drainer = threading.Thread(target=drain, args=(httpd, 60.0),
+                                   daemon=True)
+        drainer.start()
+        while (not httpd.drain_state["draining"]
+               and time.monotonic() < deadline):
+            time.sleep(0.01)
+        post("rejected")  # arrives mid-drain
+        assert results["rejected"][0] == 503, results["rejected"]
+
+        t1.join(timeout=300)
+        assert results["inflight"][0] == 200, results["inflight"]
+        drainer.join(timeout=60)
+        serve_thread.join(timeout=30)
+        assert not serve_thread.is_alive()  # accept loop exited
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+        with pytest.raises(OSError):
+            conn.request("GET", "/healthz")
+            conn.getresponse()
+    finally:
+        httpd.shutdown()
+        batcher.shutdown()
