@@ -45,7 +45,7 @@ from multimodal_concept_learning_tpu.parallel import (
     is_main_process,
 )
 from multimodal_concept_learning_tpu.parallel.optimizer import linear_warmup_schedule
-from multimodal_concept_learning_tpu.parallel.train_step import TrainState
+from multimodal_concept_learning_tpu.parallel.train_step import TrainState, cast_params_bf16
 from multimodal_concept_learning_tpu.tokenizer import load_tokenizer
 from multimodal_concept_learning_tpu.train.common import mesh_for_batch, process_local_loader_args
 from multimodal_concept_learning_tpu.utils import MetricsLogger, set_seed
@@ -100,7 +100,7 @@ def run_training(model, tokenizer, train_loader, config: ContrastiveTrainingConf
         jnp.asarray(sample["attention_mask"][:1]),
     )["params"]
     if config.bf16_params:
-        params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+        params = cast_params_bf16(params)
     state = TrainState.create(params, tx)
     train_step = make_clip_train_step(model, tx)
 

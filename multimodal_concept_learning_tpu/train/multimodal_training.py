@@ -65,7 +65,7 @@ from multimodal_concept_learning_tpu.parallel import (
     make_mllm_train_step,
 )
 from multimodal_concept_learning_tpu.parallel.optimizer import linear_warmup_schedule
-from multimodal_concept_learning_tpu.parallel.train_step import TrainState
+from multimodal_concept_learning_tpu.parallel.train_step import TrainState, cast_params_bf16
 from multimodal_concept_learning_tpu.tokenizer import load_tokenizer
 from multimodal_concept_learning_tpu.train.common import (
     PreemptionGuard,
@@ -126,6 +126,8 @@ def init_model_and_tokenizer(config: MultimodalTrainingConfig, rng):
         remat_lm_layers=getattr(config, "remat_lm_layers", False),
         lm_moe_experts=getattr(config, "lm_moe_experts", 0),
         lm_moe_top_k=getattr(config, "lm_moe_top_k", 2),
+        lm_moe_dispatch=getattr(config, "lm_moe_dispatch", "dense"),
+        lm_moe_capacity_factor=getattr(config, "lm_moe_capacity_factor", 1.25),
         lm_lora_rank=getattr(config, "lm_lora_rank", 0),
         lm_lora_alpha=getattr(config, "lm_lora_alpha", 16.0),
     )
@@ -235,7 +237,7 @@ def run_training(
         fp32_master=config.bf16_params,
     )
     if config.bf16_params:
-        params = jax.tree_util.tree_map(lambda x: x.astype(jax.numpy.bfloat16), params)
+        params = cast_params_bf16(params)
     state = TrainState.create(params, tx)
     train_step = make_mllm_train_step(model, tx)
     eval_step = make_mllm_eval_step(model)

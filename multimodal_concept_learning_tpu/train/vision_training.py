@@ -48,7 +48,7 @@ from multimodal_concept_learning_tpu.parallel import (
     make_classifier_eval_step,
     make_classifier_train_step,
 )
-from multimodal_concept_learning_tpu.parallel.train_step import TrainState
+from multimodal_concept_learning_tpu.parallel.train_step import TrainState, cast_params_bf16
 from multimodal_concept_learning_tpu.train.common import (
     PreemptionGuard,
     ResumeManager,
@@ -108,7 +108,7 @@ def run_training(model, train_loader, val_loader, config: VisionTrainingConfig, 
         init_images = jax.numpy.asarray(sample["images"][:1])
     params = model.init(rng, init_images)["params"]
     if config.bf16_params:
-        params = jax.tree_util.tree_map(lambda x: x.astype(jax.numpy.bfloat16), params)
+        params = cast_params_bf16(params)
     state = TrainState.create(params, tx)
 
     resume = ResumeManager(config.results_dir, config.resume)

@@ -27,7 +27,7 @@ sys.path.insert(0, "/root/repo")
 from multimodal_concept_learning_tpu.models import MLLM, MLLMConfig  # noqa: E402
 from multimodal_concept_learning_tpu.models.mllm import trainable_mask  # noqa: E402
 from multimodal_concept_learning_tpu.parallel import build_optimizer  # noqa: E402
-from multimodal_concept_learning_tpu.parallel.train_step import TrainState  # noqa: E402
+from multimodal_concept_learning_tpu.parallel.train_step import TrainState, cast_params_bf16  # noqa: E402
 from multimodal_concept_learning_tpu.tokenizer import ConceptTokenizer  # noqa: E402
 
 INNER = 10
@@ -47,6 +47,11 @@ def main():
                              "(ops/moe.py, dense dispatch) — measures the "
                              "expert-parallel architecture's step cost")
     parser.add_argument("--moe_top_k", type=int, default=2)
+    parser.add_argument("--moe_dispatch", type=str, default="dense",
+                        choices=["dense", "sparse"],
+                        help="sparse = GShard capacity dispatch (executes "
+                             "top_k*cf/E of the dense MLP FLOPs)")
+    parser.add_argument("--moe_capacity_factor", type=float, default=1.25)
     args = parser.parse_args()
 
     tokenizer = ConceptTokenizer()
@@ -56,6 +61,8 @@ def main():
         vocab_size=len(tokenizer), vision_preset="vit-b-16", lm_preset="gemma3-1b",
         num_vision_tokens=197, image_size=224,
         lm_moe_experts=args.moe_experts, lm_moe_top_k=args.moe_top_k,
+        lm_moe_dispatch=args.moe_dispatch,
+        lm_moe_capacity_factor=args.moe_capacity_factor,
     )
     if args.remat_layers or args.remat_mlp:
         import dataclasses
@@ -83,7 +90,9 @@ def main():
         jax.random.key(0), batch["images"], batch["input_ids"], batch["attention_mask"]
     )["params"]
     if args.bf16_params:
-        params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+        # leafwise cast with source-buffer deletion: a whole-tree astype copy
+        # holds fp32+bf16 trees alive and OOMs the 2.9B-param E=4 MoE init
+        params = cast_params_bf16(params)
     mask = trainable_mask(params, "language_embed_only")
     tx = build_optimizer(5e-4, weight_decay=1e-4, max_grad_norm=1.0, trainable_mask=mask,
                          fp32_master=args.bf16_params)
@@ -127,7 +136,13 @@ def main():
     # With MoE the dense dispatch EXECUTES every expert (~294G of the LM fwd
     # is MLP, scaled by E) but only top_k experts are "useful" — report the
     # executed-FLOP utilization and leave the ambiguity to the caller.
-    lm_fwd = 331e9 + (args.moe_experts - 1 if args.moe_experts else 0) * 294e9
+    moe_mlp_scale = 0.0
+    if args.moe_experts:
+        moe_mlp_scale = args.moe_experts - 1
+        if args.moe_dispatch == "sparse":
+            # capacity dispatch executes top_k*cf/E of the dense-E MLP FLOPs
+            moe_mlp_scale = args.moe_top_k * args.moe_capacity_factor - 1
+    lm_fwd = 331e9 + moe_mlp_scale * 294e9
     flop_per_img = (35e9 + lm_fwd) + lm_fwd
     mfu = img_per_sec_chip * flop_per_img / 197e12
     print(

@@ -337,3 +337,27 @@ def test_fp32_master_with_trainable_mask():
     np.testing.assert_array_equal(before_frozen, after_frozen)
     assert np.abs(after_embed - before_embed).max() > 0
     assert state.params["language_model"]["embed_tokens"]["embedding"].dtype == jnp.bfloat16
+
+
+def test_cast_params_bf16_leafwise_delete():
+    """cast_params_bf16 matches the whole-tree astype copy exactly while
+    deleting each fp32 source buffer (the E=4 MoE init-peak fix)."""
+    from multimodal_concept_learning_tpu.parallel.train_step import cast_params_bf16
+
+    tree = {
+        "w": jnp.asarray(np.random.default_rng(0).normal(size=(17, 5)), jnp.float32),
+        "nested": {"b": jnp.linspace(-2.0, 3.0, 11, dtype=jnp.float32)},
+        "ids": jnp.arange(4, dtype=jnp.int32),  # non-float leaf passes through
+    }
+    expect = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+    originals = [tree["w"], tree["nested"]["b"]]
+    out = cast_params_bf16(tree)
+    for got, want in zip(jax.tree_util.tree_leaves(out), jax.tree_util.tree_leaves(expect)):
+        assert got.dtype == want.dtype
+        np.testing.assert_array_equal(np.asarray(got, np.float32), np.asarray(want, np.float32))
+    for src in originals:  # fp32 sources were freed, not kept alive
+        assert src.is_deleted()
+    assert not out["ids"].is_deleted() and out["ids"].dtype == jnp.int32
