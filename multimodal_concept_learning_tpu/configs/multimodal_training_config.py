@@ -124,6 +124,8 @@ class MultimodalTrainingConfig(YamlConfig):
     remat_lm_layers: bool = False  # per-layer rematerialization (memory for compute)
     lm_moe_experts: int = 0  # >0: MoE MLP with this many experts (ops/moe.py)
     lm_moe_top_k: int = 2
+    lm_moe_dispatch: str = "dense"  # "sparse" = GShard capacity dispatch
+    lm_moe_capacity_factor: float = 1.25
     lm_lora_rank: int = 0  # >0: LoRA adapters on LM projections (ops/lora.py);
     lm_lora_alpha: float = 16.0  # pair with trainable_params_setting language_lora
     bf16_params: bool = False  # bf16 param storage + fp32 master weights

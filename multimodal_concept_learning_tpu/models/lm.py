@@ -81,6 +81,11 @@ class LMConfig:
     # [E,...] so EP shards their leading axis over the mesh's model axis).
     moe_experts: int = 0
     moe_top_k: int = 2
+    # "dense" (exact, EP-shardable) | "sparse" (GShard capacity dispatch:
+    # executes top_k*capacity_factor/E of the dense MLP FLOPs, drops
+    # over-capacity assignments — see ops/moe.py)
+    moe_dispatch: str = "dense"
+    moe_capacity_factor: float = 1.25
     # LoRA adapters (framework extension — a 4th trainable_params_setting,
     # "language_lora"): rank-r additive deltas on every attention/MLP
     # projection (ops/lora.py).  0 = off; base weights are untouched and a
@@ -333,6 +338,8 @@ class LMBlock(nn.Module):
                 num_experts=cfg.moe_experts,
                 top_k=cfg.moe_top_k,
                 dtype=cfg.dtype,
+                dispatch=cfg.moe_dispatch,
+                capacity_factor=cfg.moe_capacity_factor,
                 name="moe",
             )(h)
             self.sow("intermediates", "moe_aux", aux)

@@ -73,6 +73,8 @@ class MLLMConfig:
         remat_lm_mlp: bool = False,
         lm_moe_experts: int = 0,
         lm_moe_top_k: int = 2,
+        lm_moe_dispatch: str = "dense",
+        lm_moe_capacity_factor: float = 1.25,
         lm_lora_rank: int = 0,
         lm_lora_alpha: float = 16.0,
     ) -> "MLLMConfig":
@@ -84,6 +86,8 @@ class MLLMConfig:
             remat_mlp=remat_lm_mlp,
             moe_experts=lm_moe_experts,
             moe_top_k=lm_moe_top_k,
+            moe_dispatch=lm_moe_dispatch,
+            moe_capacity_factor=lm_moe_capacity_factor,
             lora_rank=lm_lora_rank,
             lora_alpha=lm_lora_alpha,
         )

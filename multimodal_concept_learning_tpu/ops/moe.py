@@ -4,14 +4,27 @@ The reference has no MoE anywhere (SURVEY.md C22: DDP only); this module
 completes the framework's parallelism set (DP / TP / FSDP / PP / SP / EP)
 with a TPU-first expert layer:
 
-- **Dense-dispatch formulation**: every expert runs over every token as one
-  stacked einsum ``[E,H,I]``, and the router's top-k softmax weights zero
-  out non-selected experts in the combine.  No gather/scatter, no capacity
-  dropping, no ragged shapes — exact math, fully static, MXU-shaped.  The
-  cost is E/k x the FLOPs of token-dropping dispatch; that is the right
-  trade at research scale and below ~16 experts (the all-to-all of a
-  dropped-token dispatch only wins when E is large and tokens/expert is
-  small).
+- **Dense-dispatch formulation** (default): every expert runs over every
+  token as one stacked einsum ``[E,H,I]``, and the router's top-k softmax
+  weights zero out non-selected experts in the combine.  No gather/scatter,
+  no capacity dropping, no ragged shapes — exact math, fully static,
+  MXU-shaped.  The cost is E/k x the FLOPs of token-dropping dispatch; that
+  is the right trade at research scale and below ~16 experts (the
+  all-to-all of a dropped-token dispatch only wins when E is large and
+  tokens/expert is small).
+- **Sparse (capacity) dispatch** (``dispatch="sparse"``): the GShard/Switch
+  formulation — tokens are sorted by routed expert and scattered into a
+  static ``[E, C, H]`` buffer (capacity ``C = ceil(top_k*N*capacity_factor/E)``,
+  rounded up to a multiple of 8 for tiling); each expert's GeGLU runs only
+  over its C slots; outputs gather back per assignment and combine
+  gate-weighted.  Executes ``top_k*capacity_factor/E`` of the dense
+  dispatch's MLP FLOPs (e.g. 0.625x at E=4/k=2/cf=1.25).  Assignments past
+  an expert's capacity are DROPPED for that expert (the token keeps its
+  other selections) — the standard exactness/FLOPs trade; with
+  ``capacity_factor >= E/top_k`` no drop is possible and the result equals
+  dense dispatch.  Drops are deterministic (stable sort: earliest tokens
+  win).  All shapes are static; the sort/scatter/gather lower to XLA
+  sort + one-dimensional scatters, no ragged code paths.
 - **Expert parallelism via GSPMD**: the stacked expert kernels shard on
   their leading E axis (parallel/sharding_rules.py maps ``experts_*`` to
   the ``model`` mesh axis).  Each device computes its local experts over
@@ -46,6 +59,8 @@ class MoEMLP(nn.Module):
     num_experts: int
     top_k: int = 2
     dtype: object = jnp.bfloat16
+    dispatch: str = "dense"  # "dense" (exact) | "sparse" (capacity-dropping)
+    capacity_factor: float = 1.25  # sparse only; >= E/top_k == no drops
 
     @nn.compact
     def __call__(self, x) -> Tuple[jax.Array, jax.Array]:
@@ -73,15 +88,67 @@ class MoEMLP(nn.Module):
         w_down = self.param("experts_down", init, (e, i, h))
 
         xd = x.astype(cfg_dtype)
-        # all experts over all tokens; the gate zeros non-selected experts.
-        # Under EP the leading e axis of the kernels is sharded: each device
-        # computes its experts and the final einsum's sum over e is the psum.
-        hidd = jnp.einsum("bth,ehi->beti", xd, w_gate.astype(cfg_dtype))
-        up = jnp.einsum("bth,ehi->beti", xd, w_up.astype(cfg_dtype))
-        act = nn.gelu(hidd, approximate=True) * up
-        down = jnp.einsum("beti,eih->beth", act, w_down.astype(cfg_dtype))
-        out = jnp.einsum("beth,bte->bth", down, gates.astype(cfg_dtype))
+        if self.dispatch == "sparse":
+            out = _sparse_moe(xd, gates, self.top_k, self.capacity_factor,
+                              w_gate.astype(cfg_dtype), w_up.astype(cfg_dtype),
+                              w_down.astype(cfg_dtype))
+        elif self.dispatch == "dense":
+            # all experts over all tokens; the gate zeros non-selected experts.
+            # Under EP the leading e axis of the kernels is sharded: each device
+            # computes its experts and the final einsum's sum over e is the psum.
+            hidd = jnp.einsum("bth,ehi->beti", xd, w_gate.astype(cfg_dtype))
+            up = jnp.einsum("bth,ehi->beti", xd, w_up.astype(cfg_dtype))
+            act = nn.gelu(hidd, approximate=True) * up
+            down = jnp.einsum("beti,eih->beth", act, w_down.astype(cfg_dtype))
+            out = jnp.einsum("beth,bte->bth", down, gates.astype(cfg_dtype))
+        else:
+            raise ValueError(
+                f"MoEMLP.dispatch must be 'dense' or 'sparse', got {self.dispatch!r}")
         return out.astype(x.dtype), aux
+
+
+def _sparse_moe(x, gates, top_k: int, capacity_factor: float,
+                w_gate, w_up, w_down):
+    """Capacity-based (GShard-style) dispatch: sort assignments by expert,
+    scatter into a static [E, C, H] buffer, run each expert over its C
+    slots, gather + gate-combine.  ``gates`` is the renormalized [B,T,E]
+    top-k gate tensor the dense path uses, so both dispatches share routing
+    math exactly (sparse just skips computing non-selected experts).
+    """
+    b, t, h = x.shape
+    e = w_gate.shape[0]
+    n = b * t
+    n_assign = n * top_k
+    # static capacity, tiling-friendly
+    capacity = int(-(-(top_k * n * capacity_factor) // e))
+    capacity = min(-(-capacity // 8) * 8, n)
+
+    xf = x.reshape(n, h)
+    # per-token top-k expert ids + their (renormalized) gate values
+    _, top_idx = jax.lax.top_k(gates, top_k)          # [B,T,k]
+    top_g = jnp.take_along_axis(gates, top_idx, -1)   # [B,T,k]
+    e_flat = top_idx.reshape(n_assign)
+    g_flat = top_g.reshape(n_assign)
+    tok = jnp.repeat(jnp.arange(n), top_k)            # token of each assignment
+
+    order = jnp.argsort(e_flat, stable=True)          # deterministic drops
+    e_s, tok_s, g_s = e_flat[order], tok[order], g_flat[order]
+    counts = jnp.bincount(e_s, length=e)
+    starts = jnp.cumsum(counts) - counts
+    pos = jnp.arange(n_assign) - starts[e_s]          # rank within expert
+    keep = pos < capacity
+    slot = jnp.where(keep, e_s * capacity + pos, e * capacity)  # sentinel row
+
+    buf = jnp.zeros((e * capacity + 1, h), x.dtype).at[slot].set(xf[tok_s])
+    eb = buf[: e * capacity].reshape(e, capacity, h)
+    hidd = jnp.einsum("ech,ehi->eci", eb, w_gate)
+    up = jnp.einsum("ech,ehi->eci", eb, w_up)
+    act = nn.gelu(hidd, approximate=True) * up
+    down = jnp.einsum("eci,eih->ech", act, w_down).reshape(e * capacity, h)
+
+    y = down[jnp.minimum(slot, e * capacity - 1)]     # sentinel clamps; gate is 0 there
+    y = y * (g_s * keep).astype(x.dtype)[:, None]
+    return jnp.zeros((n, h), x.dtype).at[tok_s].add(y).reshape(b, t, h)
 
 
 def moe_mlp(x, module: MoEMLP):

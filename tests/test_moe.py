@@ -270,3 +270,90 @@ def test_expert_parallel_matches_single_device(eight_devices):
     specs = {jtu.keystr(p): mllm_param_spec(p, x, mesh) for p, x in flat}
     moe_specs = [s for k, s in specs.items() if "experts_" in k]
     assert moe_specs and all(s[0] == "model" for s in moe_specs)
+
+
+def test_sparse_dispatch_matches_dense_when_capacity_ample():
+    """capacity_factor >= E/top_k makes drops impossible; the sparse
+    (GShard capacity) dispatch must then equal the dense dispatch exactly
+    (same routing math, same expert MLPs — only non-selected experts are
+    skipped, whose gates are zero anyway)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 9, 16)).astype(np.float32))
+    dense = MoEMLP(hidden_size=16, intermediate_size=32, num_experts=4,
+                   top_k=2, dtype=jnp.float32)
+    params = dense.init(jax.random.key(3), x)["params"]
+    sparse = MoEMLP(hidden_size=16, intermediate_size=32, num_experts=4,
+                    top_k=2, dtype=jnp.float32, dispatch="sparse",
+                    capacity_factor=2.0)  # = E/top_k -> no drops possible
+    out_d, aux_d = dense.apply({"params": params}, x)
+    out_s, aux_s = sparse.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d), atol=1e-5)
+    np.testing.assert_allclose(float(aux_s), float(aux_d), rtol=1e-6)
+
+
+def test_sparse_dispatch_drops_over_capacity_deterministically():
+    """All tokens routed to one expert with capacity < N: the first
+    ``capacity`` tokens (stable sort order) get the expert output, the rest
+    are dropped to zero."""
+    rng = np.random.default_rng(4)
+    b, t, h, e = 1, 16, 8, 2
+    # strictly positive features: with router kernel = ones on column 0,
+    # every token's expert-0 logit beats expert 1's zero logit
+    x = jnp.asarray((np.abs(rng.normal(size=(b, t, h))) + 0.1).astype(np.float32))
+    mod = MoEMLP(hidden_size=h, intermediate_size=16, num_experts=e,
+                 top_k=1, dtype=jnp.float32, dispatch="sparse",
+                 capacity_factor=0.5)  # C = ceil(16*0.5/2)=4 -> rounded to 8
+    params = mod.init(jax.random.key(4), x)["params"]
+    # force every token onto expert 0 (positive x -> positive logit)
+    params["router"]["kernel"] = (
+        jnp.zeros((h, e), jnp.float32).at[:, 0].set(1.0))
+    out, _ = mod.apply({"params": params}, x)
+    out = np.asarray(out[0])
+    # router all-to-expert-0, top_k=1 -> gate renormalizes to 1.0
+    want = np.asarray(
+        jax.nn.gelu(x[0] @ params["experts_gate"][0], approximate=True)
+        * (x[0] @ params["experts_up"][0]) @ params["experts_down"][0])
+    np.testing.assert_allclose(out[:8], want[:8], atol=1e-5)
+    np.testing.assert_allclose(out[8:], 0.0, atol=0.0)  # dropped exactly
+
+
+def test_sparse_dispatch_grads_flow():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 6, 12)).astype(np.float32))
+    mod = MoEMLP(hidden_size=12, intermediate_size=24, num_experts=3,
+                 top_k=2, dtype=jnp.float32, dispatch="sparse")
+    params = mod.init(jax.random.key(5), x)["params"]
+
+    def loss_fn(p):
+        out, aux = mod.apply({"params": p}, x)
+        return (out ** 2).mean() + 0.01 * aux
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    assert float(jnp.abs(grads["router"]["kernel"]).max()) > 0
+    assert float(jnp.abs(grads["experts_gate"]).max()) > 0
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_lm_sparse_moe_forward_and_grads():
+    from multimodal_concept_learning_tpu.models.lm import CausalLM, LMConfig
+
+    cfg = dataclasses.replace(
+        LMConfig.preset("nano", vocab_size=61), dtype=jnp.float32,
+        moe_experts=4, moe_top_k=2, moe_dispatch="sparse",
+    )
+    model = CausalLM(cfg)
+    rng = np.random.default_rng(6)
+    ids = jnp.asarray(rng.integers(1, 61, size=(2, 7)).astype(np.int32))
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.key(6), ids, mask)["params"]
+    # identical param tree to dense dispatch -> checkpoints interchange
+    assert params["layer_0"]["moe"]["experts_gate"].shape == (4, 128, 512)
+
+    def loss_fn(p):
+        return (model.apply({"params": p}, ids, mask).astype(jnp.float32) ** 2).mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    assert float(jnp.abs(grads["layer_0"]["moe"]["experts_gate"]).max()) > 0
