@@ -357,3 +357,41 @@ def test_lm_sparse_moe_forward_and_grads():
     loss, grads = jax.value_and_grad(loss_fn)(params)
     assert np.isfinite(float(loss))
     assert float(jnp.abs(grads["layer_0"]["moe"]["experts_gate"]).max()) > 0
+
+
+def test_expert_parallel_sparse_dispatch_matches_single_device(eight_devices):
+    """Sparse (capacity) dispatch under EP sharding: GSPMD partitions the
+    [E,C,H] buffer on the expert axis; loss and expert grads must match the
+    unsharded run (ample capacity so no drops enter the comparison)."""
+    from multimodal_concept_learning_tpu.models.lm import CausalLM, LMConfig
+    from multimodal_concept_learning_tpu.parallel import make_mesh
+    from multimodal_concept_learning_tpu.parallel.sharding_rules import (
+        param_shardings,
+        shard_params,
+    )
+
+    cfg = dataclasses.replace(
+        LMConfig.preset("nano", vocab_size=61), dtype=jnp.float32,
+        moe_experts=4, moe_top_k=2, moe_dispatch="sparse",
+        moe_capacity_factor=2.0,
+    )
+    model = CausalLM(cfg)
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(1, 61, size=(4, 6)).astype(np.int32))
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.key(7), ids, mask)["params"]
+
+    def loss_fn(p, ids, mask):
+        return (model.apply({"params": p}, ids, mask).astype(jnp.float32) ** 2).mean()
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params, ids, mask)
+
+    mesh = make_mesh(eight_devices[:4], axis_names=("data", "model"), shape=(2, 2))
+    sharded = shard_params(params, mesh)
+    fn = jax.jit(jax.value_and_grad(loss_fn),
+                 in_shardings=(param_shardings(params, mesh), None, None))
+    loss, grads = fn(sharded, ids, mask)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(grads["layer_0"]["moe"]["experts_down"]),
+        np.asarray(ref_grads["layer_0"]["moe"]["experts_down"]), atol=2e-5)
