@@ -75,6 +75,12 @@ class LMConfig:
     # streams from HBM.  Lossy; convert a trained float tree with
     # quantize_lm_params.  Embedding / lm_head / norms stay float.
     int8_weights: bool = False
+    # SERVING ONLY: int4 weight-only quantization (ops/int4.py) — packed
+    # nibbles + group-wise scales, unpacked in-VMEM by a Pallas kernel so
+    # decode streams HALF the int8 path's weight bytes.  Activations stay
+    # bf16 (no MXU int4 dot on this backend).  Mutually exclusive with
+    # int8_weights; convert trained float trees with quantize_lm_params_int4.
+    int4_weights: bool = False
     # Mixture-of-Experts MLP (framework extension — the reference has no
     # MoE): 0 = dense GeGLU; >0 replaces every block's MLP with
     # ops/moe.MoEMLP (top-k routed, dense dispatch, expert kernels stacked
@@ -197,10 +203,18 @@ class LMAttention(nn.Module):
         Returns out, or (out, new_cache) when cache is given.
         """
         cfg = self.config
+        if cfg.int8_weights and cfg.int4_weights:
+            raise ValueError("int8_weights and int4_weights are mutually exclusive")
         if cfg.int8_weights:
             from multimodal_concept_learning_tpu.ops.quant import QuantDenseGeneral
 
             proj = lambda heads, name: QuantDenseGeneral(  # noqa: E731
+                features=(heads, cfg.head_dim), name=name,
+            )
+        elif cfg.int4_weights:
+            from multimodal_concept_learning_tpu.ops.int4 import Int4DenseGeneral
+
+            proj = lambda heads, name: Int4DenseGeneral(  # noqa: E731
                 features=(heads, cfg.head_dim), name=name,
             )
         else:
@@ -307,6 +321,12 @@ class LMAttention(nn.Module):
             out = QuantDenseGeneral(
                 features=(cfg.hidden_size,), axis=(-2, -1), name="o_proj",
             )(attn)
+        elif cfg.int4_weights:
+            from multimodal_concept_learning_tpu.ops.int4 import Int4DenseGeneral
+
+            out = Int4DenseGeneral(
+                features=(cfg.hidden_size,), axis=(-2, -1), name="o_proj",
+            )(attn)
         else:
             out = nn.DenseGeneral(
                 features=cfg.hidden_size,
@@ -348,6 +368,10 @@ class LMBlock(nn.Module):
             from multimodal_concept_learning_tpu.ops.quant import QuantDense
 
             dense = lambda feats, name: QuantDense(features=feats, name=name)  # noqa: E731
+        elif cfg.int4_weights:
+            from multimodal_concept_learning_tpu.ops.int4 import Int4Dense
+
+            dense = lambda feats, name: Int4Dense(features=feats, name=name)  # noqa: E731
         else:
             dense = lambda feats, name: nn.Dense(  # noqa: E731
                 feats, use_bias=False, dtype=cfg.dtype,

@@ -1,0 +1,358 @@
+"""Int4 weight-only quantization for the serving decode path.
+
+Greedy decode streams every LM weight from HBM once per token, so decode
+time is proportional to weight bytes (BASELINE.md: int8 weights measured a
+2.2x/token slope win over bf16).  int4 halves the bytes again — but this
+backend's MXU has no native int4 dot (``lax.dot_general`` on ``jnp.int4``
+is UNIMPLEMENTED, measured on-chip), and XLA materializes any
+unpack-then-matmul as a full int8/bf16 weight tensor in HBM, which would
+forfeit the traffic win.  So the int4 path is:
+
+- **storage**: two 4-bit weights packed per int8 byte, plus fp32
+  group-wise scales (``group_size`` input rows share one scale per output
+  channel — per-channel-only int4 is too lossy for an LM),
+- **compute**: a Pallas kernel that unpacks nibbles in VMEM and runs two
+  bf16 MXU dots per block, so HBM sees only the packed bytes; activations
+  stay bf16 (weight-ONLY quantization — decode is memory-bound, the bf16
+  MXU path is nowhere near the bottleneck),
+- an exact-math XLA fallback (unpack + dequant + one dot) used off-TPU,
+  in tests, and for shapes the kernel's block picker cannot tile.
+
+Packing layout: nibbles pair input rows ``i`` (low) and ``i + in/2``
+(high), NOT adjacent rows — the kernel then unpacks a packed block into
+two *contiguous* row-blocks of the dequantized weight and contracts each
+against the matching contiguous activation slice, with no interleave or
+strided access anywhere.  This requires ``in % (2 * group_size) == 0``
+(every Gemma-3 / ViT / projector matmul in this repo satisfies it at the
+default ``group_size=64``).
+
+Modules mirror ops/quant.py: ``Int4Dense`` / ``Int4DenseGeneral`` carry
+params {"packed": int8 [in/2, out], "scale": f32 [in/group, out]};
+``quantize_lm_params_int4`` converts a trained float ``CausalLM`` tree.
+Embedding / lm_head / norms stay float, as in the int8 path.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP_SIZE = 64
+
+
+def quantize_weight_int4(
+    w: jax.Array, group_size: int = GROUP_SIZE
+) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric group-wise int4 quantization of ``w [in, out]``.
+
+    Returns (packed int8 [in/2, out], scale f32 [in/group_size, out]) with
+    w ≈ unpack(packed) * scale[row // group_size].  Requires
+    ``in % (2 * group_size) == 0`` so both packing halves are group-aligned.
+    """
+    d_in, d_out = w.shape
+    assert d_in % (2 * group_size) == 0, (d_in, group_size)
+    w32 = w.astype(jnp.float32).reshape(d_in // group_size, group_size, d_out)
+    absmax = jnp.max(jnp.abs(w32), axis=1)
+    scale = jnp.maximum(absmax, 1e-8) / 7.0
+    w_q = jnp.clip(jnp.round(w32 / scale[:, None, :]), -7, 7)
+    w_q = w_q.reshape(d_in, d_out).astype(jnp.int32)
+    half = d_in // 2
+    lo = w_q[:half] & 0xF
+    hi = (w_q[half:] & 0xF) << 4
+    return (lo | hi).astype(jnp.int8), scale
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Packed int8 [in/2, out] -> int8 [in, out] (low-nibble rows stacked
+    over high-nibble rows, matching quantize_weight_int4's layout)."""
+    p32 = packed.astype(jnp.int32)
+    lo = ((p32 & 0xF) ^ 8) - 8          # sign-extend low nibble
+    hi = (((p32 >> 4) & 0xF) ^ 8) - 8
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+
+
+def dequantize_int4(packed: jax.Array, scale: jax.Array,
+                    group_size: int = GROUP_SIZE) -> jax.Array:
+    """Reconstruct the f32 weight [in, out] from the packed layout."""
+    w_q = unpack_int4(packed).astype(jnp.float32)
+    d_in, d_out = w_q.shape
+    w_g = w_q.reshape(d_in // group_size, group_size, d_out)
+    return (w_g * scale[:, None, :]).reshape(d_in, d_out)
+
+
+# ---------------------------------------------------------------- kernel
+
+
+def _kernel(x1_ref, x2_ref, p_ref, s1_ref, s2_ref, o_ref, *, group_size):
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    bi, bj = p_ref.shape
+    p32 = p_ref[...].astype(jnp.int32)
+    lo = (((p32 & 0xF) ^ 8) - 8).astype(jnp.float32)
+    hi = ((((p32 >> 4) & 0xF) ^ 8) - 8).astype(jnp.float32)
+
+    def dequant(nib, s_ref):
+        s = s_ref[...]                                   # [bi/g, bj]
+        sg = jnp.broadcast_to(
+            s[:, None, :], (bi // group_size, group_size, bj)
+        ).reshape(bi, bj)
+        return (nib * sg).astype(jnp.bfloat16)
+
+    w1 = dequant(lo, s1_ref)
+    w2 = dequant(hi, s2_ref)
+    acc = jax.lax.dot_general(
+        x1_ref[...].astype(jnp.bfloat16), w1,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    acc += jax.lax.dot_general(
+        x2_ref[...].astype(jnp.bfloat16), w2,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    o_ref[...] += acc
+
+
+def _pick(n: int, candidates: Sequence[int]) -> int | None:
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return None
+
+
+def _int4_matmul_kernel(x2d: jax.Array, packed: jax.Array, scale: jax.Array,
+                        group_size: int, interpret: bool = False) -> jax.Array:
+    rows, d_in = x2d.shape
+    half, d_out = packed.shape
+    br = _pick(rows, (256, 128, 64, 32, 16, 8))
+    bi = _pick(half, (512, 384, 256, 192, 128, 64))
+    bj = _pick(d_out, (512, 384, 256, 128, 64))
+    assert br and bi and bj, (rows, half, d_out)
+    ni = half // bi
+
+    grid = (rows // br, d_out // bj, ni)
+    out = pl.pallas_call(
+        functools.partial(_kernel, group_size=group_size),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((br, bi), lambda r, j, i: (r, i)),
+            pl.BlockSpec((br, bi), lambda r, j, i: (r, i + ni)),
+            pl.BlockSpec((bi, bj), lambda r, j, i: (i, j)),
+            pl.BlockSpec((bi // group_size, bj), lambda r, j, i: (i, j)),
+            pl.BlockSpec((bi // group_size, bj), lambda r, j, i: (i + ni, j)),
+        ],
+        out_specs=pl.BlockSpec((br, bj), lambda r, j, i: (r, j)),
+        out_shape=jax.ShapeDtypeStruct((rows, d_out), jnp.float32),
+        interpret=interpret,
+    )(x2d, x2d, packed, scale, scale)
+    return out
+
+
+def _kernel_eligible(rows: int, half: int, d_out: int, group_size: int) -> bool:
+    return (
+        group_size >= 8
+        and _pick(rows, (256, 128, 64, 32, 16, 8)) is not None
+        and _pick(half, (512, 384, 256, 192, 128, 64)) is not None
+        and _pick(d_out, (512, 384, 256, 128, 64)) is not None
+        and _pick(half, (512, 384, 256, 192, 128, 64)) % group_size == 0
+    )
+
+
+def _on_tpu() -> bool:
+    # house predicate: default_backend() reports "axon" on the tunnel
+    return jax.devices()[0].platform == "tpu"
+
+
+def int4_matmul(x: jax.Array, packed: jax.Array, scale: jax.Array,
+                group_size: int = GROUP_SIZE) -> jax.Array:
+    """``x [..., in] @ dequantize_int4(packed, scale)`` -> [..., out].
+
+    On TPU (and unless MCL_INT4_KERNEL=0) runs the Pallas kernel so the
+    weight crosses HBM as packed nibbles; otherwise an exact-math XLA
+    fallback (unpack + dequant + one bf16 dot).
+    """
+    d_in = x.shape[-1]
+    half, d_out = packed.shape
+    assert d_in == 2 * half, (x.shape, packed.shape)
+    rows = 1
+    for s in x.shape[:-1]:
+        rows *= s
+    x2d = x.reshape(rows, d_in)
+
+    use_kernel = (
+        os.environ.get("MCL_INT4_KERNEL", "1") != "0"
+        and _on_tpu()
+        and _kernel_eligible(rows, half, d_out, group_size)
+    )
+    if use_kernel:
+        y = _int4_matmul_kernel(x2d, packed, scale, group_size)
+    else:
+        w = dequantize_int4(packed, scale, group_size).astype(jnp.bfloat16)
+        y = jax.lax.dot_general(
+            x2d.astype(jnp.bfloat16), w,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    return y.reshape(x.shape[:-1] + (d_out,)).astype(x.dtype)
+
+
+# --------------------------------------------------------------- modules
+
+
+class Int4Dense(nn.Module):
+    """Int4 Dense: params {"packed": int8 [in/2, F], "scale": f32 [in/g, F]}.
+
+    Initialization quantizes a random kernel so shapes/dtypes exist; real
+    deployments overwrite params via ``quantize_lm_params_int4`` from a
+    trained float checkpoint (mirrors ops/quant.QuantDense)."""
+
+    features: int
+    group_size: int = GROUP_SIZE
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+
+        def init_packed(key):
+            w = nn.initializers.normal(0.02)(key, (in_dim, self.features), jnp.float32)
+            return quantize_weight_int4(w, self.group_size)[0]
+
+        packed = self.param("packed", init_packed)
+        scale = self.param(
+            "scale",
+            lambda k: jnp.full((in_dim // self.group_size, self.features),
+                               0.02 / 7.0, jnp.float32),
+        )
+        y = int4_matmul(x, packed, scale, self.group_size)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class Int4DenseGeneral(nn.Module):
+    """Int4 DenseGeneral with multi-dim output features and optional
+    multi-dim contraction axes (the o_proj case), mirroring
+    ops/quant.QuantDenseGeneral."""
+
+    features: Sequence[int]
+    axis: Sequence[int] = (-1,)
+    group_size: int = GROUP_SIZE
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        axes = tuple(a % x.ndim for a in self.axis)
+        in_dim = 1
+        for a in axes:
+            in_dim *= x.shape[a]
+        out_dim = 1
+        for s in self.features:
+            out_dim *= s
+
+        def init_packed(key):
+            w = nn.initializers.normal(0.02)(key, (in_dim, out_dim), jnp.float32)
+            return quantize_weight_int4(w, self.group_size)[0]
+
+        packed = self.param("packed", init_packed)
+        scale = self.param(
+            "scale",
+            lambda k: jnp.full((in_dim // self.group_size, out_dim),
+                               0.02 / 7.0, jnp.float32),
+        )
+        keep = [a for a in range(x.ndim) if a not in axes]
+        xt = x.transpose(keep + list(axes)).reshape(
+            tuple(x.shape[a] for a in keep) + (in_dim,)
+        )
+        y = int4_matmul(xt, packed, scale, self.group_size)
+        y = y.reshape(y.shape[:-1] + tuple(self.features))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              tuple(self.features), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+# ------------------------------------------------------------ converters
+
+
+def quantize_params_int4(float_params, quant_template,
+                         group_size: int = GROUP_SIZE):
+    """Convert a float Dense/DenseGeneral param tree into the int4 layout.
+
+    Mirrors ops/quant.quantize_params: ``quant_template`` (from
+    ``jax.eval_shape`` of the int4 model) supplies structure/shapes; leaves
+    named {"packed", "scale"} get quantized, everything else passes through.
+    """
+    def convert(node_float, node_template):
+        if isinstance(node_template, dict):
+            keys = set(node_template.keys())
+            if keys in ({"packed", "scale"}, {"packed", "scale", "bias"}):
+                w = jnp.asarray(node_float["kernel"])
+                if w.ndim > 2:
+                    w = w.reshape(-1, node_template["scale"].shape[-1])
+                packed, scale = quantize_weight_int4(w, group_size)
+                assert packed.shape == node_template["packed"].shape, (
+                    packed.shape, node_template["packed"].shape
+                )
+                out = {"packed": packed, "scale": scale}
+                if "bias" in keys:
+                    out["bias"] = jnp.asarray(
+                        node_float["bias"], jnp.float32
+                    ).reshape(node_template["bias"].shape)
+                return out
+            return {k: convert(node_float[k], node_template[k]) for k in node_template}
+        return node_float
+
+    return convert(float_params, quant_template)
+
+
+def quantize_lm_params_int4(float_params, lm_config):
+    """Trained float ``CausalLM`` params -> the ``int4_weights=True`` layout
+    (the int4 analog of ops/quant.quantize_lm_params)."""
+    import dataclasses
+
+    from multimodal_concept_learning_tpu.models.lm import CausalLM
+
+    inner = float_params.get("params", float_params)
+    qcfg = dataclasses.replace(lm_config, int4_weights=True, int8_weights=False)
+    template = jax.eval_shape(
+        CausalLM(qcfg).init,
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 8), jnp.int32),
+    )["params"]
+    converted = quantize_params_int4(inner, template)
+    return {"params": converted} if "params" in float_params else converted
+
+
+def quantize_mllm_lm_params_int4(float_params, mllm_config):
+    """Quantize an MLLM tree's LM tower to int4 (vision/projector stay as
+    configured — compose with int8_vision via ops/quant)."""
+    inner = dict(float_params.get("params", float_params))
+    inner["language_model"] = quantize_lm_params_int4(
+        inner["language_model"], mllm_config.lm)
+    return {"params": inner} if "params" in float_params else inner
+
+
+__all__ = [
+    "GROUP_SIZE",
+    "quantize_weight_int4",
+    "unpack_int4",
+    "dequantize_int4",
+    "int4_matmul",
+    "Int4Dense",
+    "Int4DenseGeneral",
+    "quantize_params_int4",
+    "quantize_lm_params_int4",
+    "quantize_mllm_lm_params_int4",
+]

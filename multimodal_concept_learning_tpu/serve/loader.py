@@ -36,34 +36,47 @@ class LoadedMLLM(NamedTuple):
 
 
 def _quantize_for_serving(params, model, int8: bool, int8_vision: bool,
-                          verbose: bool, label: str = ""):
-    """int8-convert a serving tree: quantize the requested towers'
-    kernels (adapter factors / projector / norms pass through — see
+                          verbose: bool, label: str = "", int4: bool = False):
+    """Quantize a serving tree: convert the requested towers' kernels
+    (adapter factors / projector / norms pass through — see
     ops/quant.quantize_params) and rebuild the MLLM with the matching
-    int8_weights flags.  Returns (params, model)."""
+    int8_weights/int4_weights flags.  ``int4`` quantizes the LM tower to
+    int4 (ops/int4.py) and composes with ``int8_vision``; it is mutually
+    exclusive with ``int8``.  Returns (params, model)."""
     from multimodal_concept_learning_tpu.models.mllm import MLLM
     from multimodal_concept_learning_tpu.ops.quant import quantize_mllm_params
 
+    if int8 and int4:
+        raise ValueError("--int8 and --int4 are mutually exclusive")
     params = quantize_mllm_params(params, model.config,
                                   vision=int8_vision, lm=int8)
     cfg = model.config
     if int8:
         cfg = dataclasses.replace(
             cfg, lm=dataclasses.replace(cfg.lm, int8_weights=True))
+    if int4:
+        from multimodal_concept_learning_tpu.ops.int4 import (
+            quantize_mllm_lm_params_int4,
+        )
+
+        params = quantize_mllm_lm_params_int4(params, cfg)
+        cfg = dataclasses.replace(
+            cfg, lm=dataclasses.replace(cfg.lm, int4_weights=True))
     if int8_vision:
         cfg = dataclasses.replace(
             cfg, vision=dataclasses.replace(cfg.vision, int8_weights=True))
     model = MLLM(cfg)
     if verbose:
-        what = " + ".join((["LM"] if int8 else []) +
-                          (["vision-tower"] if int8_vision else []))
-        print(f"Quantized {label}{what} weights to int8 (serving mode)")
+        what = " + ".join((["LM-int8"] if int8 else []) +
+                          (["LM-int4"] if int4 else []) +
+                          (["vision-tower-int8"] if int8_vision else []))
+        print(f"Quantized {label}{what} weights (serving mode)")
     return params, model
 
 
 def load_trained_mllm(results_dir: str, checkpoint: str = "best_model.pt",
                       int8: bool = False, int8_vision: bool = False,
-                      merge_lora: bool = True,
+                      int4: bool = False, merge_lora: bool = True,
                       verbose: bool = True) -> LoadedMLLM:
     from multimodal_concept_learning_tpu.checkpoint import (
         load_torch_state_dict,
@@ -108,9 +121,9 @@ def load_trained_mllm(results_dir: str, checkpoint: str = "best_model.pt",
             print(f"Merged LoRA adapters (rank {config.lm_lora_rank}) "
                   "into base weights")
 
-    if int8 or int8_vision:
+    if int8 or int8_vision or int4:
         params, model = _quantize_for_serving(params, model, int8,
-                                              int8_vision, verbose)
+                                              int8_vision, verbose, int4=int4)
 
     transform = create_transforms(config, is_train=False, seed=config.seed)
     return LoadedMLLM(model, tokenizer, params, config, labels_mapping, transform)

@@ -178,7 +178,7 @@ def build_app(batcher, drain_state=None):
 
 def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
                 checkpoint: str = "best_model.pt", int8: bool = False,
-                int8_vision: bool = False,
+                int8_vision: bool = False, int4: bool = False,
                 batch_size: int = 8, max_wait_ms: float = 20.0,
                 max_new_tokens: int = 8, max_prompt_len: int = 64,
                 temperature: float = 0.0, top_k=None, top_p=None, seed: int = 0,
@@ -220,11 +220,15 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
         if paged:
             raise ValueError("multi-LoRA banks exclude --paged "
                              "(serve a merged checkpoint there instead)")
+        if int4:
+            raise ValueError("multi-LoRA banks support --int8, not --int4 "
+                             "(the vmapped bank transform quantizes the "
+                             "shared base via ops/quant only)")
         loaded = load_adapter_bank(results_dir, adapters, checkpoint=checkpoint,
                                    int8=int8, int8_vision=int8_vision)
     else:
         loaded = load_trained_mllm(results_dir, checkpoint=checkpoint, int8=int8,
-                                   int8_vision=int8_vision)
+                                   int8_vision=int8_vision, int4=int4)
     if paged:
         from multimodal_concept_learning_tpu.serve.continuous import ContinuousBatcher
         from multimodal_concept_learning_tpu.serve.paged import PagedContinuousEngine
@@ -312,6 +316,9 @@ def main(argv=None):
     parser.add_argument("--max_prompt_len", type=int, default=64)
     parser.add_argument("--int8", action="store_true")
     parser.add_argument("--int8_vision", action="store_true")
+    parser.add_argument("--int4", action="store_true",
+                        help="int4 LM weights (ops/int4.py): half the int8 "
+                             "decode HBM traffic; lossier")
     parser.add_argument("--continuous", action="store_true",
                         help="slot-level continuous batching instead of "
                              "whole-batch coalescing")
@@ -349,7 +356,7 @@ def main(argv=None):
     httpd, batcher = make_server(
         args.results_dir, port=args.port, host=args.host,
         checkpoint=args.checkpoint, int8=args.int8,
-        int8_vision=args.int8_vision,
+        int8_vision=args.int8_vision, int4=args.int4,
         batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
         max_new_tokens=args.max_new_tokens, max_prompt_len=args.max_prompt_len,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,

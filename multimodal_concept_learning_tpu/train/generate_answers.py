@@ -79,6 +79,11 @@ def main(argv=None):
                              "mode: halves decode HBM traffic, lossy)")
     parser.add_argument("--int8_vision", action="store_true",
                         help="also quantize the vision tower (prefill)")
+    parser.add_argument("--int4", action="store_true",
+                        help="quantize LM weights to int4 (packed nibbles + "
+                             "group scales, ops/int4.py): halves the int8 "
+                             "path's decode HBM traffic again; lossier — "
+                             "validate accuracy against the bf16 run")
     parser.add_argument("--temperature", type=float, default=0.0,
                         help="0 = greedy (default); >0 samples")
     parser.add_argument("--top_k", type=int, default=None)
@@ -103,7 +108,7 @@ def main(argv=None):
 
     loaded = load_trained_mllm(
         args.results_dir, checkpoint=args.checkpoint, int8=args.int8,
-        int8_vision=args.int8_vision,
+        int8_vision=args.int8_vision, int4=args.int4,
     )
     model, tokenizer, params, config, labels_mapping, transform = (
         loaded.model, loaded.tokenizer, loaded.params, loaded.config,
