@@ -8,23 +8,25 @@ is UNIMPLEMENTED, measured on-chip), and XLA materializes any
 unpack-then-matmul as a full int8/bf16 weight tensor in HBM, which would
 forfeit the traffic win.  So the int4 path is:
 
-- **storage**: two 4-bit weights packed per int8 byte, plus fp32
+- **storage**: two 4-bit weights packed per int8 byte, plus bf16
   group-wise scales (``group_size`` input rows share one scale per output
   channel — per-channel-only int4 is too lossy for an LM),
-- **compute**: a Pallas kernel that unpacks nibbles in VMEM and runs two
-  bf16 MXU dots per block, so HBM sees only the packed bytes; activations
-  stay bf16 (weight-ONLY quantization — decode is memory-bound, the bf16
-  MXU path is nowhere near the bottleneck),
+- **compute**: a Pallas kernel that streams the packed stripe through
+  VMEM, unpacks the nibbles, dequantizes in bf16 and runs one MXU dot per
+  out-stripe, so HBM sees only the packed bytes; activations stay bf16
+  (weight-ONLY quantization — decode is memory-bound, the bf16 MXU path
+  is nowhere near the bottleneck),
 - an exact-math XLA fallback (unpack + dequant + one dot) used off-TPU,
-  in tests, and for shapes the kernel's block picker cannot tile.
+  for prefill/training-shaped calls (rows > 64: compute-bound, and the
+  decode kernel's schedule would re-read weights per row-block), and for
+  shapes the stripe picker cannot tile.
 
 Packing layout: nibbles pair input rows ``i`` (low) and ``i + in/2``
-(high), NOT adjacent rows — the kernel then unpacks a packed block into
-two *contiguous* row-blocks of the dequantized weight and contracts each
-against the matching contiguous activation slice, with no interleave or
-strided access anywhere.  This requires ``in % (2 * group_size) == 0``
-(every Gemma-3 / ViT / projector matmul in this repo satisfies it at the
-default ``group_size=64``).
+(high), NOT adjacent rows — unpacking yields the two contiguous halves of
+the dequantized weight, concatenated with no interleave or strided access
+anywhere.  This requires ``in % (2 * group_size) == 0`` (every
+Gemma-3 / ViT / projector matmul in this repo satisfies it at the default
+``group_size=64``).
 
 Modules mirror ops/quant.py: ``Int4Dense`` / ``Int4DenseGeneral`` carry
 params {"packed": int8 [in/2, out], "scale": f32 [in/group, out]};
@@ -52,16 +54,19 @@ def quantize_weight_int4(
 ) -> Tuple[jax.Array, jax.Array]:
     """Symmetric group-wise int4 quantization of ``w [in, out]``.
 
-    Returns (packed int8 [in/2, out], scale f32 [in/group_size, out]) with
+    Returns (packed int8 [in/2, out], scale bf16 [in/group_size, out]) with
     w ≈ unpack(packed) * scale[row // group_size].  Requires
     ``in % (2 * group_size) == 0`` so both packing halves are group-aligned.
+    Scales are stored bf16 so the kernel's in-VMEM bf16 dequant and the XLA
+    fallback's f32 dequant round to the SAME bf16 weight (a 4-bit code times
+    a bf16 scale is exact in f32 and single-rounds to bf16 either way).
     """
     d_in, d_out = w.shape
     assert d_in % (2 * group_size) == 0, (d_in, group_size)
     w32 = w.astype(jnp.float32).reshape(d_in // group_size, group_size, d_out)
     absmax = jnp.max(jnp.abs(w32), axis=1)
-    scale = jnp.maximum(absmax, 1e-8) / 7.0
-    w_q = jnp.clip(jnp.round(w32 / scale[:, None, :]), -7, 7)
+    scale = (jnp.maximum(absmax, 1e-8) / 7.0).astype(jnp.bfloat16)
+    w_q = jnp.clip(jnp.round(w32 / scale[:, None, :].astype(jnp.float32)), -7, 7)
     w_q = w_q.reshape(d_in, d_out).astype(jnp.int32)
     half = d_in // 2
     lo = w_q[:half] & 0xF
@@ -84,48 +89,48 @@ def dequantize_int4(packed: jax.Array, scale: jax.Array,
     w_q = unpack_int4(packed).astype(jnp.float32)
     d_in, d_out = w_q.shape
     w_g = w_q.reshape(d_in // group_size, group_size, d_out)
-    return (w_g * scale[:, None, :]).reshape(d_in, d_out)
+    return (w_g * scale[:, None, :].astype(jnp.float32)).reshape(d_in, d_out)
 
 
 # ---------------------------------------------------------------- kernel
+#
+# Decode-shaped (rows <= 64) matmuls only: grid (out-stripes,), each program
+# streams the FULL packed [in/2, bout] stripe through VMEM once, unpacks
+# both nibble halves, dequantizes in bf16, and runs one MXU dot against the
+# whole (tiny) activation block.  No in-dim blocking means every non-lane
+# block dimension equals the full array dimension (Mosaic's requirement:
+# lane-dim blocks must be 128-multiples OR full), and each weight byte is
+# read from HBM exactly once per call.  Prefill / training-shaped calls
+# (many rows) take the XLA fallback instead — they are compute-bound, and
+# the kernel's full-stripe-per-row-block schedule would re-read weights.
+
+_VMEM_W_BYTES = 4 * 1024 * 1024  # budget for the dequantized bf16 stripe
 
 
-def _kernel(x1_ref, x2_ref, p_ref, s1_ref, s2_ref, o_ref, *, group_size):
-    i = pl.program_id(2)
-
-    @pl.when(i == 0)
-    def _init():
-        o_ref[...] = jnp.zeros_like(o_ref)
-
-    bi, bj = p_ref.shape
-    p32 = p_ref[...].astype(jnp.int32)
-    lo = (((p32 & 0xF) ^ 8) - 8).astype(jnp.float32)
-    hi = ((((p32 >> 4) & 0xF) ^ 8) - 8).astype(jnp.float32)
-
-    def dequant(nib, s_ref):
-        s = s_ref[...]                                   # [bi/g, bj]
-        sg = jnp.broadcast_to(
-            s[:, None, :], (bi // group_size, group_size, bj)
-        ).reshape(bi, bj)
-        return (nib * sg).astype(jnp.bfloat16)
-
-    w1 = dequant(lo, s1_ref)
-    w2 = dequant(hi, s2_ref)
-    acc = jax.lax.dot_general(
-        x1_ref[...].astype(jnp.bfloat16), w1,
+def _kernel(x_ref, p_ref, s_ref, o_ref, *, group_size):
+    p32 = p_ref[...].astype(jnp.int32)                       # [in/2, bout]
+    lo = (((p32 & 0xF) ^ 8) - 8)
+    hi = ((((p32 >> 4) & 0xF) ^ 8) - 8)
+    w_q = jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)  # [in, bout]
+    s = s_ref[...].astype(jnp.bfloat16)                      # [in/g, bout]
+    ng, bout = s.shape
+    sg = jnp.broadcast_to(s[:, None, :], (ng, group_size, bout)).reshape(
+        ng * group_size, bout)
+    o_ref[...] = jax.lax.dot_general(
+        x_ref[...].astype(jnp.bfloat16), w_q * sg,
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
-    acc += jax.lax.dot_general(
-        x2_ref[...].astype(jnp.bfloat16), w2,
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    o_ref[...] += acc
 
 
-def _pick(n: int, candidates: Sequence[int]) -> int | None:
-    for c in candidates:
-        if n % c == 0:
+def _pick_bout(d_in: int, d_out: int) -> int | None:
+    """Widest out-stripe that divides d_out, satisfies Mosaic's lane rule
+    (128-multiple or the full dim), and fits the dequant stripe in VMEM."""
+    fits = lambda c: d_in * c * 2 <= _VMEM_W_BYTES  # noqa: E731
+    for c in (512, 384, 256, 128):
+        if d_out % c == 0 and fits(c):
             return c
+    if fits(d_out):  # full-dim blocks are always layout-legal
+        return d_out
     return None
 
 
@@ -133,37 +138,29 @@ def _int4_matmul_kernel(x2d: jax.Array, packed: jax.Array, scale: jax.Array,
                         group_size: int, interpret: bool = False) -> jax.Array:
     rows, d_in = x2d.shape
     half, d_out = packed.shape
-    br = _pick(rows, (256, 128, 64, 32, 16, 8))
-    bi = _pick(half, (512, 384, 256, 192, 128, 64))
-    bj = _pick(d_out, (512, 384, 256, 128, 64))
-    assert br and bi and bj, (rows, half, d_out)
-    ni = half // bi
+    bout = _pick_bout(d_in, d_out)
+    assert bout is not None, (d_in, d_out)
 
-    grid = (rows // br, d_out // bj, ni)
     out = pl.pallas_call(
         functools.partial(_kernel, group_size=group_size),
-        grid=grid,
+        grid=(d_out // bout,),
         in_specs=[
-            pl.BlockSpec((br, bi), lambda r, j, i: (r, i)),
-            pl.BlockSpec((br, bi), lambda r, j, i: (r, i + ni)),
-            pl.BlockSpec((bi, bj), lambda r, j, i: (i, j)),
-            pl.BlockSpec((bi // group_size, bj), lambda r, j, i: (i, j)),
-            pl.BlockSpec((bi // group_size, bj), lambda r, j, i: (i + ni, j)),
+            pl.BlockSpec((rows, d_in), lambda j: (0, 0)),
+            pl.BlockSpec((half, bout), lambda j: (0, j)),
+            pl.BlockSpec((d_in // group_size, bout), lambda j: (0, j)),
         ],
-        out_specs=pl.BlockSpec((br, bj), lambda r, j, i: (r, j)),
+        out_specs=pl.BlockSpec((rows, bout), lambda j: (0, j)),
         out_shape=jax.ShapeDtypeStruct((rows, d_out), jnp.float32),
         interpret=interpret,
-    )(x2d, x2d, packed, scale, scale)
+    )(x2d, packed, scale)
     return out
 
 
-def _kernel_eligible(rows: int, half: int, d_out: int, group_size: int) -> bool:
+def _kernel_eligible(rows: int, d_in: int, d_out: int, group_size: int) -> bool:
     return (
-        group_size >= 8
-        and _pick(rows, (256, 128, 64, 32, 16, 8)) is not None
-        and _pick(half, (512, 384, 256, 192, 128, 64)) is not None
-        and _pick(d_out, (512, 384, 256, 128, 64)) is not None
-        and _pick(half, (512, 384, 256, 192, 128, 64)) % group_size == 0
+        rows <= 64
+        and group_size >= 8
+        and _pick_bout(d_in, d_out) is not None
     )
 
 
@@ -191,7 +188,7 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scale: jax.Array,
     use_kernel = (
         os.environ.get("MCL_INT4_KERNEL", "1") != "0"
         and _on_tpu()
-        and _kernel_eligible(rows, half, d_out, group_size)
+        and _kernel_eligible(rows, d_in, d_out, group_size)
     )
     if use_kernel:
         y = _int4_matmul_kernel(x2d, packed, scale, group_size)
@@ -230,7 +227,7 @@ class Int4Dense(nn.Module):
         scale = self.param(
             "scale",
             lambda k: jnp.full((in_dim // self.group_size, self.features),
-                               0.02 / 7.0, jnp.float32),
+                               0.02 / 7.0, jnp.bfloat16),
         )
         y = int4_matmul(x, packed, scale, self.group_size)
         if self.use_bias:
@@ -268,7 +265,7 @@ class Int4DenseGeneral(nn.Module):
         scale = self.param(
             "scale",
             lambda k: jnp.full((in_dim // self.group_size, out_dim),
-                               0.02 / 7.0, jnp.float32),
+                               0.02 / 7.0, jnp.bfloat16),
         )
         keep = [a for a in range(x.ndim) if a not in axes]
         xt = x.transpose(keep + list(axes)).reshape(

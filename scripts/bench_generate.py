@@ -41,6 +41,9 @@ def main():
                         help="serve the LM with int8 weights (ops/quant.py)")
     parser.add_argument("--int8_vision", action="store_true",
                         help="also quantize the vision tower (prefill)")
+    parser.add_argument("--int4", action="store_true",
+                        help="serve the LM with int4 packed weights "
+                             "(ops/int4.py Pallas kernel)")
     args = parser.parse_args()
 
     tokenizer = ConceptTokenizer()
@@ -79,6 +82,20 @@ def main():
         model = MLLM(cfg)
         print(f"[gen] int8 weights (lm={args.int8} vision={args.int8_vision})",
               file=sys.stderr)
+
+    if args.int4:
+        import dataclasses
+
+        from multimodal_concept_learning_tpu.ops.int4 import (
+            quantize_mllm_lm_params_int4,
+        )
+
+        assert not args.int8, "--int4 excludes --int8"
+        params = quantize_mllm_lm_params_int4(params, model.config)
+        cfg = model.config
+        model = MLLM(dataclasses.replace(
+            cfg, lm=dataclasses.replace(cfg.lm, int4_weights=True)))
+        print("[gen] int4 LM weights (ops/int4.py)", file=sys.stderr)
 
     def timed(n_new):
         fn = jax.jit(lambda p, i, t, m: greedy_generate(

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""A/B int4 decode-matmul kernel variants on-chip.
+
+Times one decode-step's worth of LM matmuls (26 layers x the 7 projection
+shapes of gemma3-1b, batch 8) under each variant, chained so XLA cannot
+hoist anything (BASELINE.md microbench traps).  Variants:
+
+  v2      dequantize the whole stripe to bf16 in VMEM, one bf16 dot
+          (ops/int4.py as shipped) -- measured VPU-bound on the dequant
+  v3a     unpack to bf16 WITHOUT applying scales, batched per-group bf16
+          dot, scale applied post-dot on the [G, rows, bout] accumulator
+  v3b     unpack to int8, activations pre-quantized per (row, group)
+          OUTSIDE the kernel, batched int8 MXU dot, both scales post-dot
+  int8    the shipped ops/quant.int8_matmul (XLA native int8 dot) as the
+          reference floor
+"""
+
+import argparse
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+
+sys.path.insert(0, "/root/repo")
+from multimodal_concept_learning_tpu.ops.int4 import (  # noqa: E402
+    GROUP_SIZE,
+    _int4_matmul_kernel,
+    _pick_bout,
+    quantize_weight_int4,
+)
+from multimodal_concept_learning_tpu.ops.quant import (  # noqa: E402
+    int8_matmul,
+    quantize_weight,
+)
+
+# gemma3-1b per-layer projections: (d_in, d_out)
+SHAPES = [(1152, 1024), (1152, 256), (1152, 256), (1024, 1152),
+          (1152, 6912), (1152, 6912), (6912, 1152)]
+LAYERS = 26
+B = 8
+
+
+def _kernel_v3a(x_ref, p_ref, s_ref, o_ref, *, group_size):
+    halfg = p_ref.shape[0] // group_size
+    bout = o_ref.shape[-1]
+    p32 = p_ref[...].astype(jnp.int32)
+    lo = (((p32 & 0xF) ^ 8) - 8)
+    hi = ((((p32 >> 4) & 0xF) ^ 8) - 8)
+    wq = jnp.concatenate([
+        lo.reshape(halfg, group_size, bout),
+        hi.reshape(halfg, group_size, bout)], axis=0).astype(jnp.bfloat16)
+    xg = x_ref[...]                                  # [G, rows, gs] bf16
+    acc = jax.lax.dot_general(
+        xg, wq, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # [G, rows, bout]
+    sw = s_ref[...].astype(jnp.float32)              # [G, bout]
+    o_ref[...] = jnp.sum(acc * sw[:, None, :], axis=0)
+
+
+def _kernel_v3b(xq_ref, sx_ref, p_ref, s_ref, o_ref, *, group_size):
+    halfg = p_ref.shape[0] // group_size
+    bout = o_ref.shape[-1]
+    p32 = p_ref[...].astype(jnp.int32)
+    lo = (((p32 & 0xF) ^ 8) - 8)
+    hi = ((((p32 >> 4) & 0xF) ^ 8) - 8)
+    wq = jnp.concatenate([
+        lo.reshape(halfg, group_size, bout),
+        hi.reshape(halfg, group_size, bout)], axis=0).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq_ref[...], wq, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)            # [G, rows, bout]
+    sw = s_ref[...].astype(jnp.float32)              # [G, bout]
+    sx = sx_ref[...]                                 # [G, rows, 1] f32
+    o_ref[...] = jnp.sum(acc.astype(jnp.float32) * sx * sw[:, None, :], axis=0)
+
+
+def v3a_matmul(x, packed, scale, group_size=GROUP_SIZE):
+    rows, d_in = x.shape
+    half, d_out = packed.shape
+    g_cnt = d_in // group_size
+    bout = _pick_bout(d_in, d_out)
+    xg = x.reshape(rows, g_cnt, group_size).transpose(1, 0, 2).astype(jnp.bfloat16)
+    out = pl.pallas_call(
+        functools.partial(_kernel_v3a, group_size=group_size),
+        grid=(d_out // bout,),
+        in_specs=[
+            pl.BlockSpec((g_cnt, rows, group_size), lambda j: (0, 0, 0)),
+            pl.BlockSpec((half, bout), lambda j: (0, j)),
+            pl.BlockSpec((g_cnt, bout), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((rows, bout), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((rows, d_out), jnp.float32),
+    )(xg, packed, scale)
+    return out.astype(x.dtype)
+
+
+def v3b_matmul(x, packed, scale, group_size=GROUP_SIZE):
+    rows, d_in = x.shape
+    half, d_out = packed.shape
+    g_cnt = d_in // group_size
+    bout = _pick_bout(d_in, d_out)
+    xg = x.astype(jnp.float32).reshape(rows, g_cnt, group_size)
+    sx = jnp.maximum(jnp.max(jnp.abs(xg), axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xg / sx), -127, 127).astype(jnp.int8)
+    xq = xq.transpose(1, 0, 2)                       # [G, rows, gs]
+    sxg = sx.transpose(1, 0, 2)                      # [G, rows, 1]
+    out = pl.pallas_call(
+        functools.partial(_kernel_v3b, group_size=group_size),
+        grid=(d_out // bout,),
+        in_specs=[
+            pl.BlockSpec((g_cnt, rows, group_size), lambda j: (0, 0, 0)),
+            pl.BlockSpec((g_cnt, rows, 1), lambda j: (0, 0, 0)),
+            pl.BlockSpec((half, bout), lambda j: (0, j)),
+            pl.BlockSpec((g_cnt, bout), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((rows, bout), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((rows, d_out), jnp.float32),
+    )(xq, sxg, packed, scale)
+    return out.astype(x.dtype)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--variants", type=str, default="v2,v3a,v3b,int8")
+    args = parser.parse_args()
+    rng = np.random.default_rng(0)
+
+    w4, w8 = [], []
+    for (di, do) in SHAPES:
+        w = rng.normal(size=(di, do)).astype(np.float32)
+        w4.append(quantize_weight_int4(jnp.asarray(w)))
+        w8.append(quantize_weight(jnp.asarray(w)))
+    x0 = jnp.asarray(rng.normal(size=(B, 1152)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def step(mm, weights):
+        def fn(x0, weights):
+            c = jnp.zeros((), jnp.float32)
+            x = x0
+            for _ in range(LAYERS):
+                for (di, do), wpair in zip(SHAPES, weights):
+                    xi = x if di == 1152 else jnp.broadcast_to(
+                        x[:, :1], (B, di)).astype(x.dtype) + c.astype(x.dtype)
+                    y = mm(xi, *wpair)
+                    c = c + jnp.sum(y[:, :1].astype(jnp.float32)) * 1e-30
+                x = x0 + c.astype(x0.dtype)  # carry dependency, stable value
+            return c
+        return jax.jit(fn)
+
+    variants = {
+        "v2": (lambda x, p, s: _int4_matmul_kernel(x, p, s, GROUP_SIZE).astype(x.dtype), w4),
+        "v3a": (v3a_matmul, w4),
+        "v3b": (v3b_matmul, w4),
+        "int8": (int8_matmul, w8),
+    }
+    for name in args.variants.split(","):
+        mm, weights = variants[name]
+        f = step(mm, weights)
+        try:
+            t0 = time.time()
+            r = float(f(x0, weights))
+            print(f"[{name}] compile {time.time() - t0:.1f}s (r={r:.3e})",
+                  file=sys.stderr)
+            ts = []
+            for _ in range(5):
+                t0 = time.time()
+                float(f(x0, weights))
+                ts.append(time.time() - t0)
+            print(f"[{name}] decode-step matmuls: {min(ts) * 1e3:.2f} ms "
+                  f"(median {sorted(ts)[2] * 1e3:.2f})")
+        except Exception as e:
+            print(f"[{name}] FAILED: {repr(e)[:300]}")
+
+
+if __name__ == "__main__":
+    main()

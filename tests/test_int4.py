@@ -181,6 +181,53 @@ def test_int4_decode_matches_full_forward():
     np.testing.assert_array_equal(got, want)
 
 
+def test_speculative_matches_greedy_with_int4():
+    """Self-speculative decoding stays token-exact when the whole LM
+    (draft AND verify) runs on int4 weights."""
+    from multimodal_concept_learning_tpu.models.mllm import (
+        MLLM,
+        MLLMConfig,
+        greedy_generate,
+    )
+    from multimodal_concept_learning_tpu.models.speculative import (
+        speculative_generate,
+    )
+    from multimodal_concept_learning_tpu.models.vit import ViTConfig
+    from multimodal_concept_learning_tpu.ops.int4 import (
+        quantize_mllm_lm_params_int4,
+    )
+
+    vision = ViTConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                       num_attention_heads=2, patch_size=8, image_size=16,
+                       num_labels=0, dtype=jnp.float32)
+    lm = dataclasses.replace(
+        LMConfig.preset("nano", vocab_size=97), dtype=jnp.float32,
+        num_layers=4, use_qk_norm=True, sandwich_norms=True,
+        sliding_window=6, sliding_window_pattern=2, query_pre_attn_scalar=32.0,
+    )
+    config = MLLMConfig(vision=vision, lm=lm, num_vision_tokens=5,
+                        max_answer_tokens=2, dtype=jnp.float32)
+    rng = np.random.default_rng(21)
+    b, text_len = 2, 7
+    nvt = config.num_vision_tokens
+    images = jnp.asarray(rng.normal(size=(b, 3, 16, 16)).astype(np.float32))
+    ids = np.zeros((b, nvt + text_len), np.int32)
+    ids[:, nvt:] = rng.integers(4, 97, size=(b, text_len))
+    mask = np.ones_like(ids)
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    fparams = MLLM(config).init(jax.random.key(22), images, ids, mask)["params"]
+
+    qparams = quantize_mllm_lm_params_int4(fparams, config)
+    qconfig = dataclasses.replace(
+        config, lm=dataclasses.replace(lm, int4_weights=True))
+    qmodel = MLLM(qconfig)
+    n_new = 6
+    want = np.asarray(greedy_generate(qmodel, qparams, images, ids, mask, n_new))
+    got = speculative_generate(qmodel, qparams, images, ids, mask, n_new,
+                               draft_layers=2, draft_len=3)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def test_loader_int4_flag_mutual_exclusion():
     from multimodal_concept_learning_tpu.serve.loader import _quantize_for_serving
 

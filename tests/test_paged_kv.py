@@ -323,6 +323,32 @@ def test_paged_int8_matches_isolated(trained_results_dir):
     assert got == want
 
 
+def test_paged_int4_matches_isolated(trained_results_dir):
+    """int4 weight quantization (ops/int4.py) composes with the paged cache
+    exactly like int8: paged slot decode == isolated int4 generate."""
+    from multimodal_concept_learning_tpu.serve import (
+        ServingEngine,
+        load_trained_mllm,
+    )
+    from multimodal_concept_learning_tpu.serve.continuous import ContinuousBatcher
+    from multimodal_concept_learning_tpu.serve.paged import PagedContinuousEngine
+
+    q = load_trained_mllm(trained_results_dir, int4=True, verbose=False)
+    assert q.model.config.lm.int4_weights
+    n_new, plen = 3, 16
+    ref = ServingEngine(q, batch_size=1, max_new_tokens=n_new, max_prompt_len=plen)
+    img = ref.preprocess_image(_circle_image(COLORS[1]))
+    want = ref.generate([img], [_prompts()[0]])[0]
+
+    engine = PagedContinuousEngine(q, num_slots=2, max_new_tokens=n_new,
+                                   max_prompt_len=plen, page_size=8,
+                                   steps_per_call=2)
+    batcher = ContinuousBatcher(engine)
+    got = batcher.submit(img, _prompts()[0], timeout=600)
+    batcher.shutdown()
+    assert got == want
+
+
 def test_http_server_paged_mode(trained_results_dir):
     """--paged: the HTTP front serves over the page-pool engine end to end."""
     import base64
