@@ -101,6 +101,20 @@ class LMConfig:
     lora_alpha: float = 16.0
     dtype: Any = jnp.bfloat16
 
+    def __post_init__(self):
+        if self.int8_weights and self.int4_weights:
+            raise ValueError("int8_weights and int4_weights are mutually exclusive")
+        if self.moe_experts > 0 and (self.int8_weights or self.int4_weights):
+            # LMBlock._mlp takes the MoE path before the quantized dense
+            # branches, so expert weights (the bulk of the bytes) would stay
+            # float while only attention projections quantize — a silent
+            # no-op for the flag's stated purpose.  Refuse loudly.
+            raise ValueError(
+                "int8_weights/int4_weights do not cover MoE expert MLPs "
+                "(moe_experts > 0) — the quantized path would skip the bulk "
+                "of the weight bytes; unset quantization or moe_experts"
+            )
+
     def layer_is_sliding(self, i: int) -> bool:
         """HF Gemma-3 layer_types: every ``pattern``-th layer is global."""
         if self.sliding_window is None:

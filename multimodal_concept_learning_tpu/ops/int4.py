@@ -29,7 +29,8 @@ Gemma-3 / ViT / projector matmul in this repo satisfies it at the default
 ``group_size=64``).
 
 Modules mirror ops/quant.py: ``Int4Dense`` / ``Int4DenseGeneral`` carry
-params {"packed": int8 [in/2, out], "scale": f32 [in/group, out]};
+params {"packed": int8 [in/2, out], "scale": bf16 [in/group, out]} (bf16 so
+kernel and fallback dequant round identically — see quantize_weight_int4);
 ``quantize_lm_params_int4`` converts a trained float ``CausalLM`` tree.
 Embedding / lm_head / norms stay float, as in the int8 path.
 """
@@ -205,7 +206,7 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scale: jax.Array,
 
 
 class Int4Dense(nn.Module):
-    """Int4 Dense: params {"packed": int8 [in/2, F], "scale": f32 [in/g, F]}.
+    """Int4 Dense: params {"packed": int8 [in/2, F], "scale": bf16 [in/g, F]}.
 
     Initialization quantizes a random kernel so shapes/dtypes exist; real
     deployments overwrite params via ``quantize_lm_params_int4`` from a
@@ -294,7 +295,10 @@ def quantize_params_int4(float_params, quant_template,
     def convert(node_float, node_template):
         if isinstance(node_template, dict):
             keys = set(node_template.keys())
-            if keys in ({"packed", "scale"}, {"packed", "scale", "bias"}):
+            if keys in ({"packed", "scale"}, {"packed", "scale", "bias"}) and (
+                node_template["packed"].dtype == jnp.int8
+                and node_template["scale"].dtype == jnp.bfloat16
+            ):
                 w = jnp.asarray(node_float["kernel"])
                 if w.ndim > 2:
                     w = w.reshape(-1, node_template["scale"].shape[-1])
@@ -308,6 +312,11 @@ def quantize_params_int4(float_params, quant_template,
                         node_float["bias"], jnp.float32
                     ).reshape(node_template["bias"].shape)
                 return out
+            dropped = set(node_float.keys()) - set(node_template.keys())
+            assert not dropped, (
+                f"float-tree keys {sorted(dropped)} have no int4-template "
+                "counterpart — refusing to silently drop params"
+            )
             return {k: convert(node_float[k], node_template[k]) for k in node_template}
         return node_float
 

@@ -115,10 +115,17 @@ def test_quantize_lm_params_int4_forward_close():
 
 
 def test_int8_int4_mutually_exclusive():
-    cfg = dataclasses.replace(_lm_config(True), int8_weights=True)
-    ids = jnp.zeros((1, 4), jnp.int32)
+    # LMConfig.__post_init__ rejects the combination at construction time
+    # (earlier than the old init-time check).
     with pytest.raises(ValueError, match="mutually exclusive"):
-        CausalLM(cfg).init(jax.random.key(0), ids, jnp.ones_like(ids))
+        dataclasses.replace(_lm_config(True), int8_weights=True)
+
+
+def test_quant_rejects_moe_experts():
+    # int8/int4 skip MoE expert MLPs (the bulk of the bytes) — LMConfig
+    # refuses the combination loudly instead of silently under-quantizing.
+    with pytest.raises(ValueError, match="MoE expert"):
+        dataclasses.replace(_lm_config(True), moe_experts=2)
 
 
 def test_int4_decode_matches_full_forward():
