@@ -26,6 +26,35 @@ def process_local_loader_args(global_batch_size: int):
     return global_batch_size // nproc, (jax.process_index(), nproc)
 
 
+def incremental_host_pull(host_tree, device_tree, mask_tree):
+    """Refresh a host-side param cache by pulling only trainable leaves.
+
+    ``host_tree`` is a previously fetched host copy of ``device_tree``
+    (e.g. the initial-checkpoint pull); ``mask_tree`` is the boolean
+    trainable mask (``models.mllm.trainable_mask``).  Only mask-True leaves
+    cross device->host; frozen leaves reuse the cached host copy.
+
+    Exact under ``optax.masked`` training: frozen leaves receive
+    ``set_to_zero`` updates, and ``x + 0.0 == x`` bit-exact for every IEEE
+    value except ``-0.0 -> +0.0`` (numerically equal).  The payoff is on
+    tunneled dev hosts where D2H runs at single-digit MB/s (BASELINE.md):
+    a `language_embed_only` epoch sync pulls ~9 MB instead of ~1.6 GB.
+    """
+    from multimodal_concept_learning_tpu.parallel import host_fetchable
+
+    dev_leaves, treedef = jax.tree_util.tree_flatten(device_tree)
+    mask_leaves = jax.tree_util.tree_leaves(mask_tree)
+    host_leaves = jax.tree_util.tree_leaves(host_tree)
+    assert len(dev_leaves) == len(mask_leaves) == len(host_leaves), (
+        "params / mask / host-cache trees diverged"
+    )
+    pulled = iter(jax.device_get(host_fetchable(
+        [d for d, m in zip(dev_leaves, mask_leaves) if m])))
+    merged = [next(pulled) if m else h
+              for h, m in zip(host_leaves, mask_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, merged)
+
+
 def mesh_for_batch(batch_size: int, max_devices=None):
     """1-D data mesh using the largest device count that divides batch_size.
 

@@ -70,6 +70,7 @@ from multimodal_concept_learning_tpu.tokenizer import load_tokenizer
 from multimodal_concept_learning_tpu.train.common import (
     PreemptionGuard,
     ResumeManager,
+    incremental_host_pull,
     mesh_for_batch,
     process_local_loader_args,
 )
@@ -249,9 +250,15 @@ def run_training(
 
     # Save initial model + tokenizer before training (parity :103-108;
     # main process only, like the reference's rank-0 gating)
+    host_params = None
     if is_main_process():
+        # Full pull once; per-epoch saves below refresh only trainable
+        # leaves through incremental_host_pull (D2H is the bottleneck on
+        # tunneled dev setups — frozen-tower leaves never change under
+        # optax.masked).
+        host_params = jax.device_get(host_fetchable(state.params))
         save_torch_state_dict(
-            mllm_params_to_torch(jax.device_get(host_fetchable(state.params)), patch_size=patch),
+            mllm_params_to_torch(host_params, patch_size=patch),
             os.path.join(models_dir, "initial_model.pt"),
         )
         tokenizer.save_pretrained(os.path.join(models_dir, "tokenizer"))
@@ -322,7 +329,8 @@ def run_training(
         if is_best:
             best_loss = val_loss
         if (is_best or config.save_every_epoch) and is_main_process():
-            host_sd = mllm_params_to_torch(jax.device_get(host_fetchable(state.params)), patch_size=patch)
+            host_params = incremental_host_pull(host_params, state.params, mask)
+            host_sd = mllm_params_to_torch(host_params, patch_size=patch)
             if is_best:
                 save_torch_state_dict(host_sd, os.path.join(models_dir, "best_model.pt"))
                 with open(os.path.join(models_dir, "training_config.json"), "w") as f:

@@ -180,3 +180,35 @@ def test_multimodal_unknown_dataset(tmp_path, mm_setup):
     cfg_path.write_text(yaml.safe_dump({"dataset_name": "bogus"}))
     with pytest.raises(ValueError, match="not supported"):
         main(["--config_path", str(cfg_path)])
+
+
+def test_incremental_host_pull_exact():
+    """Cached frozen leaves + pulled trainable leaves == a full pull."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_concept_learning_tpu.train.common import incremental_host_pull
+
+    params0 = {
+        "vision": {"w": jnp.arange(6.0).reshape(2, 3)},
+        "lm": {"embed": jnp.ones((4, 2)), "proj": jnp.full((2, 2), 3.0)},
+    }
+    mask = {
+        "vision": {"w": False},
+        "lm": {"embed": True, "proj": True},
+    }
+    host0 = jax.device_get(params0)
+    # training changes only the trainable leaves
+    params1 = {
+        "vision": {"w": params0["vision"]["w"]},
+        "lm": {"embed": params0["lm"]["embed"] * 2.0,
+               "proj": params0["lm"]["proj"] - 1.0},
+    }
+    merged = incremental_host_pull(host0, params1, mask)
+    full = jax.device_get(params1)
+    assert all(
+        (a == b).all()
+        for a, b in zip(jax.tree_util.tree_leaves(merged),
+                        jax.tree_util.tree_leaves(full))
+    )
+    # frozen leaf is the cached object, not a fresh transfer
+    assert merged["vision"]["w"] is host0["vision"]["w"]
