@@ -39,6 +39,7 @@ workload (bigger model/batch mix) or >1 chip.  The MLLM metric is past 6x.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -76,9 +77,39 @@ MLLM_OOD = 90
 MLLM_REPEATS = 3
 
 
+def _caption_ids(rng, n_classes: int = 96, caption_len: int = 12):
+    """Reference-workload-realistic text batch: templated color captions.
+
+    The reference trains CLIP on ``"a photo of a {class_name} circle"``
+    captions — a handful of shared template ids + 1-2 class ids per row +
+    padding; the corpus ever touches a few hundred of the 49408 vocab rows
+    (which is what makes the embedding gradient provably row-sparse, see
+    ops/sparse_embed.py).  Random-ids-over-the-full-vocab (rounds 1-3) was
+    unrepresentative of that; per-row compute is id-independent so dense
+    throughput is unchanged (A/B'd on-chip, BASELINE.md round 4).
+    """
+    template = np.asarray([49406, 320, 1125, 539, 320, 4532, 49407], np.int64)
+    class_ids = 2 + rng.choice(40000, size=(n_classes, 2), replace=False)
+    ids = np.zeros((BATCH, CONTEXT), np.int64)  # 0 = pad
+    mask = np.zeros((BATCH, CONTEXT), np.int64)
+    cls = rng.integers(0, n_classes, size=BATCH)
+    for i in range(BATCH):
+        row = np.concatenate([template[:-1], class_ids[cls[i]], template[-1:]])
+        ids[i, : len(row)] = row
+        mask[i, : len(row)] = 1
+    active = tuple(int(t) for t in np.unique(
+        np.concatenate([ids.ravel(), class_ids.ravel(), template])))
+    return ids.astype(np.int32), mask.astype(np.int32), active
+
+
 def build_clip(vision_overrides=None, clip_overrides=None):
     import dataclasses
 
+    # active_vocab_rows partitions the text embedding (trainable corpus rows
+    # + frozen remainder — exact vs dense AdamW, tests/test_sparse_embed.py);
+    # MCL_CLIP_DENSE_EMBED=1 restores the dense-table path for A/Bs.
+    dense_embed = os.environ.get("MCL_CLIP_DENSE_EMBED", "0") == "1"
+    _, _, active_rows = _caption_ids(np.random.default_rng(0))
     config = CLIPConfig.create(
         vocab_size=VOCAB,
         vision_preset="vit-b-32",
@@ -88,6 +119,7 @@ def build_clip(vision_overrides=None, clip_overrides=None):
         text_heads=8,
         context_length=CONTEXT,
         embed_dim=512,
+        active_vocab_rows=None if dense_embed else active_rows,
     )
     if vision_overrides:
         config = dataclasses.replace(
@@ -99,14 +131,32 @@ def build_clip(vision_overrides=None, clip_overrides=None):
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(size=(BATCH, 3, IMAGE_SIZE, IMAGE_SIZE)).astype(np.float32))
-    input_ids = jnp.asarray(rng.integers(0, VOCAB, size=(BATCH, CONTEXT)).astype(np.int32))
-    attention_mask = jnp.ones((BATCH, CONTEXT), jnp.int32)
+    input_ids_np, attention_mask_np, active_rows = _caption_ids(rng)
+    input_ids = jnp.asarray(input_ids_np)
+    attention_mask = jnp.asarray(attention_mask_np)
+
+    if model.config.active_vocab_rows is not None:
+        assert model.config.active_vocab_rows == active_rows
 
     params = jax.jit(model.init)(
         jax.random.key(0), images[:1], input_ids[:1], attention_mask[:1]
     )["params"]
 
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-4, weight_decay=0.2))
+    adamw_chain = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.adamw(1e-4, weight_decay=0.2))
+    if model.config.active_vocab_rows is not None:
+        from multimodal_concept_learning_tpu.ops.sparse_embed import (
+            partitioned_embed_mask,
+        )
+
+        mask = partitioned_embed_mask(
+            jax.tree_util.tree_map(lambda _: True, params))
+        labels = jax.tree_util.tree_map(
+            lambda m: "train" if m else "freeze", mask)
+        tx = optax.multi_transform(
+            {"train": adamw_chain, "freeze": optax.set_to_zero()}, labels)
+    else:
+        tx = adamw_chain
     state = jax.jit(lambda p: TrainState.create(p, tx))(params)
     batch = {"images": images, "input_ids": input_ids, "attention_mask": attention_mask}
 

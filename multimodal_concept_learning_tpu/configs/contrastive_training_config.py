@@ -69,6 +69,11 @@ class ContrastiveTrainingConfig(YamlConfig):
     # bf16 parameter storage with fp32 master weights in the optimizer
     # (framework extension; measured throughput win on v5e)
     bf16_params: bool = False
+    # Partition the text embedding into trainable corpus rows + a frozen
+    # remainder (ops/sparse_embed.py): exact vs dense AdamW (the caption
+    # corpus is enumerable up front), and the optimizer stops touching the
+    # ~49k rows that provably never receive gradient.
+    partition_text_embedding: bool = False
     # orbax checkpoint + resume with SIGTERM preemption handling (framework
     # extension, same semantics as the vision/multimodal trainers)
     resume: bool = False

@@ -40,6 +40,11 @@ class CLIPConfig:
     # the text tower's [B,77,8,64] relayout copies are the single largest
     # data-formatting bucket of the CLIP step (BASELINE.md round-3 profile).
     text_attention_core: bool = False
+    # Sorted tuple of every token id the corpus can produce: partitions the
+    # text embedding into a small trainable subtable + frozen remainder
+    # (ops/sparse_embed.py) so the optimizer never touches the ~49k rows
+    # the templated-caption corpus provably never grads.  None = dense.
+    active_vocab_rows: Optional[tuple] = None
 
     @classmethod
     def create(
@@ -54,6 +59,7 @@ class CLIPConfig:
         embed_dim: int = 512,
         attention_layout: Optional[str] = None,
         text_attention_core: Optional[bool] = None,
+        active_vocab_rows: Optional[tuple] = None,
     ) -> "CLIPConfig":
         # tanh GELU in the image tower: the CLIP family is a framework
         # addition with no HF-ViT parity constraint (OpenAI CLIP itself uses
@@ -87,6 +93,9 @@ class CLIPConfig:
             context_length=context_length,
             embed_dim=embed_dim,
             text_attention_core=text_attention_core,
+            active_vocab_rows=(
+                tuple(active_vocab_rows) if active_vocab_rows is not None else None
+            ),
         )
 
 
@@ -156,9 +165,20 @@ class TextEncoder(nn.Module):
     def __call__(self, input_ids, attention_mask=None):
         cfg = self.config
         b, t = input_ids.shape
-        x = nn.Embed(cfg.vocab_size, cfg.text_width, param_dtype=jnp.float32,
-                     embedding_init=nn.initializers.normal(0.02),
-                     name="token_embedding")(input_ids).astype(cfg.dtype)
+        if cfg.active_vocab_rows is not None:
+            from multimodal_concept_learning_tpu.ops.sparse_embed import (
+                PartitionedEmbed,
+            )
+
+            x = PartitionedEmbed(
+                cfg.vocab_size, cfg.text_width,
+                active_rows=tuple(cfg.active_vocab_rows),
+                name="token_embedding",
+            )(input_ids).astype(cfg.dtype)
+        else:
+            x = nn.Embed(cfg.vocab_size, cfg.text_width, param_dtype=jnp.float32,
+                         embedding_init=nn.initializers.normal(0.02),
+                         name="token_embedding")(input_ids).astype(cfg.dtype)
         pos = self.param("positional_embedding", nn.initializers.normal(0.01),
                          (cfg.context_length, cfg.text_width))
         x = x + pos[None, :t].astype(cfg.dtype)

@@ -84,13 +84,6 @@ def run_training(model, tokenizer, train_loader, config: ContrastiveTrainingConf
         1, (len(train_loader) * config.epochs) // max(1, config.effective_batch_size // config.batch_size)
     )
     schedule = linear_warmup_schedule(config.learning_rate, config.warmup_steps, total_updates)
-    tx = build_optimizer(
-        schedule,
-        weight_decay=config.weight_decay,
-        max_grad_norm=config.max_grad_norm,
-        accumulation_steps=config.effective_batch_size // config.batch_size,
-        fp32_master=config.bf16_params,
-    )
 
     sample = next(iter(train_loader))
     params = jax.jit(model.init)(
@@ -99,6 +92,27 @@ def run_training(model, tokenizer, train_loader, config: ContrastiveTrainingConf
         jnp.asarray(sample["input_ids"][:1]),
         jnp.asarray(sample["attention_mask"][:1]),
     )["params"]
+
+    trainable = None
+    if model.config.active_vocab_rows is not None:
+        # Partitioned text embedding: the full-table leaf is frozen; its
+        # inactive rows' AdamW weight-decay drift is folded in closed form
+        # at final save (exact vs dense — tests/test_sparse_embed.py).
+        from multimodal_concept_learning_tpu.ops.sparse_embed import (
+            partitioned_embed_mask,
+        )
+
+        trainable = partitioned_embed_mask(
+            jax.tree_util.tree_map(lambda _: True, params))
+
+    tx = build_optimizer(
+        schedule,
+        weight_decay=config.weight_decay,
+        max_grad_norm=config.max_grad_norm,
+        accumulation_steps=config.effective_batch_size // config.batch_size,
+        trainable_mask=trainable,
+        fp32_master=config.bf16_params,
+    )
     if config.bf16_params:
         params = cast_params_bf16(params)
     state = TrainState.create(params, tx)
@@ -158,7 +172,22 @@ def run_training(model, tokenizer, train_loader, config: ContrastiveTrainingConf
         resume.save(state, epoch, {})
     resume.finalize()
 
-    save_checkpoint(os.path.join(config.results_dir, "checkpoints"), state.params, int(state.step))
+    save_params = state.params
+    if model.config.active_vocab_rows is not None:
+        # Fold the closed-form weight-decay drift of inactive rows into the
+        # frozen table so the saved artifact matches a dense-AdamW run
+        # exactly (active rows are shadowed by the subtable either way).
+        from multimodal_concept_learning_tpu.ops.sparse_embed import inactive_decay
+
+        accum = max(1, config.effective_batch_size // config.batch_size)
+        lrs = [float(schedule(u)) for u in range(int(state.step) // accum)]
+        decay = inactive_decay(lrs, config.weight_decay)
+        te = dict(save_params["text"]["token_embedding"])
+        te["embedding"] = te["embedding"] * decay
+        save_params = dict(save_params)
+        save_params["text"] = dict(save_params["text"])
+        save_params["text"]["token_embedding"] = te
+    save_checkpoint(os.path.join(config.results_dir, "checkpoints"), save_params, int(state.step))
     logger.finish()
     return state
 
@@ -226,6 +255,22 @@ def main(argv=None):
 
     collator = ClipCollator(tokenizer, config.caption_template, config.context_length)
 
+    active_rows = None
+    if config.partition_text_embedding:
+        # The caption corpus is enumerable up front (one template x the
+        # class-name set), so the exact active-row set — every id the text
+        # tower can ever gather, padding included — is known before training
+        # (ops/sparse_embed.py; exactness: tests/test_sparse_embed.py).
+        from multimodal_concept_learning_tpu.ops.sparse_embed import (
+            active_rows_from_corpus,
+        )
+
+        active_rows = active_rows_from_corpus(
+            [collator.caption_ids(name)[0] for name in class_names]
+        )
+        print(f"Partitioned text embedding: {len(active_rows)} active rows "
+              f"of {len(tokenizer)}")
+
     model_config = CLIPConfig.create(
         vocab_size=len(tokenizer),
         vision_preset=config.vision_model_name,
@@ -235,6 +280,7 @@ def main(argv=None):
         text_heads=config.text_heads,
         context_length=config.context_length,
         embed_dim=config.embed_dim,
+        active_vocab_rows=active_rows,
     )
     model = CLIPModel(model_config)
 

@@ -1,0 +1,162 @@
+"""Exactness of the vocabulary-partitioned embedding (ops/sparse_embed.py).
+
+The claim under test (VERDICT r3 next-round item 2 / SURVEY §7.5b): training
+a CLIP model whose text embedding is partitioned into a trainable
+active-row subtable + frozen remainder is EXACT vs dense AdamW over the
+full table — same losses, same trained active rows, and the frozen rows'
+closed-form weight-decay product matches the dense trajectory.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from multimodal_concept_learning_tpu.models.clip import CLIPConfig, CLIPModel, contrastive_loss
+from multimodal_concept_learning_tpu.ops.sparse_embed import (
+    PartitionedEmbed,
+    active_rows_from_corpus,
+    inactive_decay,
+    merged_embedding,
+    partitioned_embed_mask,
+)
+
+VOCAB = 64
+ACTIVE = tuple(sorted({0, 1, 2, 3, 5, 8, 13, 21, 34, 55}))
+B, T = 4, 8
+LR, WD = 1e-2, 0.2
+STEPS = 5
+
+
+def _configs():
+    base = CLIPConfig.create(
+        vocab_size=VOCAB, vision_preset="vit-t-8", image_size=16,
+        text_width=32, text_layers=2, text_heads=2, context_length=T,
+        embed_dim=16, attention_layout="bthd", text_attention_core=False,
+    )
+    return base, dataclasses.replace(base, active_vocab_rows=ACTIVE)
+
+
+def _batch(rng):
+    ids = rng.choice(np.asarray(ACTIVE), size=(B, T)).astype(np.int32)
+    return {
+        "images": jnp.asarray(rng.normal(size=(B, 3, 16, 16)).astype(np.float32)),
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((B, T), jnp.int32),
+    }
+
+
+def _loss_fn(model):
+    def f(p, batch):
+        img, txt, scale = model.apply(
+            {"params": p}, batch["images"], batch["input_ids"], batch["attention_mask"])
+        return contrastive_loss(img, txt, scale)
+    return f
+
+
+def _train(model, params, tx, batches):
+    loss_fn = _loss_fn(model)
+    opt = tx.init(params)
+    losses = []
+
+    @jax.jit
+    def step(p, opt, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(p, batch)
+        updates, opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), opt, loss
+
+    for b in batches:
+        params, opt, loss = step(params, opt, b)
+        losses.append(float(loss))
+    return params, losses
+
+
+def test_partitioned_adamw_exact_vs_dense():
+    cfg_dense, cfg_part = _configs()
+    rng = np.random.default_rng(0)
+    batches = [_batch(rng) for _ in range(STEPS)]
+
+    part_model = CLIPModel(cfg_part)
+    part_params = part_model.init(
+        jax.random.key(7), batches[0]["images"], batches[0]["input_ids"],
+        batches[0]["attention_mask"])["params"]
+
+    # Dense twin with an identical starting table (active subtable == its
+    # rows of the full table at init, by construction).
+    emb0 = np.asarray(part_params["text"]["token_embedding"]["embedding"])
+    dense_model = CLIPModel(cfg_dense)
+    dense_params = jax.tree_util.tree_map(lambda x: x, part_params)
+    dense_params["text"]["token_embedding"] = {"embedding": jnp.asarray(emb0)}
+
+    adamw = optax.adamw(LR, weight_decay=WD)
+    tx_dense = optax.chain(optax.clip_by_global_norm(1.0), adamw)
+
+    mask = jax.tree_util.tree_map(lambda _: True, part_params)
+    mask = partitioned_embed_mask(mask)
+    labels = jax.tree_util.tree_map(lambda m: "train" if m else "freeze", mask)
+    tx_part = optax.multi_transform(
+        {"train": optax.chain(optax.clip_by_global_norm(1.0), adamw),
+         "freeze": optax.set_to_zero()}, labels)
+
+    dense_final, dense_losses = _train(dense_model, dense_params, tx_dense, batches)
+    part_final, part_losses = _train(part_model, part_params, tx_part, batches)
+
+    # identical loss trajectory (same forward, same clipped updates)
+    np.testing.assert_allclose(part_losses, dense_losses, rtol=1e-5)
+
+    decay = inactive_decay([LR] * STEPS, WD)
+    merged = merged_embedding(
+        part_final["text"]["token_embedding"]["embedding"],
+        part_final["text"]["token_embedding"]["active"],
+        ACTIVE, decay=decay)
+    np.testing.assert_allclose(
+        merged, np.asarray(dense_final["text"]["token_embedding"]["embedding"]),
+        rtol=2e-5, atol=1e-7)
+
+    # every non-embedding param matches too
+    d_rest = {k: v for k, v in dense_final.items()}
+    p_rest = {k: v for k, v in part_final.items()}
+    d_rest["text"] = {k: v for k, v in d_rest["text"].items() if k != "token_embedding"}
+    p_rest["text"] = {k: v for k, v in p_rest["text"].items() if k != "token_embedding"}
+    for a, b in zip(jax.tree_util.tree_leaves(d_rest), jax.tree_util.tree_leaves(p_rest)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
+
+    # the frozen full table never moved on-device
+    np.testing.assert_array_equal(
+        np.asarray(part_final["text"]["token_embedding"]["embedding"]), emb0)
+
+
+def test_partitioned_forward_handles_inactive_ids():
+    """Stray ids outside the active set read the frozen table exactly."""
+    rng = np.random.default_rng(1)
+    mod = PartitionedEmbed(VOCAB, 16, active_rows=ACTIVE)
+    ids = jnp.asarray([[4, 5, 6], [55, 63, 0]], jnp.int32)
+    params = mod.init(jax.random.key(0), ids)["params"]
+    out = mod.apply({"params": params}, ids)
+    emb = np.asarray(params["embedding"])
+    act = np.asarray(params["active"])
+    remap = {t: i for i, t in enumerate(ACTIVE)}
+    for r in range(2):
+        for c in range(3):
+            tid = int(ids[r, c])
+            want = act[remap[tid]] if tid in remap else emb[tid]
+            np.testing.assert_array_equal(np.asarray(out[r, c]), want)
+
+
+def test_active_rows_from_corpus_and_decay():
+    rows = active_rows_from_corpus([np.asarray([[3, 1, 0]]), np.asarray([7, 1])])
+    assert rows == (0, 1, 3, 7)
+    d = inactive_decay([0.1, 0.2], weight_decay=0.5)
+    np.testing.assert_allclose(d, (1 - 0.05) * (1 - 0.1))
+
+
+def test_partitioned_embed_rejects_bad_rows():
+    with pytest.raises(AssertionError):
+        PartitionedEmbed(8, 4, active_rows=(3, 1)).init(
+            jax.random.key(0), jnp.zeros((1, 2), jnp.int32))
+    with pytest.raises(AssertionError):
+        PartitionedEmbed(8, 4, active_rows=(1, 9)).init(
+            jax.random.key(0), jnp.zeros((1, 2), jnp.int32))

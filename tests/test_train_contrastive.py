@@ -106,3 +106,42 @@ def test_contrastive_resume(dataset_dir, tmp_path, capsys):
     assert "Resuming from epoch 1 checkpoint" in out
     assert "Epoch 3/4" in out and "Epoch 4/4" in out
     assert "Epoch 1/4" not in out
+
+
+def test_contrastive_training_partitioned_embed(dataset_dir, tmp_path, capsys):
+    """Trainer drive with partition_text_embedding: exact row-sparse AdamW."""
+    from multimodal_concept_learning_tpu.train.contrastive_training import main
+
+    results_dir = str(tmp_path / "results_part")
+    cfg = {
+        "mapping_path": os.path.join(dataset_dir, "train_mapping.csv"),
+        "image_root": dataset_dir,
+        "caption_template": "a circle of color {class_name}",
+        "vision_model_name": "vit-t-8",
+        "image_size": 32,
+        "text_width": 64,
+        "text_layers": 2,
+        "text_heads": 4,
+        "context_length": 32,
+        "embed_dim": 32,
+        "epochs": 2,
+        "batch_size": 8,
+        "effective_batch_size": 8,
+        "learning_rate": 1e-3,
+        "warmup_steps": 2,
+        "results_dir": results_dir,
+        "seed": 0,
+        "train_transforms": ["ToTensor"],
+        "val_transforms": ["ToTensor"],
+        "partition_text_embedding": True,
+    }
+    cfg_path = tmp_path / "cfg_part.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    metrics = main(["--config_path", str(cfg_path)])
+    assert 0.0 <= metrics["zero_shot_acc"] <= 100.0
+
+    out = capsys.readouterr().out
+    assert "Partitioned text embedding:" in out
+    ckpts = os.listdir(os.path.join(results_dir, "checkpoints"))
+    assert any(c.startswith("step_") for c in ckpts)
