@@ -59,6 +59,27 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
+def _fetch_f32(leaf) -> np.ndarray:
+    """Device or host leaf → fp32 numpy.
+
+    Bulk D2H first, dtype cast on the host: ``np.asarray(device_arr,
+    dtype=...)`` with a dtype that differs from the array's takes a
+    per-element fetch path — measured 65 s for 8 MB of bf16 over the dev
+    tunnel (~200× slower than ``device_get`` + ``astype``) with GBs of
+    Python-object overhead, which host-OOM-killed the trainers' final-eval
+    best-model reload at 786M params (round-4 concept-count sweep)."""
+    import jax
+
+    arr = np.asarray(jax.device_get(leaf))
+    return arr if arr.dtype == np.float32 else arr.astype(np.float32)
+
+
+def _shape_only(template) -> np.ndarray:
+    """Zero-copy stand-in carrying only shape/ndim — for deriving torch key
+    NAMES from helpers that also transform values (the values are unused)."""
+    return np.broadcast_to(np.float32(0.0), tuple(template.shape))
+
+
 def flatten_params(params) -> Dict[str, np.ndarray]:
     """Flax nested dict → {'a/b/c': array} (fp32 numpy)."""
     flat = {}
@@ -68,7 +89,24 @@ def flatten_params(params) -> Dict[str, np.ndarray]:
             for k, v in node.items():
                 rec(v, path + [k])
         else:
-            flat["/".join(path)] = np.asarray(node, dtype=np.float32)
+            flat["/".join(path)] = _fetch_f32(node)
+
+    rec(params, [])
+    return flat
+
+
+def flatten_leaves(params) -> Dict:
+    """Like flatten_params but keeps leaves untouched (no D2H, no cast) —
+    the *_from_torch import direction only needs template shapes unless a
+    torch key is missing, so device trees must not be pulled eagerly."""
+    flat = {}
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(v, path + [k])
+        else:
+            flat["/".join(path)] = node
 
     rec(params, [])
     return flat
@@ -149,18 +187,23 @@ def _vit_export(rel: str, arr: np.ndarray, patch_size: int):
 def _vit_import(rel: str, template: np.ndarray, lookup, patch_size: int):
     """Inverse of _vit_export: build the flax param from torch entries.
     ``lookup(torch_name)`` returns the tensor or None; missing entries keep
-    the template's values."""
+    the template's values.  ``template`` may be a DEVICE array — it is only
+    fetched (``_fetch_f32``) on the missing-key fallback, so importing a
+    complete checkpoint over a live param tree does zero D2H."""
     parts = rel.split("/")
     if parts[0].startswith("layer_") and parts[1] == "attention" and parts[2] == "qkv":
         i = parts[0].split("_")[1]
         base = f"encoder.layer.{i}.attention.attention"
         names = ("query", "key", "value")
         pieces = []
+        host_tmpl = None
         for j, nm in enumerate(names):
             suffix = "weight" if parts[3] == "kernel" else "bias"
             t = lookup(f"{base}.{nm}.{suffix}")
             if t is None:
-                pieces.append(np.asarray(template[:, j] if parts[3] == "kernel" else template[j]))
+                if host_tmpl is None:
+                    host_tmpl = _fetch_f32(template)
+                pieces.append(host_tmpl[:, j] if parts[3] == "kernel" else host_tmpl[j])
             elif parts[3] == "kernel":
                 h = t.shape[1]
                 pieces.append(t.T.reshape(template.shape[0], *template.shape[2:]))
@@ -168,10 +211,10 @@ def _vit_import(rel: str, template: np.ndarray, lookup, patch_size: int):
                 pieces.append(t.reshape(template.shape[1:]))
         return np.stack(pieces, axis=1 if parts[3] == "kernel" else 0)
 
-    entries = _vit_export(rel, np.asarray(template), patch_size)
+    entries = _vit_export(rel, _shape_only(template), patch_size)
     torch_arr = lookup(entries[0][0])
     if torch_arr is None:
-        return np.asarray(template)
+        return _fetch_f32(template)
     if rel in ("cls_token", "position_embeddings"):
         return torch_arr.reshape(template.shape)
     if parts[0] == "patch_embed" and parts[1] == "kernel":
@@ -363,22 +406,27 @@ def lm_params_to_torch(params) -> Dict[str, np.ndarray]:
 def lm_params_from_torch(sd: Dict[str, np.ndarray], params_template):
     """Inverse of ``lm_params_to_torch``; missing keys keep template values."""
     template = params_template.get("params", params_template)
-    flat_template = flatten_params(template)
+    flat_template = flatten_leaves(template)
     out: Dict[str, np.ndarray] = {}
     for rel, tmpl in flat_template.items():
         if rel.startswith("layers_scan/block/"):
             sub = rel[len("layers_scan/block/") :]
+            shape_i = _shape_only(tmpl)[0]
             per_layer = []
+            host_tmpl = None
             for i in range(tmpl.shape[0]):
-                name, _ = _lm_entry_to_torch(f"layer_{i}/{sub}", tmpl[i])
+                name, _ = _lm_entry_to_torch(f"layer_{i}/{sub}", shape_i)
                 if name in sd:
-                    per_layer.append(_lm_entry_from_torch(f"layer_{i}/{sub}", sd[name], tmpl[i]))
+                    per_layer.append(_lm_entry_from_torch(f"layer_{i}/{sub}", sd[name], shape_i))
                 else:
-                    per_layer.append(np.asarray(tmpl[i]))
+                    if host_tmpl is None:
+                        host_tmpl = _fetch_f32(tmpl)
+                    per_layer.append(host_tmpl[i])
             out[rel] = np.stack(per_layer)
         else:
-            name, _ = _lm_entry_to_torch(rel, tmpl)
-            out[rel] = _lm_entry_from_torch(rel, sd[name], tmpl) if name in sd else tmpl
+            name, _ = _lm_entry_to_torch(rel, _shape_only(tmpl))
+            out[rel] = (_lm_entry_from_torch(rel, sd[name], tmpl)
+                        if name in sd else _fetch_f32(tmpl))
     tree = unflatten_params(out)
     if "params" in params_template:
         return {"params": tree}
@@ -440,7 +488,11 @@ def mllm_params_from_torch(sd: Dict[str, np.ndarray], params_template, patch_siz
     (``vision_model.timm_model.*``, fused qkv) are detected and translated."""
     sd = _normalize_mllm_vision_keys(sd)
     template = params_template.get("params", params_template)
-    flat_template = flatten_params(template)
+    # Leaves stay un-fetched: a complete (self-saved) checkpoint import over
+    # a live DEVICE tree does zero D2H — only missing keys pull their
+    # template leaf (the former eager flatten_params pull host-OOM'd at
+    # 786M params, see _fetch_f32).
+    flat_template = flatten_leaves(template)
     out: Dict[str, np.ndarray] = {}
     for key, tmpl in flat_template.items():
         tower, rel = key.split("/", 1)
@@ -449,30 +501,34 @@ def mllm_params_from_torch(sd: Dict[str, np.ndarray], params_template, patch_siz
         elif tower == "projector":
             torch_key = "projector.weight" if rel == "kernel" else "projector.bias"
             arr = sd.get(torch_key)
-            out[key] = (arr.T if rel == "kernel" else arr) if arr is not None else tmpl
+            out[key] = (arr.T if rel == "kernel" else arr) if arr is not None else _fetch_f32(tmpl)
         elif tower == "language_model":
             if rel.startswith("layers_scan/block/"):
                 sub = rel[len("layers_scan/block/") :]
+                shape_i = _shape_only(tmpl)[0]
                 per_layer = []
+                host_tmpl = None
                 for i in range(tmpl.shape[0]):
-                    name, _ = _lm_entry_to_torch(f"layer_{i}/{sub}", tmpl[i])
+                    name, _ = _lm_entry_to_torch(f"layer_{i}/{sub}", shape_i)
                     torch_key = f"language_model.{name}"
                     if torch_key in sd:
                         per_layer.append(
-                            _lm_entry_from_torch(f"layer_{i}/{sub}", sd[torch_key], tmpl[i])
+                            _lm_entry_from_torch(f"layer_{i}/{sub}", sd[torch_key], shape_i)
                         )
                     else:
-                        per_layer.append(np.asarray(tmpl[i]))
+                        if host_tmpl is None:
+                            host_tmpl = _fetch_f32(tmpl)
+                        per_layer.append(host_tmpl[i])
                 out[key] = np.stack(per_layer)
             else:
-                name, _ = _lm_entry_to_torch(rel, tmpl)
+                name, _ = _lm_entry_to_torch(rel, _shape_only(tmpl))
                 torch_key = f"language_model.{name}"
                 if torch_key in sd:
                     out[key] = _lm_entry_from_torch(rel, sd[torch_key], tmpl)
                 else:
-                    out[key] = tmpl
+                    out[key] = _fetch_f32(tmpl)
         else:
-            out[key] = tmpl
+            out[key] = _fetch_f32(tmpl)
     tree = unflatten_params(out)
     if "params" in params_template:
         return {"params": tree}
@@ -513,7 +569,7 @@ def vit_classifier_params_from_torch(sd: Dict[str, np.ndarray], params_template,
                 renamed[f"vit.{k}"] = v
         sd = renamed
     template = params_template.get("params", params_template)
-    flat_template = flatten_params(template)
+    flat_template = flatten_leaves(template)
     out: Dict[str, np.ndarray] = {}
     for key, tmpl in flat_template.items():
         head, rel = key.split("/", 1)
@@ -527,9 +583,9 @@ def vit_classifier_params_from_torch(sd: Dict[str, np.ndarray], params_template,
             if torch_key not in sd and f"module.{torch_key}" in sd:
                 torch_key = f"module.{torch_key}"
             arr = sd.get(torch_key)
-            out[key] = (arr.T if rel == "kernel" else arr) if arr is not None else tmpl
+            out[key] = (arr.T if rel == "kernel" else arr) if arr is not None else _fetch_f32(tmpl)
         else:
-            out[key] = tmpl
+            out[key] = _fetch_f32(tmpl)
     tree = unflatten_params(out)
     if "params" in params_template:
         return {"params": tree}

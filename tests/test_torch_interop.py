@@ -193,3 +193,45 @@ def test_moe_lm_params_roundtrip_torch():
     ):
         assert pa == pb
         np.testing.assert_allclose(np.asarray(lb), np.asarray(la), err_msg=str(pa))
+
+
+def test_mllm_import_complete_sd_never_fetches_template(tmp_path):
+    """A COMPLETE checkpoint import must not materialize template values —
+    only shapes.  The eager template pull host-OOM'd the trainers' final-eval
+    best-model reload at 786M params over the dev tunnel (round-4 sweep):
+    np.asarray(bf16_device, dtype=f32) takes a per-element fetch path
+    (measured 65 s / 8 MB).  Template leaves here raise on any
+    materialization; import must succeed anyway."""
+    from multimodal_concept_learning_tpu.models import LMConfig, MLLM, MLLMConfig
+
+    vision = _tiny_cfg()
+    lm = dataclasses.replace(LMConfig.preset("nano", vocab_size=300), dtype=jnp.float32)
+    cfg = MLLMConfig(vision=vision, lm=lm, num_vision_tokens=17, max_answer_tokens=4,
+                     dtype=jnp.float32)
+    model = MLLM(cfg)
+    images = jnp.zeros((1, 3, 32, 32))
+    ids = jnp.zeros((1, 17 + 8), dtype=jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.key(0), images, ids, mask)
+    sd = mllm_params_to_torch(jax.device_get(params), patch_size=vision.patch_size)
+
+    class ShapeOnly:
+        """Template stand-in that dies on any value read."""
+
+        def __init__(self, shape):
+            self.shape = shape
+
+        def __array__(self, *a, **k):
+            raise AssertionError("template leaf was materialized")
+
+        def __getitem__(self, i):
+            raise AssertionError("template leaf was indexed for values")
+
+    sentinel = jax.tree_util.tree_map(lambda x: ShapeOnly(x.shape), params)
+    out = mllm_params_from_torch(sd, sentinel, patch_size=vision.patch_size)
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(out)[0],
+    ):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, err_msg=str(p1))
