@@ -156,4 +156,48 @@ def moe_mlp(x, module: MoEMLP):
     return module(x)
 
 
-__all__ = ["MoEMLP", "moe_mlp"]
+def router_stats(logits, top_k: int, capacity_factor: float):
+    """Routing diagnostics from raw router logits [B, T, E].
+
+    Replicates MoEMLP's gate math and _sparse_moe's capacity bookkeeping
+    exactly (stable sort, capacity = ceil(top_k*N*cf/E) rounded up to 8),
+    returning host floats:
+
+    - ``drop_frac``: fraction of (token, expert) assignments the sparse
+      dispatch would drop at this capacity factor (dense dispatch: 0)
+    - ``load_frac``: [E] fraction of assignments routed to each expert
+    - ``entropy``: mean per-token routing entropy over the full softmax
+      (nats; ln(E) = uniform)
+    - ``aux``: the Switch-style load-balance loss (1.0 = perfectly balanced)
+
+    Use with ``capture_intermediates`` filtering the ``router`` Dense to
+    probe a real model (scripts/bench_mllm.py --moe_stats).
+    """
+    import numpy as np
+
+    logits = np.asarray(jax.device_get(logits), np.float32)
+    b, t, e = logits.shape
+    n = b * t
+    probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+    probs = np.asarray(probs)
+    top_idx = np.argsort(-probs, axis=-1)[..., :top_k]  # [B,T,k]
+
+    counts = np.bincount(top_idx.reshape(-1), minlength=e)
+    capacity = int(-(-(top_k * n * capacity_factor) // e))
+    capacity = min(-(-capacity // 8) * 8, n)
+    dropped = np.maximum(counts - capacity, 0).sum()
+
+    p = np.clip(probs, 1e-9, None)
+    entropy = float(-(p * np.log(p)).sum(-1).mean())
+    frac = counts / counts.sum()
+    aux = float(e * (frac * probs.mean((0, 1))).sum())
+    return {
+        "drop_frac": float(dropped / (n * top_k)),
+        "load_frac": frac,
+        "entropy": entropy,
+        "aux": aux,
+        "capacity": capacity,
+    }
+
+
+__all__ = ["MoEMLP", "moe_mlp", "router_stats"]

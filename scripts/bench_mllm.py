@@ -52,6 +52,15 @@ def main():
                         help="sparse = GShard capacity dispatch (executes "
                              "top_k*cf/E of the dense MLP FLOPs)")
     parser.add_argument("--moe_capacity_factor", type=float, default=1.25)
+    parser.add_argument("--moe_stats", action="store_true",
+                        help="probe router logits (capture_intermediates) "
+                             "and print drop/balance stats (ops/moe.py "
+                             "router_stats) before timing")
+    parser.add_argument("--host_init", action="store_true",
+                        help="init params on the host CPU backend and ship "
+                             "bf16 to the device (avoids the fp32 on-device "
+                             "init peak that OOMs E=4 MoE; implies "
+                             "--bf16_params)")
     args = parser.parse_args()
 
     tokenizer = ConceptTokenizer()
@@ -86,13 +95,63 @@ def main():
         "labels": jnp.full((B, T), -100, jnp.int32).at[:, -2].set(7).at[:, -1].set(8),
     }
 
-    params = jax.jit(model.init)(
-        jax.random.key(0), batch["images"], batch["input_ids"], batch["attention_mask"]
-    )["params"]
-    if args.bf16_params:
-        # leafwise cast with source-buffer deletion: a whole-tree astype copy
-        # holds fp32+bf16 trees alive and OOMs the 2.9B-param E=4 MoE init
-        params = cast_params_bf16(params)
+    if args.host_init:
+        # fp32 init on the host CPU backend (125 GB RAM), leafwise bf16 cast,
+        # then one H2D per leaf: device HBM never sees the fp32 tree, which
+        # is what OOM'd the 2.9B-param E=4 MoE on a 16 GB chip.
+        args.bf16_params = True
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            host_params = jax.jit(model.init)(
+                jax.random.key(0),
+                np.zeros((1, 3, 224, 224), np.float32),
+                np.asarray(jax.device_get(batch["input_ids"][:1])),
+                np.ones((1, T), np.int32),
+            )["params"]
+            host_params = cast_params_bf16(host_params)
+        dev = jax.devices()[0]
+        t0 = time.time()
+        params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(np.asarray(x), dev), host_params)
+        print(f"host_init: shipped bf16 tree in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+    else:
+        params = jax.jit(model.init)(
+            jax.random.key(0), batch["images"], batch["input_ids"], batch["attention_mask"]
+        )["params"]
+        if args.bf16_params:
+            # leafwise cast with source-buffer deletion: a whole-tree astype
+            # copy holds fp32+bf16 trees alive and OOMs big MoE inits
+            params = cast_params_bf16(params)
+
+    if args.moe_stats and args.moe_experts:
+        from multimodal_concept_learning_tpu.ops.moe import router_stats
+
+        _, inter = model.apply(
+            {"params": params}, batch["images"], batch["input_ids"],
+            batch["attention_mask"], batch["labels"],
+            capture_intermediates=lambda mdl, _m: mdl.name == "router",
+            mutable=["intermediates"],
+        )
+        import numpy as _np
+
+        # keep router Dense outputs ([B,T,E] / scanned [L,B,T,E]); the sown
+        # per-layer moe_aux scalars share the collection but not the shape
+        leaves = [
+            l for l in jax.tree_util.tree_leaves(inter)
+            if getattr(l, "ndim", 0) >= 3 and l.shape[-1] == args.moe_experts
+        ]
+        assert leaves, "no router logits captured — is moe_experts set?"
+        logits = _np.concatenate(
+            [_np.asarray(jax.device_get(l)).reshape(-1, *l.shape[-2:])
+             for l in leaves], axis=0).reshape(1, -1, args.moe_experts)
+        st = router_stats(logits, args.moe_top_k, args.moe_capacity_factor)
+        print(
+            f"router_stats cf={args.moe_capacity_factor}: "
+            f"drop_frac={st['drop_frac']:.4f} entropy={st['entropy']:.3f} "
+            f"aux={st['aux']:.4f} load={_np.round(st['load_frac'], 3)}",
+            file=sys.stderr,
+        )
     mask = trainable_mask(params, "language_embed_only")
     tx = build_optimizer(5e-4, weight_decay=1e-4, max_grad_norm=1.0, trainable_mask=mask,
                          fp32_master=args.bf16_params)
@@ -102,6 +161,23 @@ def main():
 
     def one(s, b, r):
         def loss_fn(p):
+            if args.moe_experts:
+                # same objective as the trainer (parallel/train_step.py):
+                # answer CE + 0.01 x mean sown Switch aux loss, so the
+                # router balance the post-train probe measures is the real
+                # training dynamic, not an unregularized collapse
+                out, inter = model.apply(
+                    {"params": p}, b["images"], b["input_ids"],
+                    b["attention_mask"], b["labels"], mutable=["intermediates"])
+                aux_leaves = [
+                    v for path, v in jax.tree_util.tree_leaves_with_path(inter)
+                    if any(getattr(k, "key", None) == "moe_aux" for k in path)
+                ]
+                loss = out["loss"]
+                if aux_leaves:
+                    loss = loss + 0.01 * sum(
+                        jnp.mean(a) for a in aux_leaves) / len(aux_leaves)
+                return loss
             out = model.apply({"params": p}, b["images"], b["input_ids"],
                               b["attention_mask"], b["labels"])
             return out["loss"]
@@ -125,6 +201,34 @@ def main():
         state, losses = scan_fn(state, batch, key)
     final = float(losses[-1])
     elapsed = time.time() - t0
+
+    if args.moe_stats and args.moe_experts:
+        # re-probe routing after the timed training steps (the 0.01 aux
+        # load-balance loss is in the objective — entropy/balance drift
+        # under real updates is the measurement VERDICT r3 asked for)
+        _, inter2 = model.apply(
+            {"params": state.params}, batch["images"], batch["input_ids"],
+            batch["attention_mask"], batch["labels"],
+            capture_intermediates=lambda mdl, _m: mdl.name == "router",
+            mutable=["intermediates"],
+        )
+        import numpy as _np
+        from multimodal_concept_learning_tpu.ops.moe import router_stats
+        leaves2 = [
+            l for l in jax.tree_util.tree_leaves(inter2)
+            if getattr(l, "ndim", 0) >= 3 and l.shape[-1] == args.moe_experts
+        ]
+        logits2 = _np.concatenate(
+            [_np.asarray(jax.device_get(l)).reshape(-1, *l.shape[-2:])
+             for l in leaves2], axis=0).reshape(1, -1, args.moe_experts)
+        st2 = router_stats(logits2, args.moe_top_k, args.moe_capacity_factor)
+        print(
+            f"router_stats post-train ({INNER * REPEATS} steps) "
+            f"cf={args.moe_capacity_factor}: drop_frac={st2['drop_frac']:.4f} "
+            f"entropy={st2['entropy']:.3f} aux={st2['aux']:.4f} "
+            f"load={_np.round(st2['load_frac'], 3)}",
+            file=sys.stderr,
+        )
 
     n_dev = len(jax.devices())
     steps_per_sec = INNER * REPEATS / elapsed

@@ -395,3 +395,40 @@ def test_expert_parallel_sparse_dispatch_matches_single_device(eight_devices):
     np.testing.assert_allclose(
         np.asarray(grads["layer_0"]["moe"]["experts_down"]),
         np.asarray(ref_grads["layer_0"]["moe"]["experts_down"]), atol=2e-5)
+
+
+def test_router_stats_matches_sparse_dispatch_bookkeeping():
+    """router_stats' drop accounting replicates _sparse_moe's capacity math."""
+    from multimodal_concept_learning_tpu.ops.moe import router_stats
+
+    rng = np.random.default_rng(11)
+    b, t, e, k, cf = 2, 24, 4, 2, 0.5
+    # skewed logits -> unbalanced routing -> real drops at cf < E/k
+    logits = rng.normal(size=(b, t, e)).astype(np.float32)
+    logits[..., 0] += 2.0
+
+    st = router_stats(logits, top_k=k, capacity_factor=cf)
+
+    # brute force: same gates math as MoEMLP, same capacity rule
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    top_idx = np.argsort(-probs, axis=-1)[..., :k].reshape(-1)
+    n = b * t
+    capacity = int(-(-(k * n * cf) // e))
+    capacity = min(-(-capacity // 8) * 8, n)
+    counts = np.bincount(top_idx, minlength=e)
+    want_dropped = np.maximum(counts - capacity, 0).sum() / (n * k)
+    assert st["capacity"] == capacity
+    np.testing.assert_allclose(st["drop_frac"], want_dropped)
+    assert st["drop_frac"] > 0  # the skew actually exercised dropping
+    np.testing.assert_allclose(st["load_frac"].sum(), 1.0, rtol=1e-6)
+    assert 0.0 < st["entropy"] <= np.log(e) + 1e-6
+    assert st["aux"] >= 1.0 - 1e-6  # Switch aux lower bound at balance
+
+
+def test_router_stats_no_drops_at_ample_capacity():
+    from multimodal_concept_learning_tpu.ops.moe import router_stats
+
+    rng = np.random.default_rng(3)
+    logits = rng.normal(size=(1, 16, 4)).astype(np.float32)
+    st = router_stats(logits, top_k=2, capacity_factor=2.0)  # cf >= E/k
+    assert st["drop_frac"] == 0.0
