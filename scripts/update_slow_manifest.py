@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Regenerate tests/slow_tests.txt from a `pytest --durations=0` log.
+
+The fast test lane (`pytest -m "not slow"`, see tests/conftest.py) is driven
+by a checked-in manifest of test ids measured >= THRESHOLD seconds
+(setup + call aggregated) on the reference 1-core dev box.  After adding or
+materially changing tests, refresh it with:
+
+    python -m pytest tests/ -q --durations=0 > /tmp/durations.log
+    python scripts/update_slow_manifest.py /tmp/durations.log
+
+Usage: update_slow_manifest.py <durations-log> [threshold-seconds=10]
+"""
+
+import re
+import sys
+from collections import defaultdict
+
+THRESHOLD = 10.0
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        sys.exit(__doc__)
+    threshold = float(argv[1]) if len(argv) > 1 else THRESHOLD
+    per = defaultdict(float)
+    for line in open(argv[0]):
+        m = re.match(r"\s*([\d.]+)s (call|setup|teardown)\s+(\S+)", line)
+        if m:
+            per[m.group(3)] += float(m.group(1))
+    if not per:
+        sys.exit("no `--durations=0` rows found in the log")
+    slow = sorted(t for t, d in per.items() if d >= threshold)
+    out = "tests/slow_tests.txt"
+    with open(out, "w") as f:
+        f.write(
+            f"# Tests taking >={threshold:g}s (setup+call) on the 1-core dev box,"
+            " measured by\n"
+            "# `pytest --durations=0`.  conftest.py marks these `slow`; the fast\n"
+            "# lane is `pytest -m 'not slow'` (<10 min).\n"
+            "# Regenerate: python scripts/update_slow_manifest.py <durations-log>\n"
+        )
+        for t in slow:
+            f.write(t + "\n")
+    print(f"{len(slow)} ids -> {out}")
+
+
+if __name__ == "__main__":
+    main()
