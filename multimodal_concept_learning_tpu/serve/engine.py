@@ -135,7 +135,10 @@ class ServingEngine(EngineHostAPI):
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
         seed: int = 0,
+        num_beams: int = 1,
+        length_penalty: float = 0.0,
     ):
+        from multimodal_concept_learning_tpu.models.beam import beam_generate
         from multimodal_concept_learning_tpu.models.mllm import generate
         from multimodal_concept_learning_tpu.ops.multi_lora import (
             multi_lora_generate,
@@ -156,7 +159,29 @@ class ServingEngine(EngineHostAPI):
         # stacked adapter leaves, requests pick adapters per row, and the
         # generate program is the per-row vmap (ops/multi_lora.py)
         self.num_adapters = getattr(loaded, "num_adapters", 0)
-        if self.num_adapters:
+        self.num_beams = num_beams
+        if num_beams > 1:
+            # beam search replaces the greedy/sampling decode with a width-K
+            # scored search (models/beam.py); it is deterministic and runs
+            # the LM on B*K rows, so it excludes sampling and (the vmapped)
+            # multi-LoRA banks — both rejected loudly (serve/README.md).
+            if temperature > 0.0 or top_k is not None or top_p is not None:
+                raise ValueError("num_beams > 1 is deterministic — it "
+                                 "excludes temperature/top_k/top_p sampling")
+            if self.num_adapters:
+                raise ValueError("num_beams > 1 excludes multi-LoRA banks "
+                                 "(beam tiles the KV cache to B*K rows; the "
+                                 "bank vmap does not compose — serve a "
+                                 "merged checkpoint instead)")
+            self._gen_fn = jax.jit(
+                lambda p, img, ids, mask, key: beam_generate(
+                    model, p, img, ids, mask,
+                    max_new_tokens=max_new_tokens, num_beams=num_beams,
+                    eos_id=self.eos_id, pad_id=self.pad_id,
+                    length_penalty=length_penalty,
+                )
+            )
+        elif self.num_adapters:
             self._gen_fn = jax.jit(
                 lambda p, img, ids, mask, key, aidx: multi_lora_generate(
                     model, p, aidx, img, ids, mask,

@@ -185,7 +185,8 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
                 continuous: bool = False, steps_per_call: int = 4,
                 paged: bool = False, page_size: int = 16,
                 num_pages=None, adapters=None, chunked_prefill: int = 0,
-                int8_kv: bool = False):
+                int8_kv: bool = False, num_beams: int = 1,
+                length_penalty: float = 0.0):
     """Build (ThreadingHTTPServer, batcher); caller runs serve_forever().
 
     ``continuous=True`` uses slot-level continuous batching
@@ -216,6 +217,10 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
     if int8_kv and not paged:
         raise ValueError("--int8_kv requires --paged (the dense fronts "
                          "keep full-precision caches)")
+    if num_beams > 1 and (continuous or paged):
+        raise ValueError("--num_beams > 1 runs on the whole-batch front only "
+                         "(beam reorders B*K cache rows each step, which the "
+                         "slot-level engines' in-place row ownership excludes)")
     if adapters:
         if paged:
             raise ValueError("multi-LoRA banks exclude --paged "
@@ -269,7 +274,8 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
         engine = ServingEngine(
             loaded, batch_size=batch_size, max_new_tokens=max_new_tokens,
             max_prompt_len=max_prompt_len, temperature=temperature,
-            top_k=top_k, top_p=top_p, seed=seed,
+            top_k=top_k, top_p=top_p, seed=seed, num_beams=num_beams,
+            length_penalty=length_penalty,
         )
         batcher = Batcher(engine, max_wait_ms=max_wait_ms)
     drain_state = {"draining": False, "inflight": 0, "lock": threading.Lock()}
@@ -344,6 +350,10 @@ def main(argv=None):
     parser.add_argument("--int8_kv", action="store_true",
                         help="paged mode: int8-quantized page pool with "
                              "per-token scales (~2x tokens per HBM byte)")
+    parser.add_argument("--num_beams", type=int, default=1,
+                        help="beam-search width (whole-batch front only; "
+                             "excludes sampling and adapter banks)")
+    parser.add_argument("--length_penalty", type=float, default=0.0)
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--top_k", type=int, default=None)
     parser.add_argument("--top_p", type=float, default=None)
@@ -365,6 +375,7 @@ def main(argv=None):
         page_size=args.page_size, num_pages=args.num_pages,
         adapters=args.adapters.split(",") if args.adapters else None,
         chunked_prefill=args.chunked_prefill, int8_kv=args.int8_kv,
+        num_beams=args.num_beams, length_penalty=args.length_penalty,
     )
     print(f"Serving on http://{args.host}:{args.port} "
           f"(batch_size={args.batch_size}, max_wait_ms={args.max_wait_ms})")

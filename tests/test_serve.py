@@ -208,3 +208,83 @@ def test_sigterm_drain(trained_results_dir):
     finally:
         httpd.shutdown()
         batcher.shutdown()
+
+
+def test_engine_beam_matches_beam_generate(trained_results_dir):
+    """num_beams>1 on the whole-batch front wires models/beam.beam_generate
+    into the fixed-shape program (serve/README.md matrix: beam x whole-batch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_concept_learning_tpu.models.beam import beam_generate
+    from multimodal_concept_learning_tpu.serve import ServingEngine, load_trained_mllm
+
+    loaded = load_trained_mllm(trained_results_dir, verbose=False)
+    engine = ServingEngine(loaded, batch_size=2, max_new_tokens=3,
+                           max_prompt_len=16, num_beams=2)
+    imgs = [engine.preprocess_image(_circle_image(c)) for c in COLORS]
+    prompts = ["Is the color of the circle red?"] * 2
+    texts = engine.generate(imgs, prompts)
+    assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
+
+    # parity: the engine's padded program == beam_generate on the same inputs
+    cfg = loaded.config
+    img = np.zeros((2, 3, cfg.image_size, cfg.image_size), np.float32)
+    for i, a in enumerate(imgs):
+        img[i] = a
+    ids, mask = engine._encode_prompts(prompts)
+    tokens = np.asarray(beam_generate(
+        loaded.model, loaded.params, jnp.asarray(img), jnp.asarray(ids),
+        jnp.asarray(mask), max_new_tokens=3, num_beams=2,
+        eos_id=engine.eos_id, pad_id=engine.pad_id))
+    for i in range(2):
+        row = tokens[i]
+        if engine.eos_id is not None:
+            hit = np.nonzero(row == engine.eos_id)[0]
+            if hit.size:
+                row = row[: hit[0]]
+        want = loaded.tokenizer.decode(
+            [int(x) for x in row if int(x) >= 0], skip_special_tokens=True
+        ).strip()
+        assert texts[i] == want
+
+
+def test_engine_beam_rejects_sampling_and_banks(trained_results_dir):
+    from multimodal_concept_learning_tpu.serve import ServingEngine, load_trained_mllm
+
+    loaded = load_trained_mllm(trained_results_dir, verbose=False)
+    with pytest.raises(ValueError, match="excludes temperature"):
+        ServingEngine(loaded, num_beams=2, temperature=0.7)
+    bank = loaded._replace(num_adapters=2)  # structurally a bank
+    with pytest.raises(ValueError, match="excludes multi-LoRA"):
+        ServingEngine(bank, num_beams=2)
+
+
+def test_server_beam_rejects_slot_level_fronts(tmp_path):
+    """make_server rejects --num_beams with --continuous/--paged before any
+    model load (the reject must not require a trained checkpoint)."""
+    from multimodal_concept_learning_tpu.serve.server import make_server
+
+    with pytest.raises(ValueError, match="whole-batch front only"):
+        make_server(str(tmp_path), continuous=True, num_beams=2)
+    with pytest.raises(ValueError, match="whole-batch front only"):
+        make_server(str(tmp_path), paged=True, continuous=True, num_beams=2)
+
+
+def test_server_rejects_invalid_front_combos(tmp_path):
+    """Every unsupported front x feature combo fails loudly BEFORE any model
+    load (serve/README.md support matrix)."""
+    from multimodal_concept_learning_tpu.serve.server import make_server
+
+    with pytest.raises(ValueError, match="requires --continuous"):
+        make_server(str(tmp_path), chunked_prefill=16)  # chunked sans continuous
+    with pytest.raises(ValueError, match="excludes --paged"):
+        make_server(str(tmp_path), continuous=True, paged=True,
+                    chunked_prefill=16)
+    with pytest.raises(ValueError, match="requires --paged"):
+        make_server(str(tmp_path), int8_kv=True)
+    with pytest.raises(ValueError, match="exclude --paged"):
+        make_server(str(tmp_path), paged=True, continuous=True,
+                    adapters=["a", "b"])
+    with pytest.raises(ValueError, match="not --int4"):
+        make_server(str(tmp_path), adapters=["a", "b"], int4=True)
