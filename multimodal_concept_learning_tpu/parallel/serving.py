@@ -55,7 +55,18 @@ def make_sharded_generate(
     (jit device_puts them per the shardings) or pre-sharded ones.  ``key``
     is only consumed when ``temperature > 0``.  The global batch must be
     divisible by the data-axis size.
+
+    int8-quantized models compose (pure-XLA dequant follows GSPMD's
+    partitioning; tests/test_serving_parallel.py); int4 models are REJECTED:
+    their matmul is a Pallas kernel opaque to GSPMD, the composition has no
+    on-hardware evidence, and a CPU test would only exercise the XLA
+    fallback (ADVICE r3) — merge/serve int8 for sharded decode instead.
     """
+    if model.config.lm.int4_weights:
+        raise ValueError(
+            "sharded decode does not support int4 models: the int4 Pallas "
+            "matmul is opaque to GSPMD partitioning (untested composition) "
+            "— use --int8 for mesh-sharded serving")
     sharded = shard_params(params, mesh, model_axis=model_axis, fsdp_axis=fsdp_axis)
     p_shardings = param_shardings(params, mesh, model_axis=model_axis,
                                   fsdp_axis=fsdp_axis)
@@ -106,6 +117,11 @@ def make_sharded_paged_generate(
     """
     from multimodal_concept_learning_tpu.models.mllm import paged_generate
 
+    if model.config.lm.int4_weights:
+        raise ValueError(
+            "sharded paged decode does not support int4 models: the int4 "
+            "Pallas matmul is opaque to GSPMD partitioning (untested "
+            "composition) — use --int8 for mesh-sharded serving")
     sharded = shard_params(params, mesh, model_axis=model_axis, fsdp_axis=fsdp_axis)
     p_shardings = param_shardings(params, mesh, model_axis=model_axis,
                                   fsdp_axis=fsdp_axis)

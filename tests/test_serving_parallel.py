@@ -206,3 +206,24 @@ def test_mesh_continuous_engine_matches_isolated(eight_devices):
         assert results == dict(enumerate(want))
     finally:
         batcher.shutdown()
+
+
+def test_sharded_rejects_int4(eight_devices):
+    """int4 models are rejected by the sharded serving constructors: the
+    int4 Pallas matmul is opaque to GSPMD and the composition has no
+    on-hardware evidence (serve/README.md matrix; ADVICE r3)."""
+    import pytest
+
+    from multimodal_concept_learning_tpu.models.mllm import MLLM
+    from multimodal_concept_learning_tpu.parallel.serving import (
+        make_sharded_paged_generate,
+    )
+
+    fmodel, config = _mllm()
+    i4model = MLLM(dataclasses.replace(
+        config, lm=dataclasses.replace(config.lm, int4_weights=True)))
+    mesh = make_mesh(eight_devices[:4], axis_names=("data", "model"), shape=(2, 2))
+    with pytest.raises(ValueError, match="int4"):
+        make_sharded_generate(i4model, {}, mesh, 4)
+    with pytest.raises(ValueError, match="int4"):
+        make_sharded_paged_generate(i4model, {}, mesh, 4)
