@@ -117,6 +117,22 @@ def mllm_param_spec(
     else:
         inner_shape = shape
     spec = _maybe(dims, inner_shape, mesh, model_axis) if tp_on else P(*dims)
+    if fsdp_on and "embed_tokens" in keys and "embedding" in keys:
+        # Megatron-style: FSDP EXTENDS the vocab shard instead of sharding H.
+        # An H-sharded embedding table makes the embed cotangent [B, T, H]
+        # need a batch->H reshard that GSPMD can only perform as an
+        # "involuntary full rematerialization" (replicate-then-repartition)
+        # on hybrid replica x data x model meshes — the MULTICHIP_r03
+        # warning.  Vocab-extended FSDP is warning-free and loss-identical
+        # (verified by tests/test_dryrun_spmd_clean.py and the repro sweep:
+        # base/constrain/H-fsdp all warn, vocab-fsdp is clean).
+        vocab = shape[0]
+        fs = mesh.shape[fsdp_axis]
+        if tp_on and vocab % (mesh.shape[model_axis] * fs) == 0:
+            return P((model_axis, fsdp_axis), *([None] * (len(shape) - 1)))
+        if not tp_on and vocab % fs == 0:
+            return P(fsdp_axis, *([None] * (len(shape) - 1)))
+        return spec  # keep TP-only/replicated; never H-shard the table
     if fsdp_on:
         spec = P(*_apply_fsdp(list(spec) + [None] * (len(shape) - len(spec)),
                               shape, mesh, fsdp_axis))

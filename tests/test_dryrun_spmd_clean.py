@@ -1,0 +1,41 @@
+"""GSPMD efficiency regression: the multichip dryrun must not trigger
+"involuntary full rematerialization" (spmd_partitioner.cc warnings).
+
+MULTICHIP_r03's green tail carried two such warnings on the multi-slice
+stage: the embedding table was vocab-sharded over ``model`` AND H-sharded by
+FSDP over ``data``, so the embed cotangent [B, T, H] needed a batch->H
+reshard GSPMD can only do by replicating the tensor — an all-gather-sized
+cost on every real multi-chip step.  parallel/sharding_rules.py now extends
+the VOCAB shard with the fsdp axis instead (Megatron-style, H unsharded),
+which is warning-free and loss-identical.  This test runs the full dryrun in
+a subprocess (the driver's calling convention) and fails on ANY partitioner
+warning in stderr, so a future rule change cannot silently reintroduce the
+fallback.
+"""
+
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_dryrun_has_no_spmd_partitioner_warnings():
+    env = dict(os.environ)
+    env.pop("_MCL_DRYRUN_INLINE", None)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    code = "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "OK" in r.stdout
+    bad = [ln for ln in r.stderr.splitlines()
+           if "spmd_partitioner" in ln or "Involuntary full rematerialization" in ln]
+    assert not bad, "GSPMD fell back to full rematerialization:\n" + "\n".join(bad)
