@@ -361,3 +361,37 @@ def test_cast_params_bf16_leafwise_delete():
     for src in originals:  # fp32 sources were freed, not kept alive
         assert src.is_deleted()
     assert not out["ids"].is_deleted() and out["ids"].dtype == jnp.int32
+
+
+def test_embed_fsdp_extends_vocab_not_hidden(eight_devices):
+    """The embedding's FSDP shard extends the VOCAB dim (Megatron-style);
+    H-sharding the table forces GSPMD involuntary full rematerialization of
+    the embed cotangent on hybrid meshes (tests/test_dryrun_spmd_clean.py)."""
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from multimodal_concept_learning_tpu.parallel.sharding_rules import (
+        mllm_param_spec,
+    )
+
+    mesh = Mesh(np.asarray(eight_devices[:4]).reshape(2, 2), ("data", "model"))
+
+    class Leaf:
+        def __init__(self, shape):
+            self.shape = shape
+
+    path = tuple(jax.tree_util.DictKey(k) for k in
+                 ("language_model", "embed_tokens", "embedding"))
+    # vocab divides model*fsdp -> vocab over both, H untouched
+    spec = mllm_param_spec(path, Leaf((512, 128)), mesh, fsdp_axis="data")
+    assert spec == P(("model", "data"), None), spec
+    # vocab divides model only -> TP-only (never H-shard the table)
+    spec = mllm_param_spec(path, Leaf((514, 128)), mesh, fsdp_axis="data")
+    assert spec == P("model", None), spec
+    # no TP (model axis size 1): vocab over fsdp alone
+    mesh1 = Mesh(np.asarray(eight_devices[:4]).reshape(4, 1), ("data", "model"))
+    spec = mllm_param_spec(path, Leaf((512, 128)), mesh1, fsdp_axis="data")
+    assert spec == P("data", None), spec
+    # FSDP off -> plain vocab TP
+    spec = mllm_param_spec(path, Leaf((512, 128)), mesh)
+    assert spec == P("model", None), spec
