@@ -1,0 +1,242 @@
+"""Multi-page double-buffered-DMA paged decode-attention kernel.
+
+Round 3's ``paged_attention_kernel`` streams ONE page per grid step through
+a BlockSpec index_map; on-chip it turned out grid-latency-bound — a
+[g, ps]x[ps, d] program is ~66 KFLOPs, far below the per-step dispatch
+cost, so the kernel lost to the plain XLA gather at long contexts
+(BASELINE.md paged A/B).  This kernel amortizes that: each grid step
+computes a block of ``pages_per_block`` pages whose K/V it copied from HBM
+*during the previous step's compute* (manual ``pltpu.make_async_copy``
+into a double-buffered VMEM scratch, one DMA per page since a row's pages
+are scattered in the pool).  The pipelining scheme — chain the next block's
+copies at each step, reconstruct the descriptors to wait — follows the
+standard TPU double-buffering recipe (cf. jax's bundled
+pallas.ops.tpu.paged_attention, which has no sliding-window support; this
+kernel keeps the repo's exact decode-bias semantics so ONE compiled
+program serves Gemma-3's alternating global/sliding layers).
+
+Semantics match ``CausalLM.decode_step`` / the gather fallback exactly
+(attend iff ``idx < lens[b]`` and, on sliding layers,
+``pos - idx < window``); parity is pinned in interpret mode by
+tests/test_paged_kv.py and on-chip by scripts/bench_paged_kernel_micro.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30  # large finite negative; -inf breaks fully-masked softmax rows
+
+
+def _chunk_copies(pool_hbm, buf, sem, pt_ref, h, flat_start, ppb):
+    """One async-copy descriptor per page of a block (a row's pages are
+    scattered in the pool, so the block cannot be a single DMA).  All
+    copies of the block share ``sem``; waiting = one wait per copy."""
+    return [
+        pltpu.make_async_copy(
+            pool_hbm.at[pt_ref[flat_start + i], h], buf.at[i], sem
+        )
+        for i in range(ppb)
+    ]
+
+
+def _mp_kernel(
+    pt_ref,      # scalar prefetch: flat page table [B * NPpad]
+    lens_ref,    # scalar prefetch: [B]
+    win_ref,     # scalar prefetch: [1] (sliding window; <0 = global)
+    q_ref,       # VMEM block [1, 1, g, d]
+    pool_k_hbm,  # full pool [P, hk, ps, d], stays in HBM/ANY
+    pool_v_hbm,
+    o_ref,       # VMEM block [1, 1, g, d]
+    m_scr, l_scr, acc_scr,
+    k_buf, v_buf,            # [2, ppb, ps, d] double-buffered VMEM scratch
+    sems,                    # DMA semaphores [2, 2] (slot, k/v)
+    buf_idx_ref,             # SMEM [2]: (current slot, first-step flag)
+    *,
+    scale, page_size, ppb, np_pad,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    c = pl.program_id(2)
+    nb = pl.num_programs(0)
+    nh = pl.num_programs(1)
+    blk = page_size * ppb
+
+    len_b = lens_ref[b]
+    # every (b, h) owns >= 1 block even at len 0 (null pages, fully masked)
+    # so block chaining is pure arithmetic — no dynamic search for the next
+    # active step
+    nblocks = jnp.maximum(1, (len_b + blk - 1) // blk)
+
+    def nblocks_of(bi):
+        return jnp.maximum(1, (lens_ref[bi] + blk - 1) // blk)
+
+    def next_step(bi, hi, ci):
+        """The grid's next ACTIVE (b, h, block) after (bi, hi, ci)."""
+        def advance_b():
+            return bi + 1, jnp.int32(0), jnp.int32(0)
+
+        def advance_h():
+            return lax.cond(
+                hi + 1 < nh, lambda: (bi, hi + 1, jnp.int32(0)), advance_b)
+
+        return lax.cond(ci + 1 < nblocks_of(bi),
+                        lambda: (bi, hi, ci + 1), advance_h)
+
+    @pl.when(c < nblocks)
+    def _active():
+        slot = buf_idx_ref[0]
+
+        @pl.when(buf_idx_ref[1] == 1)
+        def _first_step_prefetch():
+            buf_idx_ref[1] = 0
+            for cp in _chunk_copies(pool_k_hbm, k_buf.at[slot],
+                                    sems.at[slot, 0], pt_ref, h,
+                                    b * np_pad + c * ppb, ppb):
+                cp.start()
+            for cp in _chunk_copies(pool_v_hbm, v_buf.at[slot],
+                                    sems.at[slot, 1], pt_ref, h,
+                                    b * np_pad + c * ppb, ppb):
+                cp.start()
+
+        nxt_b, nxt_h, nxt_c = next_step(b, h, c)
+
+        @pl.when(nxt_b < nb)
+        def _prefetch_next():
+            nslot = 1 - slot
+            for cp in _chunk_copies(pool_k_hbm, k_buf.at[nslot],
+                                    sems.at[nslot, 0], pt_ref, nxt_h,
+                                    nxt_b * np_pad + nxt_c * ppb, ppb):
+                cp.start()
+            for cp in _chunk_copies(pool_v_hbm, v_buf.at[nslot],
+                                    sems.at[nslot, 1], pt_ref, nxt_h,
+                                    nxt_b * np_pad + nxt_c * ppb, ppb):
+                cp.start()
+        buf_idx_ref[0] = 1 - slot
+
+        @pl.when(c == 0)
+        def _init():
+            m_scr[...] = jnp.full(m_scr.shape, _NEG, jnp.float32)
+            l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+            acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+        # wait THIS block's copies (started by the previous active step, or
+        # just above on the very first step)
+        for cp in _chunk_copies(pool_k_hbm, k_buf.at[slot], sems.at[slot, 0],
+                                pt_ref, h, b * np_pad + c * ppb, ppb):
+            cp.wait()
+        for cp in _chunk_copies(pool_v_hbm, v_buf.at[slot], sems.at[slot, 1],
+                                pt_ref, h, b * np_pad + c * ppb, ppb):
+            cp.wait()
+
+        q = q_ref[0, 0].astype(jnp.float32) * scale                # [g, D]
+        k = k_buf[slot].reshape(blk, -1).astype(jnp.float32)       # [blk, D]
+        v = v_buf[slot].reshape(blk, -1).astype(jnp.float32)
+        s = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                          # [g, blk]
+        idx = lax.broadcasted_iota(jnp.int32, (1, blk), 1) + c * blk
+        pos = len_b - 1
+        win = win_ref[0]
+        ok = (idx < len_b) & ((win < 0) | (pos - idx < win))
+        s = jnp.where(ok, s, _NEG)
+        m_old = m_scr[:, 0:1]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        # explicit zero for masked entries: a fully-masked block (len-0 row
+        # whose forced single block is all null pages) would otherwise give
+        # exp(s - m_new) = exp(0) = 1 everywhere and emit a garbage mean
+        p = jnp.where(ok, jnp.exp(s - m_new), 0.0)
+        l_new = alpha * l_scr[:, 0:1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32)
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+        @pl.when(c == nblocks - 1)
+        def _finalize():
+            l = jnp.maximum(l_scr[:, 0:1], 1e-30)
+            o_ref[0, 0] = (acc_scr[...] / l).astype(o_ref.dtype)
+
+
+def paged_decode_attention_mp_kernel(
+    q: jax.Array,
+    pool_k: jax.Array,
+    pool_v: jax.Array,
+    page_table: jax.Array,
+    lens: jax.Array,
+    window: jax.Array,
+    *,
+    scale: float,
+    pages_per_block: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """q: [B, 1, Hq, D]; pools: [P, hk, ps, D] (head-major); page_table:
+    [B, NP]; lens: [B] attendable tokens incl. the new one; window: int32
+    scalar (< 0 = global).  Returns [B, 1, Hq, D]."""
+    b, one, hq, d = q.shape
+    assert one == 1, "decode kernel handles one query token per row"
+    _, hk, ps, _ = pool_k.shape
+    assert hq % hk == 0
+    g = hq // hk
+    np_ = page_table.shape[1]
+    ppb = min(pages_per_block, np_)
+    np_pad = -(-np_ // ppb) * ppb
+    if np_pad != np_:
+        # entries past a row's pages map to the null page 0 — safe to DMA
+        page_table = jnp.pad(page_table, ((0, 0), (0, np_pad - np_)))
+    pt_flat = page_table.reshape(-1).astype(jnp.int32)
+    nblocks_max = np_pad // ppb
+
+    qg = q[:, 0].reshape(b, hk, g, d)
+    win = jnp.asarray(window, jnp.int32).reshape((1,))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # flat page table, lens, window
+        grid=(b, hk, nblocks_max),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, d), lambda bi, h, c, pt, ln, w: (bi, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # pool_k stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # pool_v stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), lambda bi, h, c, pt, ln, w: (bi, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((g, 128), jnp.float32),          # running max
+            pltpu.VMEM((g, 128), jnp.float32),          # running denominator
+            pltpu.VMEM((g, d), jnp.float32),            # unnormalized output
+            pltpu.VMEM((2, ppb, ps, d), pool_k.dtype),  # K double buffer
+            pltpu.VMEM((2, ppb, ps, d), pool_v.dtype),  # V double buffer
+            pltpu.SemaphoreType.DMA((2, 2)),            # (slot, k/v)
+            pltpu.SMEM((2,), jnp.int32),                # (cur slot, first flag)
+        ],
+    )
+
+    # the first-step flag must start at 1; SMEM scratch is uninitialized, so
+    # set it in-kernel on the very first grid step
+    def kernel_entry(pt_ref, lens_ref, win_ref, q_ref, pk, pv, o_ref,
+                     m_scr, l_scr, acc_scr, k_buf, v_buf, sems, buf_idx_ref):
+        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+                 & (pl.program_id(2) == 0))
+        def _boot():
+            buf_idx_ref[0] = 0
+            buf_idx_ref[1] = 1
+        _mp_kernel(pt_ref, lens_ref, win_ref, q_ref, pk, pv, o_ref,
+                   m_scr, l_scr, acc_scr, k_buf, v_buf, sems, buf_idx_ref,
+                   scale=scale, page_size=ps, ppb=ppb, np_pad=np_pad)
+
+    out = pl.pallas_call(
+        kernel_entry,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hk, g, d), q.dtype),
+        interpret=interpret,
+    )(pt_flat, lens.astype(jnp.int32), win, qg, pool_k, pool_v)
+    return out.reshape(b, hq, d)[:, None]
+
+
+__all__ = ["paged_decode_attention_mp_kernel"]

@@ -256,23 +256,33 @@ def paged_decode_attention(
         # the kernel streams float pages; int8 pools always take the
         # gather read (measured at dense parity anyway) — refuse an
         # explicit kernel request rather than silently mislabel an A/B
-        assert use_kernel is not True, \
-            "the Pallas paged kernel is float-only; int8 pools use gather"
+        assert not use_kernel, \
+            "the Pallas paged kernels are float-only; int8 pools use gather"
         use_kernel = False
     if use_kernel is None:
-        env = os.environ.get("MCL_PAGED_KERNEL")  # A/B override
-        if env is not None:
-            use_kernel = env == "1"
-            if use_kernel:
-                # device .platform is "tpu" under the axon runtime too (the
-                # house predicate, cf. ops/attention._flash_ok); Pallas
-                # compiles nowhere else (interpret mode is for tests)
-                try:
-                    use_kernel = jax.devices()[0].platform == "tpu"
-                except Exception:  # noqa: BLE001 — uninitializable backend
+        env = os.environ.get("MCL_PAGED_KERNEL")  # A/B override: 1 = single-
+        # page kernel, 2 = multi-page DMA kernel (paged_attention_mp_kernel)
+        if env in ("1", "2"):
+            use_kernel = env if env == "2" else True
+            # device .platform is "tpu" under the axon runtime too (the
+            # house predicate, cf. ops/attention._flash_ok); Pallas
+            # compiles nowhere else (interpret mode is for tests)
+            try:
+                if jax.devices()[0].platform != "tpu":
                     use_kernel = False
+            except Exception:  # noqa: BLE001 — uninitializable backend
+                use_kernel = False
         else:
             use_kernel = False
+    if use_kernel == "2" or use_kernel == "mp":
+        from multimodal_concept_learning_tpu.ops.paged_attention_mp_kernel import (
+            paged_decode_attention_mp_kernel,
+        )
+
+        return paged_decode_attention_mp_kernel(
+            q, pool_k, pool_v, page_table, lens, window,
+            scale=scale, interpret=interpret,
+        )
     if use_kernel:
         from multimodal_concept_learning_tpu.ops.paged_attention_kernel import (
             paged_decode_attention_kernel,

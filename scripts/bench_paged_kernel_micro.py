@@ -124,6 +124,19 @@ def main():
         assert err < 5e-2, "kernel parity broke at this shape"
         results["mine"] = time_variant("mine", mine_fn)
 
+        from multimodal_concept_learning_tpu.ops.paged_attention_mp_kernel import (
+            paged_decode_attention_mp_kernel,
+        )
+
+        mp_fn = lambda q: paged_decode_attention_mp_kernel(  # noqa: E731
+            q, pool_k, pool_v, page_table, lens, window, scale=scale,
+            pages_per_block=args.ppcb)
+        got = np.asarray(jax.jit(mp_fn)(q0), np.float32)
+        err = np.abs(got - ref).max()
+        print(f"  [mine-mp] max |err| vs gather: {err:.2e}", file=sys.stderr)
+        assert err < 5e-2, "multi-page kernel parity broke at this shape"
+        results["mine-mp"] = time_variant("mine-mp", mp_fn)
+
         from jax.experimental.pallas.ops.tpu.paged_attention import (
             paged_attention as jax_paged_attention,
         )

@@ -639,3 +639,70 @@ def test_malformed_admit_leaks_no_pages(loaded):
     assert isinstance(first, int)
     engine.release(0)
     assert engine.allocator.available == before
+
+
+@pytest.mark.parametrize("gqa_group", [1, 4])
+@pytest.mark.parametrize("window", [-1, 5])
+@pytest.mark.parametrize("ppb", [1, 3, 8])
+def test_paged_decode_mp_kernel_matches_gather(gqa_group, window, ppb):
+    """The multi-page DMA kernel (ops/paged_attention_mp_kernel.py,
+    interpret mode) == the gather reference, across GQA grouping, sliding
+    windows, ragged lengths, and block sizes that force page-table padding
+    (np_=4 with ppb=3) and cross-block softmax stitching."""
+    import jax.numpy as jnp
+
+    from multimodal_concept_learning_tpu.ops.paged_attention_mp_kernel import (
+        paged_decode_attention_mp_kernel,
+    )
+    from multimodal_concept_learning_tpu.ops.paged_kv import paged_decode_attention
+
+    rng = np.random.default_rng(0)
+    b, np_, ps, hk, d = 3, 4, 8, 2, 64
+    hq = hk * gqa_group
+    p = 1 + b * np_
+    pool_k = jnp.asarray(rng.standard_normal((p, hk, ps, d)), jnp.float32)
+    pool_v = jnp.asarray(rng.standard_normal((p, hk, ps, d)), jnp.float32)
+    pt = jnp.asarray(np.arange(1, 1 + b * np_).reshape(b, np_), jnp.int32)
+    lens = jnp.asarray([1, 13, 32], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, 1, hq, d)), jnp.float32)
+
+    ref = paged_decode_attention(q, pool_k, pool_v, pt, lens,
+                                 window=jnp.int32(window), use_kernel=False)
+    got = paged_decode_attention_mp_kernel(
+        q, pool_k, pool_v, pt, lens, jnp.int32(window),
+        scale=d**-0.5, pages_per_block=ppb, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_paged_decode_mp_kernel_zero_length_rows():
+    """Rows with len 0 (inactive serving slots) produce zeros, not NaNs,
+    and do not disturb their neighbours' block chaining."""
+    import jax.numpy as jnp
+
+    from multimodal_concept_learning_tpu.ops.paged_attention_mp_kernel import (
+        paged_decode_attention_mp_kernel,
+    )
+    from multimodal_concept_learning_tpu.ops.paged_kv import paged_decode_attention
+
+    rng = np.random.default_rng(1)
+    b, np_, ps, hk, d = 3, 4, 8, 2, 64
+    p = 1 + b * np_
+    pool_k = jnp.asarray(rng.standard_normal((p, hk, ps, d)), jnp.float32)
+    pool_v = jnp.asarray(rng.standard_normal((p, hk, ps, d)), jnp.float32)
+    pt = jnp.asarray(np.arange(1, 1 + b * np_).reshape(b, np_), jnp.int32)
+    lens = jnp.asarray([17, 0, 29], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, 1, hk * 2, d)), jnp.float32)
+
+    ref = paged_decode_attention(q, pool_k, pool_v, pt, lens, use_kernel=False)
+    got = paged_decode_attention_mp_kernel(
+        q, pool_k, pool_v, pt, lens, jnp.int32(-1),
+        scale=d**-0.5, pages_per_block=2, interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
+    # live rows match the gather reference exactly; the len-0 row is zeros
+    # (the gather path's fully-masked softmax degenerates to a uniform mean
+    # instead — both are ignored downstream, zeros is the saner contract,
+    # same as the single-page kernel)
+    got, ref = np.asarray(got), np.asarray(ref)
+    np.testing.assert_allclose(got[[0, 2]], ref[[0, 2]], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got[1], 0.0, atol=1e-6)
