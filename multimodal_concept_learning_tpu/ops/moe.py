@@ -157,45 +157,76 @@ def moe_mlp(x, module: MoEMLP):
 
 
 def router_stats(logits, top_k: int, capacity_factor: float):
-    """Routing diagnostics from raw router logits [B, T, E].
+    """Routing diagnostics from raw router logits.
 
-    Replicates MoEMLP's gate math and _sparse_moe's capacity bookkeeping
-    exactly (stable sort, capacity = ceil(top_k*N*cf/E) rounded up to 8),
-    returning host floats:
+    ``logits``: one layer's [B, T, E], a scanned stack [L, B, T, E], or a
+    list of per-layer [B, T, E] arrays.  Capacity bookkeeping is PER LAYER
+    — exactly what each layer's ``_sparse_moe`` sees (capacity =
+    ceil(top_k*N*cf/E) rounded up to 8, top-k selection with lax.top_k's
+    lowest-index tie-break via a stable sort) — then aggregated across
+    layers.  Pure host numpy (no device round-trip).  Returns:
 
-    - ``drop_frac``: fraction of (token, expert) assignments the sparse
-      dispatch would drop at this capacity factor (dense dispatch: 0)
-    - ``load_frac``: [E] fraction of assignments routed to each expert
-    - ``entropy``: mean per-token routing entropy over the full softmax
-      (nats; ln(E) = uniform)
-    - ``aux``: the Switch-style load-balance loss (1.0 = perfectly balanced)
+    - ``drop_frac``: dropped assignments / all assignments, across layers
+    - ``drop_frac_worst_layer``: the worst single layer's drop fraction
+      (an aggregate can mask one collapsed layer)
+    - ``load_frac``: [E] mean fraction of tokens routed to each expert
+      per layer (sums to ~top_k — MoEMLP's over-selecting ``>= thresh``
+      gate counts ties)
+    - ``entropy``: mean per-token routing entropy (nats; ln(E) = uniform)
+    - ``aux``: the Switch-style load-balance loss, the SAME quantity
+      MoEMLP sows into the 0.01-weighted objective (top_k at perfect
+      balance), mean over layers
+    - ``capacity``: the per-layer expert capacity
 
     Use with ``capture_intermediates`` filtering the ``router`` Dense to
     probe a real model (scripts/bench_mllm.py --moe_stats).
     """
     import numpy as np
 
-    logits = np.asarray(jax.device_get(logits), np.float32)
-    b, t, e = logits.shape
-    n = b * t
-    probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
-    probs = np.asarray(probs)
-    top_idx = np.argsort(-probs, axis=-1)[..., :top_k]  # [B,T,k]
+    if isinstance(logits, (list, tuple)):
+        layers = [np.asarray(jax.device_get(l), np.float32) for l in logits]
+    else:
+        arr = np.asarray(jax.device_get(logits), np.float32)
+        layers = list(arr) if arr.ndim == 4 else [arr]
 
-    counts = np.bincount(top_idx.reshape(-1), minlength=e)
-    capacity = int(-(-(top_k * n * capacity_factor) // e))
-    capacity = min(-(-capacity // 8) * 8, n)
-    dropped = np.maximum(counts - capacity, 0).sum()
-
-    p = np.clip(probs, 1e-9, None)
-    entropy = float(-(p * np.log(p)).sum(-1).mean())
-    frac = counts / counts.sum()
-    aux = float(e * (frac * probs.mean((0, 1))).sum())
+    e = layers[0].shape[-1]
+    tot_drop = tot_assign = 0
+    worst = 0.0
+    load = np.zeros(e)
+    aux_sum = ent_sum = ent_n = 0.0
+    capacity = None
+    for lg in layers:
+        x = lg.reshape(-1, e)                       # [N, E]
+        x = x - x.max(axis=-1, keepdims=True)
+        probs = np.exp(x)
+        probs /= probs.sum(axis=-1, keepdims=True)
+        n = probs.shape[0]
+        # _sparse_moe's selection: lax.top_k == lowest-index tie-break ==
+        # stable sort on descending value
+        top_idx = np.argsort(-probs, axis=-1, kind="stable")[:, :top_k]
+        counts = np.bincount(top_idx.reshape(-1), minlength=e)
+        capacity = int(-(-(top_k * n * capacity_factor) // e))
+        capacity = min(-(-capacity // 8) * 8, n)
+        dropped = int(np.maximum(counts - capacity, 0).sum())
+        tot_drop += dropped
+        tot_assign += n * top_k
+        worst = max(worst, dropped / (n * top_k))
+        # MoEMLP's aux: frac = fraction of tokens routed to e via the
+        # over-selecting (probs >= thresh) gate; aux = E * sum(frac * mean_p)
+        thresh = np.take_along_axis(probs, top_idx[:, -1:], axis=-1)
+        frac = (probs >= thresh).mean(axis=0)
+        aux_sum += float(e * np.sum(frac * probs.mean(axis=0)))
+        load += counts / n
+        p = np.clip(probs, 1e-9, None)
+        ent_sum += float(-(p * np.log(p)).sum(-1).sum())
+        ent_n += n
+    nl = len(layers)
     return {
-        "drop_frac": float(dropped / (n * top_k)),
-        "load_frac": frac,
-        "entropy": entropy,
-        "aux": aux,
+        "drop_frac": tot_drop / tot_assign,
+        "drop_frac_worst_layer": worst,
+        "load_frac": load / nl,
+        "entropy": ent_sum / ent_n,
+        "aux": aux_sum / nl,
         "capacity": capacity,
     }
 

@@ -35,6 +35,39 @@ REPEATS = 3
 TEXT_LEN = 40
 
 
+def probe_router(model, params, batch, args, label):
+    """Capture per-layer router logits and print routing health
+    (ops/moe.router_stats — per-layer capacity accounting)."""
+    from multimodal_concept_learning_tpu.ops.moe import router_stats
+
+    _, inter = model.apply(
+        {"params": params}, batch["images"], batch["input_ids"],
+        batch["attention_mask"], batch["labels"],
+        capture_intermediates=lambda mdl, _m: mdl.name == "router",
+        mutable=["intermediates"],
+    )
+    # keep router Dense outputs ([B,T,E] / scanned [L,B,T,E]); the sown
+    # per-layer moe_aux scalars share the collection but not the shape
+    leaves = [
+        l for l in jax.tree_util.tree_leaves(inter)
+        if getattr(l, "ndim", 0) >= 3 and l.shape[-1] == args.moe_experts
+    ]
+    assert leaves, "no router logits captured — is moe_experts set?"
+    layers = []
+    for leaf in leaves:
+        a = np.asarray(jax.device_get(leaf))
+        layers.extend(list(a) if a.ndim == 4 else [a])
+    st = router_stats(layers, args.moe_top_k, args.moe_capacity_factor)
+    print(
+        f"router_stats {label} cf={args.moe_capacity_factor} "
+        f"({len(layers)} layers): drop_frac={st['drop_frac']:.4f} "
+        f"worst_layer={st['drop_frac_worst_layer']:.4f} "
+        f"entropy={st['entropy']:.3f} aux={st['aux']:.4f} "
+        f"load={np.round(st['load_frac'], 3)}",
+        file=sys.stderr,
+    )
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=32)
@@ -125,33 +158,8 @@ def main():
             params = cast_params_bf16(params)
 
     if args.moe_stats and args.moe_experts:
-        from multimodal_concept_learning_tpu.ops.moe import router_stats
+        probe_router(model, params, batch, args, "pre-train")
 
-        _, inter = model.apply(
-            {"params": params}, batch["images"], batch["input_ids"],
-            batch["attention_mask"], batch["labels"],
-            capture_intermediates=lambda mdl, _m: mdl.name == "router",
-            mutable=["intermediates"],
-        )
-        import numpy as _np
-
-        # keep router Dense outputs ([B,T,E] / scanned [L,B,T,E]); the sown
-        # per-layer moe_aux scalars share the collection but not the shape
-        leaves = [
-            l for l in jax.tree_util.tree_leaves(inter)
-            if getattr(l, "ndim", 0) >= 3 and l.shape[-1] == args.moe_experts
-        ]
-        assert leaves, "no router logits captured — is moe_experts set?"
-        logits = _np.concatenate(
-            [_np.asarray(jax.device_get(l)).reshape(-1, *l.shape[-2:])
-             for l in leaves], axis=0).reshape(1, -1, args.moe_experts)
-        st = router_stats(logits, args.moe_top_k, args.moe_capacity_factor)
-        print(
-            f"router_stats cf={args.moe_capacity_factor}: "
-            f"drop_frac={st['drop_frac']:.4f} entropy={st['entropy']:.3f} "
-            f"aux={st['aux']:.4f} load={_np.round(st['load_frac'], 3)}",
-            file=sys.stderr,
-        )
     mask = trainable_mask(params, "language_embed_only")
     tx = build_optimizer(5e-4, weight_decay=1e-4, max_grad_norm=1.0, trainable_mask=mask,
                          fp32_master=args.bf16_params)
@@ -206,29 +214,8 @@ def main():
         # re-probe routing after the timed training steps (the 0.01 aux
         # load-balance loss is in the objective — entropy/balance drift
         # under real updates is the measurement VERDICT r3 asked for)
-        _, inter2 = model.apply(
-            {"params": state.params}, batch["images"], batch["input_ids"],
-            batch["attention_mask"], batch["labels"],
-            capture_intermediates=lambda mdl, _m: mdl.name == "router",
-            mutable=["intermediates"],
-        )
-        import numpy as _np
-        from multimodal_concept_learning_tpu.ops.moe import router_stats
-        leaves2 = [
-            l for l in jax.tree_util.tree_leaves(inter2)
-            if getattr(l, "ndim", 0) >= 3 and l.shape[-1] == args.moe_experts
-        ]
-        logits2 = _np.concatenate(
-            [_np.asarray(jax.device_get(l)).reshape(-1, *l.shape[-2:])
-             for l in leaves2], axis=0).reshape(1, -1, args.moe_experts)
-        st2 = router_stats(logits2, args.moe_top_k, args.moe_capacity_factor)
-        print(
-            f"router_stats post-train ({INNER * REPEATS} steps) "
-            f"cf={args.moe_capacity_factor}: drop_frac={st2['drop_frac']:.4f} "
-            f"entropy={st2['entropy']:.3f} aux={st2['aux']:.4f} "
-            f"load={_np.round(st2['load_frac'], 3)}",
-            file=sys.stderr,
-        )
+        probe_router(model, state.params, batch, args,
+                     f"post-train ({INNER * REPEATS} steps)")
 
     n_dev = len(jax.devices())
     steps_per_sec = INNER * REPEATS / elapsed

@@ -87,9 +87,10 @@ def main():
     if args.kv_heads:
         import dataclasses
 
+        # num_heads must be a multiple of num_kv_heads (GQA grouping)
+        nh = -(-max(config.lm.num_heads, args.kv_heads) // args.kv_heads) * args.kv_heads
         config = dataclasses.replace(config, lm=dataclasses.replace(
-            config.lm, num_kv_heads=args.kv_heads,
-            num_heads=max(config.lm.num_heads, args.kv_heads)))
+            config.lm, num_kv_heads=args.kv_heads, num_heads=nh))
     model = MLLM(config)
 
     rng = np.random.default_rng(0)

@@ -32,7 +32,8 @@ def main(argv=None):
     if not per:
         sys.exit("no `--durations=0` rows found in the log")
     slow = sorted(t for t, d in per.items() if d >= threshold)
-    out = "tests/slow_tests.txt"
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "tests", "slow_tests.txt")
     with open(out, "w") as f:
         f.write(
             f"# Tests taking >={threshold:g}s (setup+call) on the 1-core dev box,"

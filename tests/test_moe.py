@@ -398,31 +398,64 @@ def test_expert_parallel_sparse_dispatch_matches_single_device(eight_devices):
 
 
 def test_router_stats_matches_sparse_dispatch_bookkeeping():
-    """router_stats' drop accounting replicates _sparse_moe's capacity math."""
+    """router_stats' drop accounting replicates _sparse_moe's capacity math
+    PER LAYER (an aggregate pseudo-batch would underreport drops when
+    different layers route to different experts)."""
     from multimodal_concept_learning_tpu.ops.moe import router_stats
 
     rng = np.random.default_rng(11)
     b, t, e, k, cf = 2, 24, 4, 2, 0.5
-    # skewed logits -> unbalanced routing -> real drops at cf < E/k
-    logits = rng.normal(size=(b, t, e)).astype(np.float32)
-    logits[..., 0] += 2.0
+    # two layers routing to DISJOINT expert pairs: aggregated counts would
+    # look balanced (zero drops) while each layer drops heavily
+    l0 = rng.normal(size=(b, t, e)).astype(np.float32)
+    l0[..., 0] += 4.0
+    l0[..., 1] += 4.0
+    l1 = rng.normal(size=(b, t, e)).astype(np.float32)
+    l1[..., 2] += 4.0
+    l1[..., 3] += 4.0
 
-    st = router_stats(logits, top_k=k, capacity_factor=cf)
+    st = router_stats([l0, l1], top_k=k, capacity_factor=cf)
 
-    # brute force: same gates math as MoEMLP, same capacity rule
-    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
-    top_idx = np.argsort(-probs, axis=-1)[..., :k].reshape(-1)
+    # brute force per layer: same top-k selection, same capacity rule
     n = b * t
     capacity = int(-(-(k * n * cf) // e))
     capacity = min(-(-capacity // 8) * 8, n)
-    counts = np.bincount(top_idx, minlength=e)
-    want_dropped = np.maximum(counts - capacity, 0).sum() / (n * k)
+    want_drop = 0
+    for lg in (l0, l1):
+        x = lg.reshape(-1, e)
+        x = x - x.max(-1, keepdims=True)
+        p = np.exp(x) / np.exp(x).sum(-1, keepdims=True)
+        idx = np.argsort(-p, axis=-1, kind="stable")[:, :k].reshape(-1)
+        counts = np.bincount(idx, minlength=e)
+        want_drop += np.maximum(counts - capacity, 0).sum()
     assert st["capacity"] == capacity
-    np.testing.assert_allclose(st["drop_frac"], want_dropped)
+    np.testing.assert_allclose(st["drop_frac"], want_drop / (2 * n * k))
     assert st["drop_frac"] > 0  # the skew actually exercised dropping
-    np.testing.assert_allclose(st["load_frac"].sum(), 1.0, rtol=1e-6)
+    assert st["drop_frac_worst_layer"] >= st["drop_frac"]
+    # load_frac sums to ~top_k (tokens x experts selected, / n, ties extra)
+    assert st["load_frac"].sum() >= k - 1e-6
     assert 0.0 < st["entropy"] <= np.log(e) + 1e-6
-    assert st["aux"] >= 1.0 - 1e-6  # Switch aux lower bound at balance
+
+
+def test_router_stats_aux_matches_moemlp_sown_value():
+    """router_stats' aux is the SAME quantity MoEMLP sows into the training
+    objective (not a k-fold rescale of it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_concept_learning_tpu.ops.moe import MoEMLP, router_stats
+
+    rng = np.random.default_rng(5)
+    b, t, h, e, k = 2, 16, 8, 4, 2
+    m = MoEMLP(hidden_size=h, intermediate_size=16, num_experts=e, top_k=k)
+    x = jnp.asarray(rng.normal(size=(b, t, h)), jnp.float32)
+    params = m.init(jax.random.key(0), x)
+    (_, aux_sown), _ = m.apply(params, x), None
+    # recover the router logits the layer actually used
+    w = params["params"]["router"]["kernel"]
+    logits = np.asarray(x @ w, np.float32)
+    st = router_stats(logits, top_k=k, capacity_factor=1.25)
+    np.testing.assert_allclose(st["aux"], float(aux_sown), rtol=1e-5)
 
 
 def test_router_stats_no_drops_at_ample_capacity():
@@ -432,3 +465,4 @@ def test_router_stats_no_drops_at_ample_capacity():
     logits = rng.normal(size=(1, 16, 4)).astype(np.float32)
     st = router_stats(logits, top_k=2, capacity_factor=2.0)  # cf >= E/k
     assert st["drop_frac"] == 0.0
+    assert st["drop_frac_worst_layer"] == 0.0
