@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Collect the concept-count sweep's results into a markdown table.
+
+Walks a sweep root (the layout /tmp/sweep uses: ``<root>/<name>/{train,gen,
+gen_int8,gen_int4,analysis}.log`` + ``<root>/results/<name>/``) and emits
+the BASELINE.md science-table rows: classes, data volume, best val loss,
+generation-based yes/no accuracy (plus int8/int4 spot checks when present),
+and the RGB-vs-embedding Pearson r.
+
+Usage: python scripts/science_table.py [/tmp/sweep]
+"""
+
+import os
+import re
+import sys
+
+
+def _grep(path, pattern):
+    try:
+        with open(path) as f:
+            hits = re.findall(pattern, f.read())
+        return hits[-1] if hits else None
+    except OSError:
+        return None
+
+
+def main():
+    root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sweep"
+    names = sorted(
+        (n for n in os.listdir(root)
+         if os.path.isdir(os.path.join(root, n)) and re.match(r"\d+_colors", n)),
+        key=lambda n: int(n.split("_")[0]),
+    )
+    rows = []
+    for n in names:
+        d = os.path.join(root, n)
+        classes = int(n.split("_")[0])
+        imgs = _grep(os.path.join(d, "train.log"), r"(\d+) train samples")
+        best = _grep(os.path.join(d, "train.log"), r"Best val loss: ([\d.]+)")
+        acc = _grep(os.path.join(d, "gen.log"), r"Yes/No Accuracy: ([\d.]+)%")
+        acc8 = _grep(os.path.join(d, "gen_int8.log"), r"Yes/No Accuracy: ([\d.]+)%")
+        acc4 = _grep(os.path.join(d, "gen_int4.log"), r"Yes/No Accuracy: ([\d.]+)%")
+        r = _grep(os.path.join(d, "analysis.log"),
+                  r"Pearson correlation coefficient: (-?[\d.]+)")
+        rows.append((classes, imgs, best, acc, acc8, acc4, r))
+
+    print("| classes | imgs/class split | best val loss | yes/no acc "
+          "(generate) | int8 | int4 | Pearson r |")
+    print("|---|---|---|---|---|---|---|")
+    for classes, imgs, best, acc, acc8, acc4, r in rows:
+        fmt = lambda v, suf="": f"{v}{suf}" if v is not None else "—"  # noqa: E731
+        print(f"| {classes} | {fmt(imgs)} | {fmt(best)} | {fmt(acc, '%')} "
+              f"| {fmt(acc8, '%')} | {fmt(acc4, '%')} | {fmt(r)} |")
+
+
+if __name__ == "__main__":
+    main()
