@@ -109,7 +109,11 @@ def build_clip(vision_overrides=None, clip_overrides=None):
     # + frozen remainder — exact vs dense AdamW, tests/test_sparse_embed.py);
     # MCL_CLIP_DENSE_EMBED=1 restores the dense-table path for A/Bs.
     dense_embed = os.environ.get("MCL_CLIP_DENSE_EMBED", "0") == "1"
-    _, _, active_rows = _caption_ids(np.random.default_rng(0))
+    # One draw, one rng: these exact ids ARE the batch below, so the active
+    # set always covers the batch's class tokens (a fresh same-seeded rng
+    # would diverge — the image draw consumes the stream first).
+    input_ids_np, attention_mask_np, active_rows = _caption_ids(
+        np.random.default_rng(1))
     config = CLIPConfig.create(
         vocab_size=VOCAB,
         vision_preset="vit-b-32",
@@ -131,7 +135,6 @@ def build_clip(vision_overrides=None, clip_overrides=None):
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(size=(BATCH, 3, IMAGE_SIZE, IMAGE_SIZE)).astype(np.float32))
-    input_ids_np, attention_mask_np, active_rows = _caption_ids(rng)
     input_ids = jnp.asarray(input_ids_np)
     attention_mask = jnp.asarray(attention_mask_np)
 

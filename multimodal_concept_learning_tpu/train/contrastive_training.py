@@ -177,13 +177,30 @@ def run_training(model, tokenizer, train_loader, config: ContrastiveTrainingConf
         # Fold the closed-form weight-decay drift of inactive rows into the
         # frozen table so the saved artifact matches a dense-AdamW run
         # exactly (active rows are shadowed by the subtable either way).
-        from multimodal_concept_learning_tpu.ops.sparse_embed import inactive_decay
+        from multimodal_concept_learning_tpu.ops.sparse_embed import (
+            inactive_decay,
+            merged_embedding,
+        )
 
         accum = max(1, config.effective_batch_size // config.batch_size)
-        lrs = [float(schedule(u)) for u in range(int(state.step) // accum)]
+        n_updates = int(state.step) // accum
+        # One vectorized schedule eval + one fetch (a per-update float()
+        # loop costs a ~55 ms tunnel roundtrip per update on axon).
+        lrs = (np.asarray(jax.device_get(schedule(jnp.arange(n_updates))))
+               if n_updates else np.zeros((0,)))
         decay = inactive_decay(lrs, config.weight_decay)
         te = dict(save_params["text"]["token_embedding"])
-        te["embedding"] = te["embedding"] * decay
+        # The saved "embedding" leaf is the MERGED dense table (trained
+        # active rows written over the decayed frozen remainder), so any
+        # dense consumer (torch export, embedding analysis, dense-config
+        # restore) reads correct values directly; the "active" subtable is
+        # kept alongside so a partitioned-config restore still works (its
+        # rows shadow the dense table at apply time either way).
+        te["embedding"] = jnp.asarray(
+            merged_embedding(
+                te["embedding"], te["active"],
+                model.config.active_vocab_rows, decay),
+            dtype=te["embedding"].dtype)
         save_params = dict(save_params)
         save_params["text"] = dict(save_params["text"])
         save_params["text"]["token_embedding"] = te

@@ -12,6 +12,7 @@ materially changing tests, refresh it with:
 Usage: update_slow_manifest.py <durations-log> [threshold-seconds=10]
 """
 
+import os
 import re
 import sys
 from collections import defaultdict

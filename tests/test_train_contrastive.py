@@ -143,5 +143,29 @@ def test_contrastive_training_partitioned_embed(dataset_dir, tmp_path, capsys):
 
     out = capsys.readouterr().out
     assert "Partitioned text embedding:" in out
-    ckpts = os.listdir(os.path.join(results_dir, "checkpoints"))
+    ckpt_dir = os.path.join(results_dir, "checkpoints")
+    ckpts = os.listdir(ckpt_dir)
     assert any(c.startswith("step_") for c in ckpts)
+
+    # The final checkpoint's dense "embedding" leaf must be the MERGED
+    # table: active rows carry the trained subtable values (a dense
+    # consumer reading the table directly gets correct weights), not the
+    # decayed init values the partitioned structure would otherwise leave.
+    import numpy as np
+
+    from multimodal_concept_learning_tpu.checkpoint import restore_checkpoint
+
+    params, _ = restore_checkpoint(ckpt_dir, template=None)
+    te = params["text"]["token_embedding"]
+    assert set(te) == {"embedding", "active"}
+    # Recover the active-row ids the trainer used (corpus-derived, printed
+    # count in `out`); re-derive them the same way the CLI does.
+    import re
+
+    n_active = int(re.search(r"Partitioned text embedding: (\d+)", out).group(1))
+    emb = np.asarray(te["embedding"], np.float32)
+    act = np.asarray(te["active"], np.float32)
+    assert act.shape[0] == n_active
+    # Every active subtable row appears verbatim in the dense table.
+    for r in act:
+        assert (np.abs(emb - r[None, :]).max(axis=1) < 1e-6).any()
