@@ -137,9 +137,14 @@ class ServingEngine(EngineHostAPI):
         seed: int = 0,
         num_beams: int = 1,
         length_penalty: float = 0.0,
+        draft_layers: int = 0,
+        draft_len: int = 4,
     ):
         from multimodal_concept_learning_tpu.models.beam import beam_generate
         from multimodal_concept_learning_tpu.models.mllm import generate
+        from multimodal_concept_learning_tpu.models.speculative import (
+            speculative_generate,
+        )
         from multimodal_concept_learning_tpu.ops.multi_lora import (
             multi_lora_generate,
         )
@@ -160,7 +165,37 @@ class ServingEngine(EngineHostAPI):
         # generate program is the per-row vmap (ops/multi_lora.py)
         self.num_adapters = getattr(loaded, "num_adapters", 0)
         self.num_beams = num_beams
-        if num_beams > 1:
+        self.draft_layers = draft_layers
+        if draft_layers > 0:
+            # Self-speculative decoding (models/speculative.py): early-exit
+            # draft + chunked full-model verify, token-exact vs greedy.  It
+            # composes with the whole-batch front exactly because this front
+            # runs ONE generate call per batch with fixed shapes — the
+            # host-side accept loop between chunk dispatches is this front's
+            # normal cadence.  Greedy-only (the verify comparison is argmax
+            # equality) and whole-tree params (no vmapped adapter banks).
+            if num_beams > 1:
+                raise ValueError("draft_layers excludes num_beams > 1 (the "
+                                 "speculative verify is greedy argmax; beam "
+                                 "search scores full candidate sets)")
+            if temperature > 0.0 or top_k is not None or top_p is not None:
+                raise ValueError("draft_layers implies greedy decoding — it "
+                                 "excludes temperature/top_k/top_p sampling")
+            if self.num_adapters:
+                raise ValueError("draft_layers excludes multi-LoRA banks "
+                                 "(the draft/verify chunk programs take a "
+                                 "single param tree; serve a merged "
+                                 "checkpoint instead)")
+            # host-driven (internally jitted chunk programs); key unused
+            self._gen_fn = (
+                lambda p, img, ids, mask, key: speculative_generate(
+                    loaded.model, p, img, ids, mask,
+                    max_new_tokens=max_new_tokens,
+                    draft_layers=draft_layers, draft_len=draft_len,
+                    eos_id=self.eos_id, pad_id=self.pad_id,
+                )
+            )
+        elif num_beams > 1:
             # beam search replaces the greedy/sampling decode with a width-K
             # scored search (models/beam.py); it is deterministic and runs
             # the LM on B*K rows, so it excludes sampling and (the vmapped)

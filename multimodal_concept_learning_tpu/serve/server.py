@@ -186,7 +186,8 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
                 paged: bool = False, page_size: int = 16,
                 num_pages=None, adapters=None, chunked_prefill: int = 0,
                 int8_kv: bool = False, num_beams: int = 1,
-                length_penalty: float = 0.0):
+                length_penalty: float = 0.0, draft_layers: int = 0,
+                draft_len: int = 4):
     """Build (ThreadingHTTPServer, batcher); caller runs serve_forever().
 
     ``continuous=True`` uses slot-level continuous batching
@@ -221,6 +222,11 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
         raise ValueError("--num_beams > 1 runs on the whole-batch front only "
                          "(beam reorders B*K cache rows each step, which the "
                          "slot-level engines' in-place row ownership excludes)")
+    if draft_layers > 0 and (continuous or paged):
+        raise ValueError("--draft_layers runs on the whole-batch front only "
+                         "(the draft/verify chunk cadence assumes the whole "
+                         "batch advances together; slot-level engines admit "
+                         "and retire rows mid-chunk)")
     if adapters:
         if paged:
             raise ValueError("multi-LoRA banks exclude --paged "
@@ -275,7 +281,8 @@ def make_server(results_dir: str, port: int = 8077, host: str = "127.0.0.1",
             loaded, batch_size=batch_size, max_new_tokens=max_new_tokens,
             max_prompt_len=max_prompt_len, temperature=temperature,
             top_k=top_k, top_p=top_p, seed=seed, num_beams=num_beams,
-            length_penalty=length_penalty,
+            length_penalty=length_penalty, draft_layers=draft_layers,
+            draft_len=draft_len,
         )
         batcher = Batcher(engine, max_wait_ms=max_wait_ms)
     drain_state = {"draining": False, "inflight": 0, "lock": threading.Lock()}
@@ -354,6 +361,13 @@ def main(argv=None):
                         help="beam-search width (whole-batch front only; "
                              "excludes sampling and adapter banks)")
     parser.add_argument("--length_penalty", type=float, default=0.0)
+    parser.add_argument("--draft_layers", type=int, default=0,
+                        help="self-speculative decoding: early-exit draft "
+                             "depth (whole-batch front only; token-exact vs "
+                             "greedy, excludes sampling/beams/adapter banks)")
+    parser.add_argument("--draft_len", type=int, default=4,
+                        help="speculative chunk size g (g-1 proposals per "
+                             "verify dispatch)")
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--top_k", type=int, default=None)
     parser.add_argument("--top_p", type=float, default=None)
@@ -376,6 +390,7 @@ def main(argv=None):
         adapters=args.adapters.split(",") if args.adapters else None,
         chunked_prefill=args.chunked_prefill, int8_kv=args.int8_kv,
         num_beams=args.num_beams, length_penalty=args.length_penalty,
+        draft_layers=args.draft_layers, draft_len=args.draft_len,
     )
     print(f"Serving on http://{args.host}:{args.port} "
           f"(batch_size={args.batch_size}, max_wait_ms={args.max_wait_ms})")

@@ -288,3 +288,60 @@ def test_server_rejects_invalid_front_combos(tmp_path):
                     adapters=["a", "b"])
     with pytest.raises(ValueError, match="not --int4"):
         make_server(str(tmp_path), adapters=["a", "b"], int4=True)
+
+
+def test_engine_speculative_token_exact(trained_results_dir):
+    """--draft_layers on the whole-batch front (serve/README.md matrix cell)
+    is token-exact vs the plain greedy engine AND vs the eval-CLI path
+    (models/speculative.speculative_generate on the same padded inputs)."""
+    import jax.numpy as jnp
+
+    from multimodal_concept_learning_tpu.models.speculative import (
+        speculative_generate,
+    )
+    from multimodal_concept_learning_tpu.serve import ServingEngine, load_trained_mllm
+
+    loaded = load_trained_mllm(trained_results_dir, verbose=False)
+    greedy = ServingEngine(loaded, batch_size=2, max_new_tokens=4,
+                           max_prompt_len=16)
+    spec = ServingEngine(loaded, batch_size=2, max_new_tokens=4,
+                         max_prompt_len=16, draft_layers=1, draft_len=3)
+    imgs = [spec.preprocess_image(_circle_image(c)) for c in COLORS]
+    prompts = ["Is the color of the circle red?"] * 2
+    texts = spec.generate(imgs, prompts)
+    assert texts == greedy.generate(imgs, prompts)
+
+    # parity vs the eval-CLI path on the same padded program inputs
+    cfg = loaded.config
+    img = np.zeros((2, 3, cfg.image_size, cfg.image_size), np.float32)
+    for i, a in enumerate(imgs):
+        img[i] = a
+    ids, mask = spec._encode_prompts(prompts)
+    tokens = np.asarray(speculative_generate(
+        loaded.model, loaded.params, jnp.asarray(img), jnp.asarray(ids),
+        jnp.asarray(mask), max_new_tokens=4, draft_layers=1, draft_len=3,
+        eos_id=spec.eos_id, pad_id=spec.pad_id))
+    for i in range(2):
+        assert texts[i] == spec.decode_text(list(tokens[i]))
+
+
+def test_engine_speculative_rejects_incompatible(trained_results_dir):
+    from multimodal_concept_learning_tpu.serve import ServingEngine, load_trained_mllm
+
+    loaded = load_trained_mllm(trained_results_dir, verbose=False)
+    with pytest.raises(ValueError, match="excludes temperature"):
+        ServingEngine(loaded, draft_layers=1, temperature=0.7)
+    with pytest.raises(ValueError, match="excludes num_beams"):
+        ServingEngine(loaded, draft_layers=1, num_beams=2)
+    bank = loaded._replace(num_adapters=2)  # structurally a bank
+    with pytest.raises(ValueError, match="excludes multi-LoRA"):
+        ServingEngine(bank, draft_layers=1)
+
+
+def test_server_speculative_rejects_slot_level_fronts(tmp_path):
+    from multimodal_concept_learning_tpu.serve.server import make_server
+
+    with pytest.raises(ValueError, match="whole-batch front only"):
+        make_server(str(tmp_path), continuous=True, draft_layers=1)
+    with pytest.raises(ValueError, match="whole-batch front only"):
+        make_server(str(tmp_path), paged=True, continuous=True, draft_layers=1)
