@@ -26,15 +26,29 @@ def _grep(path, pattern):
 
 def main():
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sweep"
-    names = sorted(
-        (n for n in os.listdir(root)
-         if os.path.isdir(os.path.join(root, n)) and re.match(r"\d+_colors", n)),
-        key=lambda n: int(n.split("_")[0]),
-    )
+
+    def _classes(name):
+        m = re.match(r"(\d+)_colors", name)
+        if m:
+            return int(m.group(1))
+        # non-numeric sweep points (e.g. primary_secondary_5k, the 6-class
+        # anchor): count colors in the point's prepared dataset yaml
+        try:
+            import yaml
+
+            with open(os.path.join(root, name, "dataset.yaml")) as f:
+                return len(yaml.safe_load(f)["colors"])
+        except OSError:
+            return None
+
+    names = [n for n in os.listdir(root)
+             if os.path.isdir(os.path.join(root, n))
+             and os.path.exists(os.path.join(root, n, "mm.yaml"))]
+    names.sort(key=lambda n: _classes(n) or 0)
     rows = []
     for n in names:
         d = os.path.join(root, n)
-        classes = int(n.split("_")[0])
+        classes = _classes(n)
         imgs = _grep(os.path.join(d, "train.log"), r"(\d+) train samples")
         best = _grep(os.path.join(d, "train.log"), r"Best val loss: ([\d.]+)")
         acc = _grep(os.path.join(d, "gen.log"), r"Yes/No Accuracy: ([\d.]+)%")
