@@ -186,6 +186,13 @@ class ServingEngine(EngineHostAPI):
                                  "(the draft/verify chunk programs take a "
                                  "single param tree; serve a merged "
                                  "checkpoint instead)")
+            n_layers = model.config.lm.num_layers
+            if not 1 <= draft_layers <= n_layers:
+                raise ValueError(f"draft_layers must be in [1, {n_layers}] "
+                                 f"(the LM's layer count), got {draft_layers}")
+            if draft_len < 2:
+                raise ValueError(f"draft_len must be >= 2 (g-1 proposals per "
+                                 f"verify dispatch), got {draft_len}")
             # host-driven (internally jitted chunk programs); key unused
             self._gen_fn = (
                 lambda p, img, ids, mask, key: speculative_generate(

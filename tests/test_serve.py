@@ -345,3 +345,14 @@ def test_server_speculative_rejects_slot_level_fronts(tmp_path):
         make_server(str(tmp_path), continuous=True, draft_layers=1)
     with pytest.raises(ValueError, match="whole-batch front only"):
         make_server(str(tmp_path), paged=True, continuous=True, draft_layers=1)
+
+
+def test_engine_speculative_rejects_bad_depth(trained_results_dir):
+    from multimodal_concept_learning_tpu.serve import ServingEngine, load_trained_mllm
+
+    loaded = load_trained_mllm(trained_results_dir, verbose=False)
+    n = loaded.model.config.lm.num_layers
+    with pytest.raises(ValueError, match="layer count"):
+        ServingEngine(loaded, draft_layers=n + 1)
+    with pytest.raises(ValueError, match="draft_len"):
+        ServingEngine(loaded, draft_layers=1, draft_len=1)
