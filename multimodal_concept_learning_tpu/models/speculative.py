@@ -36,8 +36,26 @@ from multimodal_concept_learning_tpu.models.lm import CausalLM, init_kv_cache
 from multimodal_concept_learning_tpu.models.mllm import MLLM
 
 
+_FNS_CACHE: dict = {}
+
+
 def _build_fns(model: MLLM, draft_layers: int, draft_len: int):
-    """Jitted draft-step and verify-chunk functions (static shapes)."""
+    """Jitted draft-step and verify-chunk functions (static shapes).
+
+    Memoized per (model, draft_layers, draft_len): a fresh pair of
+    ``@jax.jit`` closures per call would make every serving request batch
+    retrace (jit caches key on function identity) — the eval CLI calls
+    once, but ServingEngine calls per batch.  Flax modules hash by
+    structure, so an equal-config model reuses the entry; the cache is
+    bounded (these fns pin compiled executables)."""
+    key = (model, draft_layers, draft_len)
+    try:
+        cached = _FNS_CACHE.get(key)
+    except TypeError:  # unhashable model (never for our frozen configs)
+        cached = None
+        key = None
+    if cached is not None:
+        return cached
 
     def head(p, h):
         return model.apply({"params": p}, h,
@@ -85,7 +103,12 @@ def _build_fns(model: MLLM, draft_layers: int, draft_len: int):
         t = jnp.argmax(head(p, hidden), axis=-1).astype(jnp.int32)  # [B, g]
         return t, caches
 
-    return draft_chunk, verify_chunk
+    out = (draft_chunk, verify_chunk)
+    if key is not None:
+        if len(_FNS_CACHE) > 16:  # bound pinned executables
+            _FNS_CACHE.clear()
+        _FNS_CACHE[key] = out
+    return out
 
 
 def speculative_generate(
