@@ -103,7 +103,24 @@ def _build_fns(model: MLLM, draft_layers: int, draft_len: int):
         t = jnp.argmax(head(p, hidden), axis=-1).astype(jnp.int32)  # [B, g]
         return t, caches
 
-    out = (draft_chunk, verify_chunk)
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("channels_last",))
+    def prefill_first(p, images, ids, mask, caches, channels_last=False):
+        """Prefill + the first greedy token in ONE compiled dispatch (the
+        former eager apply paid per-op dispatch latency on every serving
+        batch)."""
+        hidden, caches = model.apply(
+            {"params": p}, images, ids, mask, caches, channels_last,
+            method=MLLM.prefill,
+        )
+        seq_lens = mask.sum(axis=1)
+        b = ids.shape[0]
+        last_hidden = hidden[jnp.arange(b), seq_lens - 1]
+        first = jnp.argmax(head(p, last_hidden), axis=-1).astype(jnp.int32)
+        return first, caches
+
+    out = (draft_chunk, verify_chunk, prefill_first)
     if key is not None:
         if len(_FNS_CACHE) > 16:  # bound pinned executables
             _FNS_CACHE.clear()
@@ -137,18 +154,15 @@ def speculative_generate(
     g = draft_len
     cache_len = t + max_new_tokens + g + 1
     caches = init_kv_cache(model.config.lm, b, cache_len)
-    draft_chunk, verify_chunk = _build_fns(model, draft_layers, g)
+    draft_chunk, verify_chunk, prefill_first = _build_fns(model, draft_layers, g)
 
-    hidden, caches = model.apply(
-        {"params": params}, images, input_ids, attention_mask, caches,
-        channels_last, method=MLLM.prefill,
+    first_dev, caches = prefill_first(
+        params, images, input_ids, attention_mask, caches,
+        channels_last=channels_last,
     )
     rows = np.arange(b)
     seq_lens = np.asarray(attention_mask.sum(axis=1), np.int64)
-    last_hidden = hidden[jnp.arange(b), jnp.asarray(seq_lens) - 1]
-    first = np.asarray(jnp.argmax(model.apply(
-        {"params": params}, last_hidden,
-        method=lambda m, h: m.language_model.lm_head(h)), axis=-1))
+    first = np.asarray(first_dev)
 
     out = [[int(first[i])] for i in range(b)]
     done = np.asarray([eos_id is not None and int(first[i]) == eos_id
